@@ -1,0 +1,105 @@
+"""spark-submit entry: pages parquet -> extract -> build -> kernel.
+
+Usage:
+  spark-submit --py-files dist/linkgraph.zip jobs/run_pagerank.py \\
+      --pages /path/to/pages_parquet --kernel pagerank \\
+      [--ckpt /path/ckpt] [--output /path/out] [--top 20]
+
+  # or generate a deterministic synthetic corpus in-process:
+  spark-submit ... jobs/run_pagerank.py --synth 5000 --kernel cc
+
+The packaged-for-spark-submit requirement is BASELINE.json:6; this is
+the Spark analogue of the reference CLI (/root/reference/src/cli.rs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(description="linkgraph kernel runner")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="parquet dir with pages(url, warc_ts, html, text, lang)")
+    src.add_argument("--synth", type=int, help="generate N synthetic pages instead")
+    src.add_argument("--edges", help="parquet dir with edges(src long, dst long)")
+    ap.add_argument(
+        "--kernel",
+        default="pagerank",
+        choices=["pagerank", "pagerank_delta", "cc", "bfs", "labelprop", "triangles"],
+    )
+    ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
+    ap.add_argument("--output", help="write result parquet here")
+    ap.add_argument("--top", type=int, default=20, help="rows to print")
+    ap.add_argument("--root", type=int, default=0, help="bfs root")
+    ap.add_argument("--max-iter", type=int, default=200)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from linkgraph import kernels
+    from linkgraph.build import build_graph_from_edges, build_graph_from_pages
+    from linkgraph.checkpoint import CheckpointManager
+    from linkgraph.session import get_spark
+
+    spark = get_spark(app_name=f"linkgraph-{args.kernel}")
+    t0 = time.time()
+    if args.synth:
+        from linkgraph.datagen import PagesSpec, generate_pages
+
+        pages = spark.createDataFrame(generate_pages(PagesSpec(n_pages=args.synth)))
+        graph = build_graph_from_pages(pages)
+    elif args.pages:
+        graph = build_graph_from_pages(spark.read.parquet(args.pages))
+    else:
+        graph = build_graph_from_edges(spark.read.parquet(args.edges))
+    build_s = time.time() - t0
+    print(f"graph built: n={graph.n} m={graph.m} ({build_s:.2f}s)")
+
+    ckpt = CheckpointManager(args.ckpt, args.kernel) if args.ckpt else None
+    t1 = time.time()
+    if args.kernel == "pagerank":
+        res = kernels.pagerank(graph, tol=args.tol, max_iter=args.max_iter, ckpt=ckpt)
+        out = res.df.orderBy(F.desc("rank"))
+        summary = {
+            "kernel": "pagerank",
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "edges_processed": res.edges_processed,
+            "edges_per_second": round(res.edges_per_second),
+        }
+    elif args.kernel == "pagerank_delta":
+        res = kernels.pagerank_delta(graph, max_iterations=args.max_iter)
+        out = res.df.orderBy(F.desc("rank"))
+        summary = {"kernel": "pagerank_delta", "rounds": res.rounds}
+    elif args.kernel == "cc":
+        res = kernels.connected_components(graph, ckpt=ckpt)
+        out = res.df.groupBy("comp").agg(F.count("*").alias("size")).orderBy(F.desc("size"))
+        summary = {"kernel": "cc", "iterations": res.iterations}
+    elif args.kernel == "bfs":
+        res = kernels.bfs(graph, root=args.root)
+        out = res.df.orderBy("level", "id")
+        summary = {"kernel": "bfs", "levels": res.iterations}
+    elif args.kernel == "labelprop":
+        res = kernels.label_propagation(graph, max_iter=args.max_iter)
+        out = res.df.groupBy("label").agg(F.count("*").alias("size")).orderBy(F.desc("size"))
+        summary = {"kernel": "labelprop", "iterations": res.iterations}
+    else:
+        tri = kernels.triangle_count(graph)
+        print(json.dumps({"kernel": "triangles", "count": tri.count, "wall_s": round(tri.wall_seconds, 3)}))
+        return 0
+    summary["wall_s"] = round(time.time() - t1, 3)
+    print(json.dumps(summary))
+    out.show(args.top, truncate=False)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

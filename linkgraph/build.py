@@ -1,0 +1,236 @@
+"""Graph build stage: url -> dense int64 vertex ids, edge table,
+degree table, partitioned persistence (SURVEY §7 step 2; the Spark
+reimagining of the reference's `parse` pipeline at
+/root/reference/src/graph.rs:302-320).
+
+Dense-id requirement is explicit in BASELINE.json:6 ("dense int64
+vertex ids"). Assignment is deterministic and shuffle-parallel — no
+zipWithIndex, no single-partition window:
+  1. hash-partition distinct urls into P partitions (hash(url) is
+     deterministic), sort within each partition by url;
+  2. count rows per partition, broadcast the exclusive prefix sums;
+  3. mapInPandas assigns id = partition_offset + local_row_number.
+Given fixed P the mapping url->id is a pure function of the url set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark import StorageLevel, TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.extract import edges_from_pages
+
+EDGES_SCHEMA = "src long, dst long"
+
+
+@dataclass
+class Graph:
+    """The engine's graph handle: the Spark analogue of the reference's
+    `AdjacencyGraph` (/root/reference/src/graph.rs:80-110). The
+    transpose is NOT materialized (SURVEY §1.4 — swapping column roles
+    is free; the shuffle happens inside whichever join consumes it).
+    """
+
+    vertices: DataFrame  # (id long, url string?) — url absent for pure-edge fixtures
+    edges: DataFrame  # (src long, dst long), deduped
+    degrees: DataFrame  # (id long, out_deg long, in_deg long)
+    n: int  # node_count  (graph.rs:23)
+    m: int  # rel_count   (graph.rs:25)
+
+    @property
+    def threshold(self) -> int:
+        """Direction-switch threshold |E|/20 (graph.rs:31-33)."""
+        return max(self.m // 20, 1)
+
+    def edges_reversed(self) -> DataFrame:
+        """The transpose: in-edge view, a free column swap (SURVEY §1.4)."""
+        return self.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+
+    def unpersist(self) -> None:
+        for df in (self.vertices, self.edges, self.degrees):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def assign_dense_ids(
+    urls: DataFrame, key: str = "url", num_partitions: int | None = None
+) -> DataFrame:
+    """Distinct `key` values -> (id long, <key>) with ids dense 0..n-1.
+
+    Deterministic given the value set and P (see module docstring).
+    Scales: the only driver-side data is P partition counts.
+    """
+    spark = urls.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        urls.select(key)
+        .distinct()
+        .repartition(p, F.col(key))
+        .sortWithinPartitions(key)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in part.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in range(p):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    offsets_bc = spark.sparkContext.broadcast(offsets)
+
+    out_schema = f"id long, {key} string"
+
+    def assign(iterator):
+        pid = TaskContext.get().partitionId()
+        start = offsets_bc.value[pid]
+        seen = 0
+        for pdf in iterator:
+            n = len(pdf)
+            yield pdf.assign(id=np.arange(start + seen, start + seen + n, dtype="int64"))[
+                ["id", key]
+            ]
+            seen += n
+
+    ids = part.mapInPandas(assign, schema=out_schema)
+    return ids
+
+
+def build_graph_from_pages(
+    pages: DataFrame, num_partitions: int | None = None
+) -> Graph:
+    """pages -> Graph. Vertex set = page urls ∪ href targets, so edges
+    to pages outside the crawl become sink vertices (out_deg 0) and the
+    dangling-mass path is exercised."""
+    url_edges = edges_from_pages(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    all_urls = (
+        pages.select(F.col("url"))
+        .union(url_edges.select(F.col("dst_url").alias("url")))
+        .distinct()
+    )
+    vertices = assign_dense_ids(all_urls, "url", num_partitions).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # two broadcast-or-shuffle joins map urls -> ids; vertices is the
+    # smaller side at web scale? No — vertices is huge; both joins are
+    # shuffle hash joins on url. AQE picks the strategy.
+    edges = (
+        url_edges.join(
+            vertices.withColumnRenamed("url", "src_url").withColumnRenamed("id", "src"),
+            "src_url",
+        )
+        .join(
+            vertices.withColumnRenamed("url", "dst_url").withColumnRenamed("id", "dst"),
+            "dst_url",
+        )
+        .select("src", "dst")
+    )
+    g = build_graph_from_edges(edges, vertices=vertices)
+    url_edges.unpersist()
+    return g
+
+
+def build_graph_from_edges(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    n: int | None = None,
+    num_partitions: int | None = None,
+) -> Graph:
+    """Edge list -> Graph. Dedups edges, derives degrees, persists the
+    edge table hash-partitioned by src (the 'CSR edge table' — the
+    bucketed layout the reference's CSR build S2 maps to).
+
+    If `vertices` is None the vertex set is ids 0..n-1 when `n` given,
+    else the distinct ids appearing in edges.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    edges = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+        .repartition(p, "src")
+        .sortWithinPartitions("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    m = edges.count()
+    if vertices is None:
+        if n is not None:
+            vertices = spark.range(n).select(F.col("id").cast("long"))
+        else:
+            vertices = (
+                edges.select(F.col("src").alias("id"))
+                .union(edges.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+        vertices = vertices.persist(StorageLevel.MEMORY_AND_DISK)
+    n_count = vertices.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_deg"))
+    degrees = (
+        vertices.select("id")
+        .join(out_deg, "id", "left")
+        .join(in_deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    degrees.count()
+    return Graph(vertices=vertices, edges=edges, degrees=degrees, n=n_count, m=m)
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """edges ∪ reversed, deduped — undirected encoding (SURVEY §2.5(4):
+    hash-min CC is only 'connected components' on symmetric inputs)."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.union(rev).distinct()
+
+
+def write_graph(g: Graph, path: str, buckets: int | None = None) -> None:
+    """Persist the graph: the Spark analogue of the reference's binary
+    dump (S4, /root/reference/src/graph.rs:322-357). Edge table written
+    hash-distributed by src and sorted (src, dst) within files so a
+    re-read preserves join locality. (Iceberg is the production target;
+    this sandbox has plain parquet, same layout semantics.)"""
+    p = buckets or g.edges.sparkSession.sparkContext.defaultParallelism
+    (
+        g.edges.repartition(p, "src")
+        .sortWithinPartitions("src", "dst")
+        .write.mode("overwrite")
+        .parquet(f"{path}/edges")
+    )
+    g.vertices.write.mode("overwrite").parquet(f"{path}/vertices")
+    g.degrees.write.mode("overwrite").parquet(f"{path}/degrees")
+
+
+def read_graph(spark: SparkSession, path: str) -> Graph:
+    """Load a graph persisted by write_graph (S5/S6 analogue)."""
+    edges = spark.read.parquet(f"{path}/edges").persist(StorageLevel.MEMORY_AND_DISK)
+    vertices = spark.read.parquet(f"{path}/vertices").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    degrees = spark.read.parquet(f"{path}/degrees").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return Graph(
+        vertices=vertices,
+        edges=edges,
+        degrees=degrees,
+        n=vertices.count(),
+        m=edges.count(),
+    )

@@ -1,0 +1,89 @@
+"""Per-iteration checkpoint/resume + metrics (SURVEY §2.6 row 4).
+
+Every iterative kernel can persist `(iteration, state[, frontier])`
+plus a `_metrics.json` sidecar (iteration wall time, frontier size,
+edges processed, convergence scalar, per-partition row counts) under
+``<root>/<job>/iter=<k>/``. A restarted run resumes at the maximum
+complete iteration and produces output identical to an uninterrupted
+run (pinned by tests/test_resume.py).
+
+A `_SUCCESS`-gated layout makes partially-written iterations invisible
+to resume: the state parquet's own _SUCCESS marker plus our
+`_metrics.json` (written after the parquet commit) must both exist.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class CheckpointManager:
+    root: str
+    job: str
+    metrics: list[dict] = field(default_factory=list)
+
+    def _iter_dir(self, iteration: int) -> str:
+        return os.path.join(self.root, self.job, f"iter={iteration:05d}")
+
+    def save(
+        self,
+        iteration: int,
+        state: DataFrame,
+        frontier: DataFrame | None = None,
+        metrics: dict | None = None,
+    ) -> None:
+        d = self._iter_dir(iteration)
+        state.write.mode("overwrite").parquet(os.path.join(d, "state"))
+        if frontier is not None:
+            frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+        record = {"iteration": iteration, "ts": time.time(), **(metrics or {})}
+        self.metrics.append(record)
+        # metrics sidecar last => presence marks the iteration complete
+        with open(os.path.join(d, "_metrics.json"), "w") as f:
+            json.dump(record, f)
+
+    def last_complete(self) -> int | None:
+        base = os.path.join(self.root, self.job)
+        if not os.path.isdir(base):
+            return None
+        done = []
+        for name in os.listdir(base):
+            d = os.path.join(base, name)
+            if (
+                name.startswith("iter=")
+                and os.path.exists(os.path.join(d, "_metrics.json"))
+                and os.path.exists(os.path.join(d, "state", "_SUCCESS"))
+            ):
+                done.append(int(name.split("=")[1]))
+        return max(done) if done else None
+
+    def load(
+        self, spark: SparkSession, iteration: int, with_frontier: bool = False
+    ) -> tuple[DataFrame, DataFrame | None, dict]:
+        d = self._iter_dir(iteration)
+        state = spark.read.parquet(os.path.join(d, "state"))
+        frontier = None
+        fdir = os.path.join(d, "frontier")
+        if with_frontier and os.path.exists(fdir):
+            frontier = spark.read.parquet(fdir)
+        with open(os.path.join(d, "_metrics.json")) as f:
+            record = json.load(f)
+        return state, frontier, record
+
+    def clear(self) -> None:
+        shutil.rmtree(os.path.join(self.root, self.job), ignore_errors=True)
+
+
+def sever(df: DataFrame) -> DataFrame:
+    """Cut lineage after each iteration (SURVEY hard-part #1: the
+    iterative-join plan otherwise doubles per round). localCheckpoint
+    materializes to executor-local storage — cheap, no HDFS round trip;
+    durable resume is the CheckpointManager's job, not this one's."""
+    return df.localCheckpoint(eager=True)

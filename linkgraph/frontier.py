@@ -1,0 +1,99 @@
+"""The Ligra trio as Spark DataFrame primitives (SURVEY §2.2 D1-D9).
+
+Reference: edgeMap/vertexMap/vertexFilter at
+/root/reference/src/ligra.rs:58-306. The atomic-CAS write-combining
+and slot-compaction machinery (ligra.rs:90-242) is deliberately NOT
+ported — `groupBy(dst).agg(...)` is Spark's native partial+final
+aggregation and subsumes all of it (SURVEY §4.3).
+
+Frontier representation (node_set.rs:3-9 dual sparse/dense):
+  * sparse  = a small DataFrame of frontier rows (id + message payload)
+              -> broadcast hash join against the edge table (push);
+  * dense   = the full state DataFrame filtered by a predicate
+              -> shuffle join against the bucketed edge table (pull).
+The switch is the reference's direction-optimizing rule
+(ligra.rs:82-87, threshold |E|/20 at graph.rs:31-33): push when the
+frontier's out-degree volume <= m/20. Catalyst/AQE would broadcast
+small sides anyway below the size threshold; we keep the explicit
+rule so the decision is deterministic, observable in metrics, and
+pinned to reference behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.build import Graph
+
+
+def frontier_volume(graph: Graph, frontier: DataFrame) -> int:
+    """Σ out_degree over frontier members — the statistic the reference
+    dispatcher computes at ligra.rs:80. Exact (one small join+agg);
+    callers on a hot loop may instead estimate count * avg_degree."""
+    row = (
+        frontier.select("id")
+        .join(graph.degrees, "id")
+        .agg(F.sum("out_deg"))
+        .first()
+    )
+    return int(row[0] or 0)
+
+
+def edge_map(
+    graph: Graph,
+    frontier: DataFrame,
+    aggs: list[Column],
+    msg: dict[str, Column] | None = None,
+    volume: int | None = None,
+    reverse: bool = False,
+) -> DataFrame:
+    """Ligra edgeMap (D1): for each edge (s,t) with s ∈ frontier, emit
+    message columns, then combine per target.
+
+    frontier : DataFrame keyed by `id` carrying the per-source payload
+               columns referenced by `msg`/`aggs`.
+    msg      : extra columns computed on the joined (edge × source-state)
+               rows before aggregation (e.g. contrib = delta/out_deg).
+    aggs     : aggregate expressions applied per `dst` — the Spark
+               replacement for the reference's atomic write-combining
+               (CAS min -> F.min, fetch_add -> F.sum; SURVEY §2.3).
+    volume   : precomputed frontier out-degree volume; computed exactly
+               if None.
+    reverse  : walk in-edges instead (free transpose, SURVEY §1.4).
+
+    Returns a DataFrame grouped by `dst` with the aggregate columns —
+    the "next frontier candidates + merged messages" in one relation.
+    """
+    edges = graph.edges_reversed() if reverse else graph.edges
+    if volume is None:
+        volume = frontier_volume(graph, frontier)
+    src_side = frontier.withColumnRenamed("id", "src")
+    if volume <= graph.threshold:
+        src_side = F.broadcast(src_side)  # push: sparse frontier
+    joined = edges.join(src_side, "src")
+    if msg:
+        joined = joined.withColumns(msg)
+    return joined.groupBy("dst").agg(*aggs)
+
+
+def node_map(state: DataFrame, updates: dict[str, Column]) -> DataFrame:
+    """Ligra vertexMap (D6): per-vertex update, no subset produced."""
+    return state.withColumns(updates)
+
+
+def node_filter(state: DataFrame, predicate: Column) -> DataFrame:
+    """Ligra vertexFilter (D5), sparse output: subset rows passing the
+    predicate. Dense form is `state.withColumn('active', predicate)` —
+    callers choose (SURVEY §4.2)."""
+    return state.where(predicate)
+
+
+def single_frontier(graph: Graph, vertex: int) -> DataFrame:
+    """NodeSubset::single (node_set.rs:24-158 constructors)."""
+    return graph.vertices.sparkSession.createDataFrame([(vertex,)], "id long")
+
+
+def full_frontier(graph: Graph) -> DataFrame:
+    """NodeSubset::full."""
+    return graph.vertices.select("id")

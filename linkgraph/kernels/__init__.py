@@ -1,0 +1,26 @@
+"""Iterative graph kernels — the engine's "queries" (SURVEY §2.4/§2.6).
+
+pagerank        power iteration + dangling-mass redistribution (metric kernel)
+pagerank_delta  faithful reproduction of the reference's frontier PR
+                (/root/reference/src/algos.rs:169-295, quirks included)
+cc              connected components via hash-min label propagation
+bfs             frontier BFS (levels + min-parent tree)
+labelprop       community label propagation (most-frequent in-neighbor label)
+triangles       triangle count via degree-ordered edge-intersection join
+"""
+
+from linkgraph.kernels.pagerank import pagerank
+from linkgraph.kernels.cc import connected_components
+from linkgraph.kernels.bfs import bfs
+from linkgraph.kernels.labelprop import label_propagation
+from linkgraph.kernels.triangles import triangle_count
+from linkgraph.kernels.pagerank_delta import pagerank_delta
+
+__all__ = [
+    "pagerank",
+    "pagerank_delta",
+    "connected_components",
+    "bfs",
+    "label_propagation",
+    "triangle_count",
+]

@@ -1,0 +1,78 @@
+"""Community label propagation (synchronous).
+
+No reference implementation exists — semantics pinned in SURVEY §2.6:
+init label[v] = v; each round every vertex adopts the most frequent
+label among its IN-neighbors (ties -> smallest label); vertices with
+no in-neighbors keep their label; synchronous rounds; stop when no
+label changes or max_iter reached. Verified against a NumPy oracle
+(tests/oracles.py).
+
+Spark shape per round: join labels onto edges by src, count labels per
+(dst, label), pick the winner with a row_number window ordered by
+(count desc, label asc) — the window partitions by dst so it
+parallelizes across vertices (SURVEY §2.6 row 1).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.build import Graph
+from linkgraph.checkpoint import sever
+
+
+@dataclass
+class LabelPropResult:
+    df: DataFrame  # (id long, label long)
+    iterations: int
+    wall_seconds: float
+    metrics: list[dict] = field(default_factory=list)
+
+
+def label_propagation(graph: Graph, max_iter: int = 20) -> LabelPropResult:
+    t0 = time.time()
+    labels = sever(graph.vertices.select("id", F.col("id").alias("label")))
+    iterations = 0
+    metrics: list[dict] = []
+    win = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+    for it in range(max_iter):
+        it_t0 = time.time()
+        counts = (
+            graph.edges.join(
+                labels.select(F.col("id").alias("src"), "label"), "src"
+            )
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        winners = (
+            counts.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(winners, "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                F.col("label").alias("_old"),
+            )
+        )
+        new_labels = sever(new_labels)
+        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        iterations = it + 1
+        metrics.append(
+            {"iteration": it, "changed": changed, "wall_s": time.time() - it_t0}
+        )
+        if changed == 0:
+            break
+    return LabelPropResult(
+        df=labels,
+        iterations=iterations,
+        wall_seconds=time.time() - t0,
+        metrics=metrics,
+    )

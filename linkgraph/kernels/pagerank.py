@@ -1,0 +1,154 @@
+"""PageRank — power iteration with dangling-mass redistribution.
+
+This is the north-rule metric kernel (BASELINE.json:2,6): standard
+PageRank, NOT the reference's PR-delta variant (that one is
+reproduced faithfully in pagerank_delta.py for parity). Semantics:
+
+    rank'(v) = (1-d)/n + d * ( Σ_{u→v} rank(u)/out_deg(u)
+                               + dangling_mass/n )
+    dangling_mass = Σ_{out_deg(u)=0} rank(u)
+
+iterated from rank = 1/n until max_v |rank'(v) - rank(v)| < tol.
+
+Spark shape per iteration (SURVEY §2.3): one equi-join
+edges ⋈ state on src, one partial+final SUM aggregation on dst
+(this IS the two-stage skew-safe gather — Spark's map-side partial
+hash-agg bounds any hub dst to ≤ #partitions rows into the final
+agg; an additional explicit salting stage is available via `salt`
+for clusters whose partial-agg memory is the bottleneck, SURVEY
+§4.4), one left join back onto the vertex skeleton, and a single
+driver-side scalar agg that returns BOTH the convergence diff and
+the next iteration's dangling mass in one pass. Lineage is severed
+every round (localCheckpoint) — SURVEY hard-part #1.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.build import Graph
+from linkgraph.checkpoint import CheckpointManager, sever
+
+
+@dataclass
+class PageRankResult:
+    df: DataFrame  # (id long, rank double)
+    iterations: int
+    converged: bool
+    edges_processed: int  # iterations * m — numerator of the metric
+    wall_seconds: float
+    metrics: list[dict] = field(default_factory=list)
+
+    @property
+    def edges_per_second(self) -> float:
+        return self.edges_processed / self.wall_seconds if self.wall_seconds else 0.0
+
+
+def pagerank(
+    graph: Graph,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    salt: int | None = None,
+    ckpt: CheckpointManager | None = None,
+    ckpt_every: int = 5,
+) -> PageRankResult:
+    n = graph.n
+    edges = graph.edges
+
+    start_iter = 0
+    state = None
+    if ckpt is not None:
+        last = ckpt.last_complete()
+        if last is not None:
+            loaded, _, rec = ckpt.load(edges.sparkSession, last)
+            state = sever(loaded)
+            start_iter = last + 1
+            if rec.get("converged"):
+                df = state.select("id", "rank")
+                return PageRankResult(df, last + 1, True, 0, 0.0, [rec])
+    if state is None:
+        # state skeleton: (id, out_deg, rank); out_deg joined in once so
+        # the hot loop never touches the degrees table again.
+        state = sever(
+            graph.degrees.select(
+                "id", "out_deg", (F.lit(1.0) / n).alias("rank")
+            )
+        )
+
+    t0 = time.time()
+    # dangling mass of the CURRENT state; refreshed by the per-iteration
+    # stats pass so the loop does exactly one collect per round.
+    dm = state.where(F.col("out_deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+
+    iterations = 0
+    converged = False
+    metrics: list[dict] = []
+    for it in range(start_iter, max_iter):
+        it_t0 = time.time()
+        contribs = edges.join(
+            state.where(F.col("out_deg") > 0).select(
+                F.col("id").alias("src"),
+                (F.col("rank") / F.col("out_deg")).alias("w"),
+            ),
+            "src",
+        )
+        if salt:
+            gathered = (
+                contribs.groupBy("dst", F.pmod(F.col("src"), F.lit(salt)).alias("_s"))
+                .agg(F.sum("w").alias("pw"))
+                .groupBy("dst")
+                .agg(F.sum("pw").alias("gathered"))
+            )
+        else:
+            gathered = contribs.groupBy("dst").agg(F.sum("w").alias("gathered"))
+
+        new_state = (
+            state.join(gathered, state["id"] == gathered["dst"], "left")
+            .select(
+                state["id"],
+                state["out_deg"],
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("gathered"), F.lit(0.0)) + F.lit(dm / n))
+                ).alias("rank"),
+                state["rank"].alias("_old"),
+            )
+        )
+        new_state = sever(new_state)
+        diff, dm_next = new_state.agg(
+            F.max(F.abs(F.col("rank") - F.col("_old"))),
+            F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(F.lit(0.0))),
+        ).first()
+        dm = dm_next or 0.0
+        state = new_state.drop("_old")
+        iterations = it + 1
+        converged = diff < tol
+        rec = {
+            "iteration": it,
+            "diff": diff,
+            "dangling_mass": dm,
+            "edges_processed": graph.m,
+            "wall_s": time.time() - it_t0,
+            "converged": converged,
+        }
+        metrics.append(rec)
+        if ckpt is not None and (converged or (it + 1) % ckpt_every == 0):
+            ckpt.save(it, state, metrics=rec)
+        if converged:
+            break
+
+    wall = time.time() - t0
+    return PageRankResult(
+        df=state.select("id", "rank"),
+        iterations=iterations,
+        converged=converged,
+        edges_processed=(iterations - start_iter) * graph.m,
+        wall_seconds=wall,
+        metrics=metrics,
+    )

@@ -1,0 +1,73 @@
+"""Triangle counting via degree-ordered edge-intersection join
+(BASELINE.json:6; semantics pinned in SURVEY §2.6 — no reference
+implementation exists).
+
+Algorithm: symmetrize + drop self-loops; rank vertices by
+(degree, id); orient every undirected edge from the lower-ranked to
+the higher-ranked endpoint (the oriented graph is a DAG where each
+vertex keeps only ~sqrt(m) out-edges even at hub vertices — this is
+the classic skew-killer for triangle counting, cf. HERO SIGMOD'24 in
+PAPERS.md); every triangle u<v<w (rank order) is then counted exactly
+once as the wedge (u→v, u→w) closed by the oriented edge (v→w):
+
+    wedges  = oriented e1 ⋈ e2 on shared source u
+    count   = wedges ⋈ oriented on (v, w)   -- |rows|
+
+All three steps are shuffle joins + one global count — no Python in
+the hot path. Oracle: DuckDB 3-way self-join SQL (exact).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.build import Graph, symmetrize
+
+
+@dataclass
+class TriangleResult:
+    count: int
+    wall_seconds: float
+
+
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Symmetrized, self-loop-free, degree-ordered oriented edge set
+    (src, dst, ddeg): edge kept iff (deg(src), src) < (deg(dst), dst).
+    The dst degree rides along so wedge generation can re-use the same
+    total order without another join."""
+    sym = symmetrize(edges).where(F.col("src") != F.col("dst"))
+    deg = sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
+    with_deg = (
+        sym.join(deg.select(F.col("v").alias("src"), F.col("deg").alias("sdeg")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+    )
+    return with_deg.where(
+        (F.col("sdeg") < F.col("ddeg"))
+        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst", "ddeg")
+
+
+def triangle_count(graph: Graph) -> TriangleResult:
+    t0 = time.time()
+    o = oriented_edges(graph.edges).persist()
+    try:
+        # wedge (u→v, u→w) kept only with rank(v) < rank(w) in the SAME
+        # (deg, id) order used for orientation, so the closing edge —
+        # if it exists — is exactly the oriented edge (v, w).
+        e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddeg").alias("vdeg"))
+        e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddeg").alias("wdeg"))
+        wedges = e1.join(e2, "u").where(
+            (F.col("vdeg") < F.col("wdeg"))
+            | ((F.col("vdeg") == F.col("wdeg")) & (F.col("v") < F.col("w")))
+        )
+        closed = wedges.join(
+            o.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
+        )
+        count = closed.count()
+    finally:
+        o.unpersist()
+    return TriangleResult(count=count, wall_seconds=time.time() - t0)

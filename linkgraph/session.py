@@ -1,0 +1,59 @@
+"""SparkSession factory for the linkgraph engine.
+
+The reference is a single-process shared-memory engine (rayon pool,
+/root/reference/src/ligra.rs:100,211). Our execution substrate is a
+Spark cluster; this module centralizes the session config so tests,
+bench, and spark-submit jobs agree on shuffle sizing, AQE, and Arrow.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "linkgraph",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for iterative graph jobs.
+
+    Defaults target the sandbox (local[$SPARK_GRAFT_CPUS]); on a real
+    cluster pass ``master=None`` with spark-submit providing the master
+    and executor topology.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("LINKGRAPH_SHUFFLE_PARTITIONS", cpus)
+    )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Iterative joins/aggs: keep shuffle width ~= cores locally;
+        # on a cluster size to 2-3x total cores.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime coalescing + skew-join splitting (SURVEY §4.4).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for all pandas UDF / toPandas traffic (BASELINE.json:15:
+        # vectorized UDFs, no per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Iterative kernels sever lineage via localCheckpoint; keep
+        # replication off locally.
+        .config("spark.checkpoint.compress", "true")
+        .config("spark.driver.memory", os.environ.get("LINKGRAPH_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

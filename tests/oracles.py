@@ -1,0 +1,175 @@
+"""Driver-side reference implementations (NumPy / union-find) used as
+test oracles. Independent of the Spark code paths by construction.
+
+pagerank_delta_numpy is a straight-line transcription of the Rust at
+/root/reference/src/algos.rs:169-295 including its quirks (SURVEY
+§2.5) — it is the parity pin for kernels/pagerank_delta.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _degrees(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    out_deg = np.zeros(n, dtype=np.int64)
+    np.add.at(out_deg, src, 1)
+    return out_deg
+
+
+def pagerank_numpy(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+) -> tuple[np.ndarray, int]:
+    """Power iteration + dangling-mass redistribution — must mirror
+    kernels/pagerank.py update-for-update."""
+    out_deg = _degrees(n, src, dst)
+    rank = np.full(n, 1.0 / n)
+    iterations = 0
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        w = rank[src] / out_deg[src]
+        np.add.at(contrib, dst, w)
+        dm = rank[out_deg == 0].sum()
+        new = (1.0 - damping) / n + damping * (contrib + dm / n)
+        diff = np.abs(new - rank).max()
+        rank = new
+        iterations += 1
+        if diff < tol:
+            break
+    return rank, iterations
+
+
+def pagerank_delta_numpy(
+    n: int, src: np.ndarray, dst: np.ndarray, max_iterations: int = 20
+) -> np.ndarray:
+    """Straight-line transcription of algos.rs:169-295 (quirks intact)."""
+    damping, tolerance, thresh, alpha = 0.85, 1e-7, 1e-2, 0.15
+    out_deg = _degrees(n, src, dst).astype(float)
+    deltas = np.full(n, 1.0 / n)
+    page_rank = np.zeros(n)
+    one_over_n = 1.0 / n
+
+    def scatter(frontier_mask: np.ndarray) -> np.ndarray:
+        gathered = np.zeros(n)
+        m = frontier_mask[src]
+        np.add.at(gathered, dst[m], deltas[src[m]] / out_deg[src[m]])
+        return gathered
+
+    # round 0: full frontier scatter + FirstRound apply (algos.rs:277-278)
+    gathered = scatter(np.ones(n, dtype=bool))
+    delta = gathered * damping + alpha
+    page_rank += delta
+    delta = delta - one_over_n
+    deltas = delta.copy()
+    sum_of_delta = delta.sum()
+    active = np.abs(delta) > (page_rank + thresh)  # quirk 1 (algos.rs:203)
+
+    remaining = max_iterations
+    while True:
+        error = sum_of_delta  # swap-and-reset (algos.rs:263-265)
+        sum_of_delta = 0.0
+        remaining -= 1
+        if error < tolerance or remaining == 0:
+            break
+        gathered = scatter(active)
+        delta = gathered * damping
+        deltas = delta.copy()
+        sum_of_delta = delta.sum()
+        keep = np.abs(page_rank) > page_rank * thresh  # quirk 2 (algos.rs:215)
+        page_rank = np.where(keep, page_rank + delta, page_rank)
+        active = keep
+    return page_rank
+
+
+def cc_numpy(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Union-find over the symmetrized edge set; component label =
+    min vertex id in component."""
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(src.tolist(), dst.tolist()):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return np.array([find(v) for v in range(n)])
+
+
+def cc_directed_hashmin_numpy(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Directed hash-min fixpoint (min over ancestors) — pins the
+    asymmetric-input behavior of SURVEY §2.5(4)."""
+    labels = np.arange(n)
+    changed = True
+    while changed:
+        new = labels.copy()
+        np.minimum.at(new, dst, labels[src])
+        changed = bool((new != labels).any())
+        labels = new
+    return labels
+
+
+def labelprop_numpy(
+    n: int, src: np.ndarray, dst: np.ndarray, max_iter: int = 20
+) -> np.ndarray:
+    """Synchronous LP per SURVEY §2.6: adopt most frequent in-neighbor
+    label, ties -> smallest label; no in-neighbors -> keep own."""
+    labels = np.arange(n)
+    for _ in range(max_iter):
+        new = labels.copy()
+        incoming: dict[int, dict[int, int]] = {}
+        for s, d in zip(src.tolist(), dst.tolist()):
+            incoming.setdefault(d, {})
+            lab = int(labels[s])
+            incoming[d][lab] = incoming[d].get(lab, 0) + 1
+        for v, cnts in incoming.items():
+            best = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[v] = best
+        if (new == labels).all():
+            labels = new
+            break
+        labels = new
+    return labels
+
+
+def triangle_count_numpy(n: int, src: np.ndarray, dst: np.ndarray) -> int:
+    """Exact triangle count over the symmetrized, self-loop-free graph."""
+    adj: list[set[int]] = [set() for _ in range(n)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    count = 0
+    for u in range(n):
+        for v in adj[u]:
+            if v > u:
+                count += len(adj[u] & adj[v] & set(range(v + 1, n)))
+    return count
+
+
+def bfs_levels_numpy(n: int, src: np.ndarray, dst: np.ndarray, root: int) -> dict[int, int]:
+    """Level sets of directed BFS from root."""
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].append(d)
+    levels = {root: 0}
+    frontier = [root]
+    level = 0
+    while frontier:
+        level += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in levels:
+                    levels[v] = level
+                    nxt.append(v)
+        frontier = nxt
+    return levels

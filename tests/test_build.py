@@ -1,0 +1,71 @@
+"""Graph build tests: dense deterministic ids, degree correctness,
+write/read round-trip."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from linkgraph.build import (
+    assign_dense_ids,
+    build_graph_from_edges,
+    build_graph_from_pages,
+    read_graph,
+    write_graph,
+)
+from linkgraph.datagen import PagesSpec, expected_edges, generate_pages
+
+
+def test_assign_dense_ids_dense_and_deterministic(spark):
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url": [f"u{i}" for i in range(257)]})
+    )
+    ids1 = assign_dense_ids(urls, num_partitions=4).toPandas()
+    ids2 = assign_dense_ids(urls, num_partitions=4).toPandas()
+    assert sorted(ids1["id"]) == list(range(257))
+    m1 = dict(zip(ids1["url"], ids1["id"]))
+    m2 = dict(zip(ids2["url"], ids2["id"]))
+    assert m1 == m2  # deterministic given the url set and P
+
+
+def test_build_graph_from_pages(spark):
+    spec = PagesSpec(n_pages=60)
+    pages_pdf = generate_pages(spec)
+    g = build_graph_from_pages(spark.createDataFrame(pages_pdf), num_partitions=4)
+    golden = expected_edges(pages_pdf)
+    assert g.m == len(golden)
+    # vertex ids dense 0..n-1
+    ids = [r["id"] for r in g.vertices.select("id").collect()]
+    assert sorted(ids) == list(range(g.n))
+    # edges map back to the golden url pairs
+    v = {r["id"]: r["url"] for r in g.vertices.collect()}
+    got = {(v[r["src"]], v[r["dst"]]) for r in g.edges.collect()}
+    assert got == golden
+    # degree table agrees with a pandas recount
+    deg = g.degrees.toPandas().set_index("id")
+    edges_pdf = g.edges.toPandas()
+    out_counts = edges_pdf.groupby("src").size()
+    for vid in deg.index:
+        assert deg.loc[vid, "out_deg"] == out_counts.get(vid, 0)
+    assert int(deg["out_deg"].sum()) == g.m
+    assert int(deg["in_deg"].sum()) == g.m
+    g.unpersist()
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]})
+    )
+    g = build_graph_from_edges(edges, n=4)
+    write_graph(g, str(tmp_path / "g"))
+    g2 = read_graph(spark, str(tmp_path / "g"))
+    assert g2.n == 4 and g2.m == 3
+    assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == {
+        (0, 1),
+        (1, 2),
+        (2, 0),
+    }
+    # threshold |E|/20 floor (graph.rs:31-33)
+    assert g2.threshold == 1
+    g.unpersist()
+    g2.unpersist()

@@ -1,0 +1,193 @@
+"""Kernel correctness vs driver-side oracles on the FIXTURES.md §2
+fixtures: test-graph.input parity, path graph, rMAT, web-sample,
+asymmetric-pin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from linkgraph.build import build_graph_from_edges, build_graph_from_pages
+from linkgraph.datagen import (
+    PagesSpec,
+    asymmetric_pin_edges,
+    generate_pages,
+    parse_adjacency_graph,
+    path_graph_edges,
+    rmat_edges,
+)
+from linkgraph.kernels import (
+    bfs,
+    connected_components,
+    label_propagation,
+    pagerank,
+    pagerank_delta,
+    triangle_count,
+)
+from tests.oracles import (
+    bfs_levels_numpy,
+    cc_directed_hashmin_numpy,
+    cc_numpy,
+    labelprop_numpy,
+    pagerank_delta_numpy,
+    pagerank_numpy,
+    triangle_count_numpy,
+)
+
+REFERENCE_FIXTURE = "/root/reference/test-graph.input"
+
+
+def _graph(spark, edges_pdf: pd.DataFrame, n: int):
+    return build_graph_from_edges(
+        spark.createDataFrame(edges_pdf, "src long, dst long"), n=n, num_partitions=4
+    )
+
+
+@pytest.fixture(scope="module")
+def rmat_graph(spark):
+    pdf = rmat_edges(scale=6, edge_factor=6)
+    n = 1 << 6
+    g = _graph(spark, pdf, n)
+    yield g, pdf, n
+    g.unpersist()
+
+
+def test_testgraph_input_parity(spark):
+    with open(REFERENCE_FIXTURE) as f:
+        pdf = parse_adjacency_graph(f.read())
+    assert {(r.src, r.dst) for r in pdf.itertuples()} == {(0, 1), (2, 3)}
+    g = _graph(spark, pdf, 4)
+    # CC labels [0,0,2,2] (FIXTURES.md §2a) — directed and symmetrized agree
+    for sym in (True, False):
+        res = connected_components(g, symmetrize_edges=sym)
+        comp = {r["id"]: r["comp"] for r in res.df.collect()}
+        assert comp == {0: 0, 1: 0, 2: 2, 3: 2}
+    # BFS from 0 reaches {0,1}
+    levels = {r["id"]: r["level"] for r in bfs(g, 0).df.collect()}
+    assert levels == {0: 0, 1: 1}
+    # triangles = 0
+    assert triangle_count(g).count == 0
+    g.unpersist()
+
+
+def test_path_graph_edge_map_semantics(spark):
+    """The reference's operator test (ligra.rs:350-370): frontier {1} on
+    0→1→2→3 must touch exactly edge (1,2) and produce frontier {2}."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.frontier import edge_map
+
+    g = _graph(spark, path_graph_edges(), 4)
+    frontier = spark.createDataFrame([(1,)], "id long")
+    out = edge_map(g, frontier, aggs=[F.min("src").alias("parent")])
+    rows = out.collect()
+    assert [(r["dst"], r["parent"]) for r in rows] == [(2, 1)]
+    g.unpersist()
+
+
+def test_pagerank_matches_numpy(rmat_graph):
+    g, pdf, n = rmat_graph
+    src, dst = pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+    res = pagerank(g, tol=1e-6, max_iter=60)
+    expected, it = pagerank_numpy(n, src, dst, tol=1e-6, max_iter=60)
+    got = res.df.toPandas().sort_values("id")["rank"].to_numpy()
+    assert res.iterations == it
+    np.testing.assert_allclose(got, expected, atol=1e-9)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # star with a dangling sink: 0→1, 2→1 ; vertex 1 has no out-edges
+    g = _graph(spark, pd.DataFrame({"src": [0, 2], "dst": [1, 1]}), 3)
+    res = pagerank(g, tol=1e-10, max_iter=200)
+    ranks = res.df.toPandas().sort_values("id")["rank"].to_numpy()
+    expected, _ = pagerank_numpy(
+        3, np.array([0, 2]), np.array([1, 1]), tol=1e-10, max_iter=200
+    )
+    np.testing.assert_allclose(ranks, expected, atol=1e-12)
+    assert abs(ranks.sum() - 1.0) < 1e-9  # dangling mass keeps ||r||₁ = 1
+    g.unpersist()
+
+
+def test_pagerank_delta_matches_reference_transcription(rmat_graph):
+    g, pdf, n = rmat_graph
+    src, dst = pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+    res = pagerank_delta(g, max_iterations=20)
+    expected = pagerank_delta_numpy(n, src, dst, max_iterations=20)
+    got = res.df.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(got, expected, atol=1e-12)
+
+
+def test_cc_matches_union_find(rmat_graph):
+    g, pdf, n = rmat_graph
+    res = connected_components(g)
+    got = res.df.toPandas().sort_values("id")["comp"].to_numpy()
+    expected = cc_numpy(n, pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_cc_asymmetric_pin(spark):
+    """SURVEY §2.5(4): directed hash-min != undirected CC on {1→0, 2→1}."""
+    pdf = asymmetric_pin_edges()
+    g = _graph(spark, pdf, 4)
+    src, dst = pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+    undirected = connected_components(g, symmetrize_edges=True)
+    got_u = undirected.df.toPandas().sort_values("id")["comp"].to_numpy()
+    np.testing.assert_array_equal(got_u, cc_numpy(4, src, dst))  # [0,0,0,3]
+    directed = connected_components(g, symmetrize_edges=False)
+    got_d = directed.df.toPandas().sort_values("id")["comp"].to_numpy()
+    np.testing.assert_array_equal(got_d, cc_directed_hashmin_numpy(4, src, dst))
+    assert not (got_u == got_d).all()  # they genuinely differ here
+    g.unpersist()
+
+
+def test_bfs_levels_match(rmat_graph):
+    g, pdf, n = rmat_graph
+    res = bfs(g, root=0)
+    got = {r["id"]: r["level"] for r in res.df.collect()}
+    assert got == bfs_levels_numpy(n, pdf["src"].to_numpy(), pdf["dst"].to_numpy(), 0)
+    # every non-root parent is a vertex one level up with an edge to the child
+    parents = {r["id"]: r["parent"] for r in res.df.collect()}
+    edge_set = {(r.src, r.dst) for r in pdf.itertuples()}
+    for v, p in parents.items():
+        if v != 0:
+            assert (p, v) in edge_set
+            assert got[p] == got[v] - 1
+
+
+def test_labelprop_matches_numpy(rmat_graph):
+    g, pdf, n = rmat_graph
+    res = label_propagation(g, max_iter=5)
+    got = res.df.toPandas().sort_values("id")["label"].to_numpy()
+    expected = labelprop_numpy(n, pdf["src"].to_numpy(), pdf["dst"].to_numpy(), max_iter=5)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_triangles_match(rmat_graph):
+    g, pdf, n = rmat_graph
+    got = triangle_count(g).count
+    expected = triangle_count_numpy(n, pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+    assert got == expected > 0
+
+
+def test_web_sample_end_to_end(spark):
+    """pages → extract → build → pagerank + cc on the web-sample fixture
+    (Zipf hub skew + dangling pages)."""
+    pages_pdf = generate_pages(PagesSpec(n_pages=120))
+    g = build_graph_from_pages(spark.createDataFrame(pages_pdf), num_partitions=4)
+    # oracle graph from the golden edges with the engine's own id mapping
+    v = {r["url"]: r["id"] for r in g.vertices.collect()}
+    from linkgraph.datagen import expected_edges
+
+    golden = expected_edges(pages_pdf)
+    src = np.array([v[s] for s, _ in golden])
+    dst = np.array([v[d] for _, d in golden])
+    res = pagerank(g, tol=1e-6, max_iter=100)
+    expected, it = pagerank_numpy(g.n, src, dst, tol=1e-6, max_iter=100)
+    got = res.df.toPandas().sort_values("id")["rank"].to_numpy()
+    assert res.iterations == it
+    np.testing.assert_allclose(got, expected, atol=1e-9)
+
+    comp = connected_components(g).df.toPandas().sort_values("id")["comp"].to_numpy()
+    np.testing.assert_array_equal(comp, cc_numpy(g.n, src, dst))
+    g.unpersist()

@@ -1,0 +1,63 @@
+"""Checkpoint/resume: a killed-and-resumed run must equal an
+uninterrupted run exactly (SURVEY §2.6 row 4)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from linkgraph.build import build_graph_from_edges
+from linkgraph.checkpoint import CheckpointManager
+from linkgraph.datagen import rmat_edges
+from linkgraph.kernels import connected_components, pagerank
+
+
+@pytest.fixture(scope="module")
+def small_graph(spark):
+    g = build_graph_from_edges(
+        spark.createDataFrame(rmat_edges(scale=5, edge_factor=4), "src long, dst long"),
+        n=32,
+        num_partitions=4,
+    )
+    yield g
+    g.unpersist()
+
+
+def _ranks(df) -> dict[int, float]:
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_resume_equals_uninterrupted(small_graph, tmp_path):
+    full = pagerank(small_graph, tol=1e-8, max_iter=50)
+    assert full.converged
+
+    ckpt = CheckpointManager(str(tmp_path), "pr")
+    interrupted = pagerank(small_graph, tol=1e-8, max_iter=7, ckpt=ckpt, ckpt_every=1)
+    assert not interrupted.converged
+    assert ckpt.last_complete() == 6
+
+    resumed = pagerank(small_graph, tol=1e-8, max_iter=50, ckpt=ckpt, ckpt_every=1)
+    assert resumed.converged
+    # parquet round-trips doubles exactly -> bit-identical continuation
+    assert _ranks(resumed.df) == _ranks(full.df)
+    assert resumed.iterations == full.iterations
+
+
+def test_cc_resume_equals_uninterrupted(small_graph, tmp_path):
+    full = connected_components(small_graph)
+
+    ckpt = CheckpointManager(str(tmp_path), "cc")
+    connected_components(small_graph, max_iter=2, ckpt=ckpt)
+    resumed = connected_components(small_graph, ckpt=ckpt)
+    got_full = {r["id"]: r["comp"] for r in full.df.collect()}
+    got_res = {r["id"]: r["comp"] for r in resumed.df.collect()}
+    assert got_full == got_res
+
+
+def test_metrics_recorded(small_graph, tmp_path):
+    ckpt = CheckpointManager(str(tmp_path), "prm")
+    res = pagerank(small_graph, tol=1e-8, max_iter=5, ckpt=ckpt, ckpt_every=1)
+    assert len(res.metrics) == 5
+    for rec in res.metrics:
+        assert {"iteration", "diff", "dangling_mass", "edges_processed", "wall_s"} <= set(rec)
+    assert ckpt.last_complete() == 4
