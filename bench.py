@@ -1,0 +1,135 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json:2): PageRank edges-processed/sec to
+1e-6 convergence on the testdata-derived edge table at
+$SPARK_GRAFT_SF_DIR (default sf0.1), local[$SPARK_GRAFT_CPUS].
+
+Also times: connected components, triangle count, label propagation
+(3 rounds), and an end-to-end web pipeline (synthetic Zipf-skewed
+pages -> extraction UDF -> graph build -> converged PageRank).
+
+Scaling-efficiency evidence (N vs 4N cores) is bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def build_cust_supp_graph(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from linkgraph.build import build_graph_from_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return build_graph_from_edges(edges)
+
+
+def build_copart_graph(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from linkgraph.build import build_graph_from_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.withColumnRenamed("l_partkey", "src")
+    b = li.withColumnRenamed("l_partkey", "dst")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return build_graph_from_edges(edges)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        app_name="linkgraph-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    from linkgraph.kernels import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
+
+    queries: dict[str, float] = {}
+
+    # headline: converged PageRank on the sf-derived graph
+    g = build_cust_supp_graph(spark, sf_dir)
+    t0 = time.time()
+    pr = pagerank(g, tol=1e-6, max_iter=200)
+    queries["pagerank"] = time.time() - t0
+    assert pr.converged
+    eps = pr.edges_processed / queries["pagerank"]
+
+    t0 = time.time()
+    connected_components(g).df.count()
+    queries["cc"] = time.time() - t0
+
+    t0 = time.time()
+    label_propagation(g, max_iter=3).df.count()
+    queries["labelprop"] = time.time() - t0
+    g.unpersist()
+
+    gt = build_copart_graph(spark, sf_dir)
+    t0 = time.time()
+    triangle_count(gt)
+    queries["triangles"] = time.time() - t0
+    gt.unpersist()
+
+    # end-to-end web pipeline: synth pages -> extract -> build -> pagerank
+    from linkgraph.build import build_graph_from_pages
+    from linkgraph.datagen import PagesSpec, generate_pages
+
+    pages = spark.createDataFrame(generate_pages(PagesSpec(n_pages=20_000)))
+    t0 = time.time()
+    gw = build_graph_from_pages(pages)
+    prw = pagerank(gw, tol=1e-6, max_iter=200)
+    queries["web_pipeline"] = time.time() - t0
+    gw.unpersist()
+
+    print(
+        json.dumps(
+            {
+                "metric": "pagerank_edges_per_sec_to_1e-6",
+                "value": round(eps, 1),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in queries.items()},
+                "sf": sf,
+                "detail": {
+                    "pagerank_iterations": pr.iterations,
+                    "graph_n": g.n,
+                    "graph_m": g.m,
+                    "web_pagerank_iterations": prw.iterations,
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
