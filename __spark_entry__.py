@@ -135,6 +135,77 @@ def q_event_sessions_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trans.groupBy("src_type", "dst_type").agg(F.count("*").alias("cnt"))
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline import exact_dup_groups
+
+    return exact_dup_groups(_documents(spark, sf_dir))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline import minhash_signatures
+
+    return minhash_signatures(_documents(spark, sf_dir), num_hashes=8, k=3)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_documents(spark, sf_dir), num_hashes=8, band_rows=2, k=3)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline import simhash
+
+    return simhash(_documents(spark, sf_dir), bits=16)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as FF
+
+    from linkgraph.pipeline import ngram_jaccard_pairs
+
+    docs = _documents(spark, sf_dir).where(FF.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline import token_stats
+
+    return token_stats(_documents(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline import lang_id
+
+    return lang_id(_documents(spark, sf_dir))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, k=5, max_queries=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (LSH-bucketed) — no SQL oracle (driver records a
+    rows-only check); exactness-vs-recall is pinned in pytest against
+    cosine_topk."""
+    from linkgraph.pipeline import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann_topk(emb, k=5, max_queries=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank over the sf0.001 customer→supplier
     graph; top-100 (id, rank)."""
@@ -152,6 +223,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "pagerank_k": q_pagerank_k,
         "event_sessions_graph": q_event_sessions_graph,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -210,8 +290,168 @@ r{i} AS (
     return sql
 
 
+_H32 = "('0x' || substr(md5({col}), 1, 8))::BIGINT"
+
+_SHINGLES = """
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS shingle
+  FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 3
+"""
+
+
+def _minhash_sql() -> str:
+    from linkgraph.pipeline.dedup import MINHASH_P, minhash_params
+
+    values = ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_params(8))
+    return f"""
+WITH params(hash_idx, a, b) AS (VALUES {values}),
+sh AS ({_SHINGLES}),
+h AS (SELECT doc_id, {_H32.format(col='shingle')} AS h FROM sh)
+SELECT doc_id, hash_idx, MIN((a * h + b) % {MINHASH_P}) AS min_hash
+FROM h CROSS JOIN params
+GROUP BY doc_id, hash_idx
+"""
+
+
+def _lsh_pairs_sql() -> str:
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS (
+  SELECT doc_id, CAST(hash_idx // 2 AS INTEGER) AS band_id,
+         STRING_AGG(hash_idx || '=' || min_hash, ':' ORDER BY hash_idx || '=' || min_hash) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(hash_idx // 2 AS INTEGER)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, {_H32.format(col='tok')} AS h FROM toks WHERE tok <> ''),
+pb AS (
+  SELECT doc_id, CAST(b AS INTEGER) AS b, SUM(((h >> CAST(b AS INTEGER)) & 1) * 2 - 1) AS s
+  FROM th, UNNEST(range(0, 16)) AS t(b)
+  GROUP BY doc_id, CAST(b AS INTEGER)
+)
+SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+FROM pb GROUP BY doc_id
+"""
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT * FROM ({_SHINGLES}) WHERE doc_id < 100
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 9) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+"""
+
+
+def _occ(needle: str) -> str:
+    target = f" {needle} "
+    return (
+        f"CAST((length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', '{target}', ''))) / {len(target)} AS BIGINT)"
+    )
+
+
+def _token_stats_sql() -> str:
+    from linkgraph.pipeline.textstats import PUNCT, STOPWORDS
+
+    sw = " + ".join(_occ(s) for s in STOPWORDS)
+    punct_class = "[" + PUNCT + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '{punct_class}', '', 'g')) AS punct_cnt,
+         {sw} AS stopword_cnt
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars,
+       ROUND(CASE WHEN n_tokens > 0
+                  THEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+                  ELSE 0.0 END, 9) AS avg_token_len,
+       punct_cnt, stopword_cnt,
+       ROUND(
+         0.5 * LEAST(CASE WHEN n_tokens > 0
+                          THEN CAST(stopword_cnt AS DOUBLE) / n_tokens
+                          ELSE 0.0 END * 5, 1.0)
+         + 0.3 * (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END)
+         + 0.2 * (CASE WHEN n_chars > 0 AND CAST(punct_cnt AS DOUBLE) / n_chars < 0.1
+                       THEN 1.0 ELSE 0.0 END), 9) AS quality_score
+FROM base
+"""
+
+
+def _lang_id_sql() -> str:
+    from linkgraph.pipeline.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n         ".join(
+        f"{' + '.join(_occ(m) for m in LANG_MARKERS[lang])} AS s_{lang}"
+        for lang in langs
+    )
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH scores AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM documents
+)
+SELECT doc_id, CASE {case} END AS pred_lang FROM scores
+"""
+
+
+_ANN_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qvec, e.vec), 9) AS sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+""",
+        "minhash_signatures": _minhash_sql(),
+        "lsh_pairs": _lsh_pairs_sql(),
+        "simhash": _SIMHASH_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "token_stats": _token_stats_sql(),
+        "lang_id": _lang_id_sql(),
+        "ann_topk": _ANN_TOPK_SQL,
         "degree_counts": f"""
 WITH e AS ({_PART_SUPP_E}),
 v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)

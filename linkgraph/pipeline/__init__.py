@@ -1,0 +1,33 @@
+"""Large-scale training-data pipeline operators over the `documents`
+and `embeddings` tables: deduplication (exact, MinHash+LSH, SimHash,
+n-gram Jaccard), similarity search (brute-force + LSH-bucketed ANN),
+text analysis (token stats, quality scoring, language-ID heuristic),
+and multimodal binary-column plumbing.
+
+All hot paths are JVM-side built-in functions (explode / groupBy /
+window) — no per-row Python; the only Python is the multimodal decode
+stub (vectorized mapInPandas, the decode itself deliberately stubbed —
+image/audio libs are not in this sandbox).
+"""
+
+from linkgraph.pipeline.dedup import (
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from linkgraph.pipeline.simsearch import cosine_topk, lsh_ann_topk
+from linkgraph.pipeline.textstats import lang_id, token_stats
+
+__all__ = [
+    "exact_dup_groups",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "token_stats",
+    "lang_id",
+]

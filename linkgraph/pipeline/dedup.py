@@ -1,0 +1,174 @@
+"""Deduplication operators over a documents(doc_id, text, ...) table.
+
+Hashing parity note: every hash in this module is derived from
+``md5`` so the DuckDB oracles can reproduce values bit-for-bit:
+h32(s) = int(md5(s)[:8 hex], 16) — in Spark
+``conv(substring(md5(encode(s,'utf-8')),1,8),16,10)``, in DuckDB
+``('0x' || substr(md5(s),1,8))::BIGINT``. MinHash permutations are
+the classic (a*h + b) mod p family with fixed deterministic (a_i,b_i)
+and p = 4294967311 (smallest prime > 2^32).
+
+Everything is built-in expressions (explode/groupBy/min/window); the
+shuffles are keyed on (doc_id) or (shingle) and combine map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic (i, a, b) permutation parameters shared with the
+    SQL oracles."""
+    return [(i, 2 * i + 1, 1_000_003 * i + 12_345) for i in range(num_hashes)]
+
+
+def h32(col: Column) -> Column:
+    """32-bit integer hash of a string column via md5 prefix (portable
+    to DuckDB — see module docstring)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: md5 content groups -> (text_hash, n_docs, keep_id)
+    where keep_id is the canonical (minimum) doc id of the group."""
+    return (
+        docs.select("doc_id", F.md5(F.encode("text", "utf-8")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def char_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-character shingles per document.
+    Pure built-ins: sequence + transform + explode (no Python)."""
+    return (
+        docs.where(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(1, length(text) - {k - 1}), i -> substring(text, i, {k}))")
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """Long-format MinHash signature: (doc_id, hash_idx, min_hash).
+    min_hash = min over the doc's shingles of (a_i * h32(shingle) + b_i)
+    mod p."""
+    spark = docs.sparkSession
+    params = spark.createDataFrame(
+        minhash_params(num_hashes), "hash_idx int, a long, b long"
+    )
+    sh = char_shingles(docs, k).select("doc_id", h32(F.col("shingle")).alias("h"))
+    return (
+        sh.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "hash_idx")
+        .agg(
+            F.min(
+                F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(MINHASH_P))
+            ).alias("min_hash")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, num_hashes: int = 8, band_rows: int = 2, k: int = 3
+) -> DataFrame:
+    """MinHash-LSH banding: split the signature into bands of
+    `band_rows` hashes; docs sharing ANY band signature become a
+    candidate pair. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    Scale path: the join key is (band_id, band_sig) — buckets, not
+    documents — so the shuffle is bounded by bucket sizes, never n²."""
+    sig = minhash_signatures(docs, num_hashes, k)
+    bands = sig.groupBy(
+        "doc_id", (F.col("hash_idx") / band_rows).cast("int").alias("band_id")
+    ).agg(
+        F.concat_ws(
+            ":", F.sort_array(F.collect_list(F.concat_ws("=", "hash_idx", "min_hash")))
+        ).alias("band_sig")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_sig")
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash document fingerprint: per token-hash bit b, sum ±1 over
+    tokens; bit set iff the sum is positive. Returns (doc_id, simhash).
+
+    Two-level aggregation (doc × bit, then doc) — both combine
+    map-side, no Python."""
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tok_h = tokens.select("doc_id", h32(F.col("tok")).alias("h"))
+    per_bit = (
+        tok_h.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            "h",
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum(F.expr("(h >> bit) & 1") * 2 - 1).alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted
+    index: pairs sharing >= 1 shingle get |A∩B| from the index join,
+    |A|,|B| from per-doc shingle counts; jaccard = inter/(|A|+|B|-inter).
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded
+    to 9 decimals for order-insensitive comparison."""
+    sh = char_shingles(docs, k).persist()
+    try:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        out = (
+            inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 9
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    return out

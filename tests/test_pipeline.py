@@ -1,0 +1,153 @@
+"""Training-data pipeline ops: Python-oracle checks for the hashing
+pipeline, LSH recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline import (
+    cosine_topk,
+    exact_dup_groups,
+    lsh_ann_topk,
+    minhash_signatures,
+    simhash,
+    token_stats,
+)
+from linkgraph.pipeline.dedup import MINHASH_P, minhash_params
+from linkgraph.pipeline.multimodal import (
+    decode_media,
+    extract_features,
+    fake_media_table,
+    frame_sample_plan,
+)
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "the quick brown fox",
+            "the quick brown fox",  # exact dup of 0
+            "the quick brown foxes jump",
+            "completely different words here",
+        ],
+    }
+)
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(DOCS)
+    out = {r["text_hash"]: (r["n_docs"], r["keep_id"]) for r in exact_dup_groups(df).collect()}
+    h = hashlib.md5(b"the quick brown fox").hexdigest()
+    assert out[h] == (2, 0)
+    assert len(out) == 3
+
+
+def test_minhash_matches_python_oracle(spark):
+    df = spark.createDataFrame(DOCS)
+    got = {
+        (r["doc_id"], r["hash_idx"]): r["min_hash"]
+        for r in minhash_signatures(df, num_hashes=4, k=3).collect()
+    }
+    for _, row in DOCS.iterrows():
+        text = row["text"]
+        shingles = {text[i : i + 3] for i in range(len(text) - 2)}
+        for i, a, b in minhash_params(4):
+            expected = min((a * _h32(s) + b) % MINHASH_P for s in shingles)
+            assert got[(row["doc_id"], i)] == expected
+
+
+def test_simhash_matches_python_oracle(spark):
+    df = spark.createDataFrame(DOCS)
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=16).collect()}
+    for _, row in DOCS.iterrows():
+        toks = [t for t in row["text"].split() if t]
+        val = 0
+        for b in range(16):
+            s = sum(2 * ((_h32(t) >> b) & 1) - 1 for t in toks)
+            if s > 0:
+                val |= 1 << b
+        assert got[row["doc_id"]] == val
+    # identical docs -> identical fingerprints; near docs -> close
+    assert got[0] == got[1]
+    d_near = bin(got[0] ^ got[2]).count("1")
+    d_far = bin(got[0] ^ got[3]).count("1")
+    assert d_near < d_far
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    # 10 clusters so ANN has structure
+    centers = rng.standard_normal((10, 16))
+    rows = []
+    for i in range(200):
+        v = centers[i % 10] + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v.astype(np.float32)], i % 10))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    out = cosine_topk(emb_df, k=3, max_queries=5).toPandas()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb_df.collect()}
+    for qid in range(5):
+        qv = vecs[qid]
+        sims = {
+            vid: round(float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v))), 9)
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        expected = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = out[out.query_id == qid].sort_values("rnk")
+        assert list(got["neighbor_id"]) == [e[0] for e in expected]
+        np.testing.assert_allclose(list(got["sim"]), [e[1] for e in expected], atol=2e-9)
+
+
+def test_lsh_ann_recall(spark, emb_df):
+    """Clustered data: LSH candidates must recover most exact top-3."""
+    exact = cosine_topk(emb_df, k=3, max_queries=10).toPandas()
+    approx = lsh_ann_topk(emb_df, k=3, max_queries=10, n_planes=6, n_tables=6).toPandas()
+    hits = tot = 0
+    for qid in range(10):
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.7, f"LSH recall {hits}/{tot}"
+
+
+def test_multimodal_features(spark):
+    media = fake_media_table(spark, n=32)
+    feats = extract_features(media, bins=16).toPandas()
+    assert len(feats) == 32
+    for _, r in feats.iterrows():
+        f = np.array(r["feature"])
+        assert len(f) == 16
+        assert abs(f.sum() - 1.0) < 1e-5  # L1-normalized histogram
+        assert r["n_bytes"] >= 64
+    # frame-sample plan expands rows without decoding
+    plan = frame_sample_plan(media, every_n=4)
+    assert plan.count() == 32 * 4
+
+
+def test_decode_stub_raises_for_real_codecs():
+    with pytest.raises(NotImplementedError):
+        decode_media("image/png", b"\x89PNG")
+
+
+def test_token_stats_edge_cases(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["", "one two, three."]})
+    )
+    out = {r["doc_id"]: r.asDict() for r in token_stats(df).collect()}
+    assert out[0]["n_tokens"] == 0 and out[0]["quality_score"] == 0.0
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["punct_cnt"] == 2
