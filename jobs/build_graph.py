@@ -1,0 +1,57 @@
+"""spark-submit entry: the build pipeline (the reference's `parse`
+command, /root/reference/src/graph.rs:302-320, reimagined):
+pages parquet -> extraction UDF -> dense ids -> edge/vertex/degree
+tables written hash-distributed by src.
+
+Usage:
+  spark-submit --py-files dist/linkgraph.zip jobs/build_graph.py \\
+      --pages /path/pages_parquet --output /path/graph [--buckets 64]
+  spark-submit ... jobs/build_graph.py --synth 10000 --output /path/graph
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(description="linkgraph build pipeline")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="parquet dir with pages(url, warc_ts, html, text, lang)")
+    src.add_argument("--synth", type=int, help="generate N synthetic pages instead")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from linkgraph.build import build_graph_from_pages, write_graph
+    from linkgraph.session import get_spark
+
+    spark = get_spark(app_name="linkgraph-build")
+    phases = {}
+    t0 = time.time()
+    if args.synth:
+        from linkgraph.datagen import PagesSpec, generate_pages
+
+        pages = spark.createDataFrame(generate_pages(PagesSpec(n_pages=args.synth)))
+    else:
+        pages = spark.read.parquet(args.pages)
+    phases["load"] = time.time() - t0
+
+    t1 = time.time()
+    g = build_graph_from_pages(pages, num_partitions=args.buckets)
+    phases["extract_build"] = time.time() - t1
+
+    t2 = time.time()
+    write_graph(g, args.output, buckets=args.buckets)
+    phases["write"] = time.time() - t2
+
+    print(json.dumps({"n": g.n, "m": g.m, "output": args.output,
+                      "phases": {k: round(v, 3) for k, v in phases.items()}}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

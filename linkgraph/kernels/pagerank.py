@@ -120,6 +120,13 @@ def pagerank(
                 state["rank"].alias("_old"),
             )
         )
+        # Lineage MUST be cut every round: `state` feeds both the
+        # scatter join and the apply join, so the logical plan DOUBLES
+        # per iteration — persist() caches execution but Catalyst still
+        # re-analyzes the exponentially growing tree (measured: 0.9s ->
+        # 72s/iter by round 7 without this). localCheckpoint is the
+        # plan-truncation API; its cost is one n-row pass, small next
+        # to the m-row scatter shuffle at scale (SURVEY hard-part #1).
         new_state = sever(new_state)
         diff, dm_next = new_state.agg(
             F.max(F.abs(F.col("rank") - F.col("_old"))),

@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Vertex-state DFs are small next to the edge table; broadcast
+        # them rather than re-shuffling/sorting the cached edges every
+        # iteration. (On a 1e12-vertex cluster the state no longer fits
+        # a broadcast — the bucketed-edge SMJ path takes over; the
+        # sortWithinPartitions('src','dst') cache layout keeps that
+        # path exchange-free too.)
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # Arrow for all pandas UDF / toPandas traffic (BASELINE.json:15:
         # vectorized UDFs, no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
