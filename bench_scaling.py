@@ -9,9 +9,9 @@ Input sizing matters for what this measures: at sf0.1 (~0.6M edges)
 per-iteration fixed costs (job scheduling, plan truncation) dominate
 and the measurement reflects Spark's constant overhead, not the
 engine's scalability. The evidence run therefore uses a deterministic
-rMAT(scale=20, ef=16) graph (~1M vertices, ~13M edges, hub-skewed like
-a web graph) with a FIXED 10 iterations (tol=0), where shuffle compute
-dominates — the regime a 100 TB cluster lives in. Both parallelism
+rMAT(scale=26, ef=12) graph (~40M reached vertices, ~700M distinct
+edges, hub-skewed like a web graph) with a FIXED 10 iterations (tol=0),
+where shuffle compute dominates — the regime a 100 TB cluster lives in. Both parallelism
 levels read the same parquet, generated once.
 
 Each level runs in its own subprocess (a JVM cannot change core count
@@ -29,17 +29,19 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-RMAT_PATH = os.path.join(REPO, "bench_data", "rmat20_edges")
+RMAT_PATH = os.path.join(REPO, "bench_data", "rmat26_edges")
 
 WORKER = """
 import json, os, sys, time
 edges_path = sys.argv[1]; cpus = int(sys.argv[2]); iters = int(sys.argv[3])
 from linkgraph.session import get_spark
 spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=2 * cpus,
+                  extra_conf={"spark.driver.memory": "64g"})
 from linkgraph.build import build_graph_from_edges
 from linkgraph.kernels import pagerank
-g = build_graph_from_edges(spark.read.parquet(edges_path))
+g = build_graph_from_edges(spark.read.parquet(edges_path),
+                           n=1 << 26, assume_deduped=True)
 g.edges.count()  # warm the cache before timing
 t0 = time.time()
 res = pagerank(g, tol=0.0, max_iter=iters)
@@ -51,17 +53,21 @@ print(json.dumps({"cpus": cpus, "wall_s": wall, "n": g.n, "m": g.m,
 
 
 def ensure_rmat() -> str:
+    """Deterministic rMAT scale-26 (~67M vertex-id space, ~700M distinct
+    edges): big enough that per-iteration shuffle compute dominates
+    Spark's fixed per-job latency — the regime the scaling criterion is
+    about. Generated DISTRIBUTED (mapInPandas chunks) and written
+    pre-deduped, hash-distributed by src."""
     if os.path.exists(os.path.join(RMAT_PATH, "_SUCCESS")):
         return RMAT_PATH
-    print("generating rMAT scale=20 ef=16 ...", file=sys.stderr)
-    from linkgraph.datagen import rmat_edges
+    print("generating rMAT scale=26 ef=12 (distributed) ...", file=sys.stderr)
+    from linkgraph.datagen import rmat_edges_distributed
     from linkgraph.session import get_spark
 
-    pdf = rmat_edges(scale=20, edge_factor=16)
-    spark = get_spark(app_name="rmat-gen", master="local[8]", shuffle_partitions=8)
-    spark.createDataFrame(pdf).repartition(32, "src").write.mode("overwrite").parquet(
-        RMAT_PATH
-    )
+    spark = get_spark(app_name="rmat-gen", master="local[32]", shuffle_partitions=64)
+    edges = rmat_edges_distributed(spark, scale=26, edge_factor=12)
+    (edges.distinct().repartition(64, "src").sortWithinPartitions("src", "dst")
+     .write.mode("overwrite").parquet(RMAT_PATH))
     spark.stop()
     return RMAT_PATH
 
@@ -96,7 +102,7 @@ def main() -> None:
     factor = args.high / args.low
     efficiency = (lo["wall_s"] / hi["wall_s"]) / factor
     result = {
-        "input": "rmat(scale=20, ef=16) fixed 10 PageRank iterations",
+        "input": "rmat(scale=26, ef=12, distributed-gen) fixed 10 PageRank iterations",
         "low": lo,
         "high": hi,
         "core_factor": factor,
@@ -110,7 +116,7 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            f"\n## Scaling run {result['ts']} (rMAT scale 20, ef 16, {args.iters} fixed iterations)\n\n"
+            f"\n## Scaling run {result['ts']} (rMAT scale 26, ef 12, {args.iters} fixed iterations)\n\n"
             f"| cores | wall s | edges/sec | n | m |\n|---|---|---|---|---|\n"
             f"| {lo['cpus']} | {lo['wall_s']:.2f} | {lo['edges_per_sec']:.0f} | {lo['n']} | {lo['m']} |\n"
             f"| {hi['cpus']} | {hi['wall_s']:.2f} | {hi['edges_per_sec']:.0f} | {hi['n']} | {hi['m']} |\n\n"

@@ -146,6 +146,7 @@ def build_graph_from_edges(
     vertices: DataFrame | None = None,
     n: int | None = None,
     num_partitions: int | None = None,
+    assume_deduped: bool = False,
 ) -> Graph:
     """Edge list -> Graph. Dedups edges, derives degrees, persists the
     edge table hash-partitioned by src (the 'CSR edge table' — the
@@ -156,10 +157,11 @@ def build_graph_from_edges(
     """
     spark = edges.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
+    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    if not assume_deduped:
+        edges = edges.distinct()
     edges = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .distinct()
-        .repartition(p, "src")
+        edges.repartition(p, "src")
         .sortWithinPartitions("src", "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -178,6 +178,52 @@ def rmat_edges(
     return df
 
 
+def rmat_edges_distributed(
+    spark,
+    scale: int,
+    edge_factor: int = 12,
+    seed: int = 42,
+    rows_per_chunk: int = 8_000_000,
+):
+    """Distributed rMAT generator: each executor chunk draws its own
+    slice with seed = seed + chunk_id (a union of independent rMAT
+    samples keeps the rMAT degree distribution). This is how the big
+    scaling-evidence graphs are produced — generation itself scales
+    with the cluster, no driver-side array ever materializes.
+
+    Returns a DataFrame (src long, dst long), self-loops removed, NOT
+    deduped (build_graph_from_edges dedups).
+    """
+    import pandas as pd  # noqa: F811 — re-import for executor pickling
+
+    n_chunks = max(1, (edge_factor << scale) // rows_per_chunk)
+    a, b, c = 0.57, 0.19, 0.19
+
+    def gen(iterator):
+        import numpy as np
+
+        for pdf in iterator:
+            for chunk_id in pdf["id"]:
+                rng = np.random.default_rng(seed + int(chunk_id))
+                m = rows_per_chunk
+                src = np.zeros(m, dtype=np.int64)
+                dst = np.zeros(m, dtype=np.int64)
+                for bit in range(scale):
+                    r = rng.random(m)
+                    go_right = (r >= a) & (r < a + b) | (r >= a + b + c)
+                    go_down = r >= a + b
+                    src |= go_down.astype(np.int64) << bit
+                    dst |= go_right.astype(np.int64) << bit
+                keep = src != dst
+                yield pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    return (
+        spark.range(n_chunks)
+        .repartition(min(n_chunks, spark.sparkContext.defaultParallelism))
+        .mapInPandas(gen, schema="src long, dst long")
+    )
+
+
 def parse_adjacency_graph(text: str) -> pd.DataFrame:
     """Parse Ligra/PBBS AdjacencyGraph text into an edge frame.
 

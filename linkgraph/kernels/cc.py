@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.build import Graph, build_graph_from_edges, symmetrize
 from linkgraph.checkpoint import CheckpointManager, sever
+from linkgraph.session import conf_override
 
 
 @dataclass
@@ -71,7 +72,9 @@ def connected_components(
 
     iterations = start_iter
     metrics: list[dict] = []
-    for it in range(start_iter, max_iter):
+    # AQE off in the loop (same rationale as pagerank.py)
+    with conf_override(graph.edges.sparkSession, {"spark.sql.adaptive.enabled": "false"}):
+      for it in range(start_iter, max_iter):
         it_t0 = time.time()
         fcount = frontier.count()
         if fcount == 0:

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
 from linkgraph.checkpoint import sever
+from linkgraph.session import conf_override
 
 
 @dataclass
@@ -39,7 +40,9 @@ def label_propagation(graph: Graph, max_iter: int = 20) -> LabelPropResult:
     iterations = 0
     metrics: list[dict] = []
     win = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
-    for it in range(max_iter):
+    # AQE off in the loop (same rationale as pagerank.py)
+    with conf_override(graph.edges.sparkSession, {"spark.sql.adaptive.enabled": "false"}):
+      for it in range(max_iter):
         it_t0 = time.time()
         counts = (
             graph.edges.join(
