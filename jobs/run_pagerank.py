@@ -61,6 +61,12 @@ def main(argv: list[str]) -> int:
     print(f"graph built: n={graph.n} m={graph.m} ({build_s:.2f}s)")
 
     ckpt = CheckpointManager(args.ckpt, args.kernel) if args.ckpt else None
+    if ckpt is not None:
+        ckpt.lineage = {
+            "input": args.pages or args.edges or f"synth:{args.synth}",
+            "n": graph.n,
+            "m": graph.m,
+        }
     t1 = time.time()
     if args.kernel == "pagerank":
         res = kernels.pagerank(graph, tol=args.tol, max_iter=args.max_iter, ckpt=ckpt)

@@ -32,18 +32,33 @@ class CheckpointManager:
     def _iter_dir(self, iteration: int) -> str:
         return os.path.join(self.root, self.job, f"iter={iteration:05d}")
 
+    lineage: dict | None = None  # input-snapshot provenance (set once per job)
+
     def save(
         self,
         iteration: int,
         state: DataFrame,
         frontier: DataFrame | None = None,
         metrics: dict | None = None,
+        partition_counts: bool = True,
     ) -> None:
         d = self._iter_dir(iteration)
         state.write.mode("overwrite").parquet(os.path.join(d, "state"))
         if frontier is not None:
             frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
-        record = {"iteration": iteration, "ts": time.time(), **(metrics or {})}
+        extra: dict = {}
+        if partition_counts:
+            from pyspark.sql import functions as F
+
+            extra["partition_rows"] = {
+                str(r["pid"]): r["rows"]
+                for r in state.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count("*").alias("rows"))
+                .collect()
+            }
+        if self.lineage:
+            extra["lineage"] = self.lineage
+        record = {"iteration": iteration, "ts": time.time(), **extra, **(metrics or {})}
         self.metrics.append(record)
         # metrics sidecar last => presence marks the iteration complete
         with open(os.path.join(d, "_metrics.json"), "w") as f:

@@ -56,8 +56,13 @@ def test_cc_resume_equals_uninterrupted(small_graph, tmp_path):
 
 def test_metrics_recorded(small_graph, tmp_path):
     ckpt = CheckpointManager(str(tmp_path), "prm")
+    ckpt.lineage = {"input": "rmat(scale=5)", "n": small_graph.n, "m": small_graph.m}
     res = pagerank(small_graph, tol=1e-8, max_iter=5, ckpt=ckpt, ckpt_every=1)
     assert len(res.metrics) == 5
     for rec in res.metrics:
         assert {"iteration", "diff", "dangling_mass", "edges_processed", "wall_s"} <= set(rec)
     assert ckpt.last_complete() == 4
+    # per-partition row counts + input lineage ride in the sidecar
+    _, _, saved = ckpt.load(small_graph.edges.sparkSession, 4)
+    assert sum(saved["partition_rows"].values()) == small_graph.n
+    assert saved["lineage"]["m"] == small_graph.m
