@@ -61,14 +61,20 @@ def ensure_rmat() -> str:
     if os.path.exists(os.path.join(RMAT_PATH, "_SUCCESS")):
         return RMAT_PATH
     print("generating rMAT scale=26 ef=12 (distributed) ...", file=sys.stderr)
-    from linkgraph.datagen import rmat_edges_distributed
-    from linkgraph.session import get_spark
-
-    spark = get_spark(app_name="rmat-gen", master="local[32]", shuffle_partitions=64)
-    edges = rmat_edges_distributed(spark, scale=26, edge_factor=12)
-    (edges.distinct().repartition(64, "src").sortWithinPartitions("src", "dst")
-     .write.mode("overwrite").parquet(RMAT_PATH))
-    spark.stop()
+    # generation runs in its own subprocess: a stopped in-process
+    # SparkContext leaves a JVM behind that would contaminate the
+    # timed worker runs
+    gen = """
+import sys
+from linkgraph.datagen import rmat_edges_distributed
+from linkgraph.session import get_spark
+spark = get_spark(app_name="rmat-gen", master="local[32]", shuffle_partitions=64,
+                  extra_conf={"spark.driver.memory": "64g"})
+edges = rmat_edges_distributed(spark, scale=26, edge_factor=12)
+(edges.distinct().repartition(64, "src").sortWithinPartitions("src", "dst")
+ .write.mode("overwrite").parquet(sys.argv[1]))
+"""
+    subprocess.run([sys.executable, "-c", gen, RMAT_PATH], cwd=REPO, check=True)
     return RMAT_PATH
 
 
