@@ -35,13 +35,18 @@ WORKER = """
 import json, os, sys, time
 edges_path = sys.argv[1]; cpus = int(sys.argv[2]); iters = int(sys.argv[3])
 from linkgraph.session import get_spark
+# identical partitioning at BOTH core counts (64 = 2x the larger
+# level): same plans and task sizes, only executor-thread count
+# varies — a clean core-scaling measurement and the layout a real
+# cluster would use (partitions ~ 2-3x total cores).
 spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=2 * cpus,
+                  shuffle_partitions=64,
                   extra_conf={"spark.driver.memory": "64g"})
 from linkgraph.build import build_graph_from_edges
 from linkgraph.kernels import pagerank
 g = build_graph_from_edges(spark.read.parquet(edges_path),
-                           n=1 << 26, assume_deduped=True)
+                           n=1 << 26, assume_deduped=True,
+                           num_partitions=64)
 g.edges.count()  # warm the cache before timing
 t0 = time.time()
 res = pagerank(g, tol=0.0, max_iter=iters)
