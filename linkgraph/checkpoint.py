@@ -102,3 +102,22 @@ def sever(df: DataFrame) -> DataFrame:
     materializes to executor-local storage — cheap, no HDFS round trip;
     durable resume is the CheckpointManager's job, not this one's."""
     return df.localCheckpoint(eager=True)
+
+
+def release(df: DataFrame) -> None:
+    """Free the block-manager storage behind a localCheckpoint'ed
+    DataFrame NOW instead of waiting for GC + ContextCleaner.
+
+    Why this exists: an iterative kernel produces one checkpointed
+    state per round; the JVM only reclaims those blocks after the
+    Python wrapper is GC'd AND the ContextCleaner notices — which lags
+    many iterations behind. The stale states then evict the edge-table
+    cache and iteration time climbs monotonically (measured on the
+    800M-edge graph: 36s -> 194s per iteration within 8 rounds).
+    Reaches the RDD inside the LogicalRDD that localCheckpoint built;
+    silently a no-op for any other plan shape."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
-from linkgraph.checkpoint import sever
+from linkgraph.checkpoint import release, sever
 
 
 @dataclass
@@ -60,7 +60,9 @@ def bfs(graph: Graph, root: int, max_iter: int = 10_000) -> BFSResult:
                 "parent",
             )
         )
+        prev = visited
         visited = sever(visited.union(nxt))
+        release(prev)
         frontier = visited.where(F.col("level") == level).select("id")
         iterations = level
         metrics.append({"iteration": level, "frontier_size": fcount})

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph, build_graph_from_edges, symmetrize
-from linkgraph.checkpoint import CheckpointManager, sever
+from linkgraph.checkpoint import CheckpointManager, release, sever
 from linkgraph.session import conf_override
 
 
@@ -71,6 +71,7 @@ def connected_components(
         frontier = state  # full frontier carries its labels
 
     iterations = start_iter
+    prev_ckpt = state
     metrics: list[dict] = []
     # AQE off in the loop (same rationale as pagerank.py)
     with conf_override(graph.edges.sparkSession, {"spark.sql.adaptive.enabled": "false"}):
@@ -101,6 +102,8 @@ def connected_components(
             )
         )
         new_state = sever(new_state)
+        release(prev_ckpt)
+        prev_ckpt = new_state
         frontier = new_state.where(F.col("comp") < F.col("_old")).select("id", "comp")
         state = new_state.drop("_old")
         iterations = it + 1

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
-from linkgraph.checkpoint import sever
+from linkgraph.checkpoint import release, sever
 from linkgraph.session import conf_override
 
 
@@ -37,6 +37,7 @@ class LabelPropResult:
 def label_propagation(graph: Graph, max_iter: int = 20) -> LabelPropResult:
     t0 = time.time()
     labels = sever(graph.vertices.select("id", F.col("id").alias("label")))
+    prev_ckpt = labels
     iterations = 0
     metrics: list[dict] = []
     win = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
@@ -66,6 +67,8 @@ def label_propagation(graph: Graph, max_iter: int = 20) -> LabelPropResult:
         )
         new_labels = sever(new_labels)
         changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        release(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels.drop("_old")
         iterations = it + 1
         metrics.append(

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
-from linkgraph.checkpoint import CheckpointManager, sever
+from linkgraph.checkpoint import CheckpointManager, release, sever
 from linkgraph.session import conf_override
 
 
@@ -89,6 +89,7 @@ def pagerank(
 
     iterations = 0
     converged = False
+    prev_ckpt = state  # the severed DF whose blocks we free next round
     metrics: list[dict] = []
     # AQE off inside the loop: fixed plan shapes, and AQE's per-stage
     # re-planning costs ~0.3-0.7s driver latency per iteration
@@ -141,6 +142,8 @@ def pagerank(
             F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(F.lit(0.0))),
         ).first()
         dm = dm_next or 0.0
+        release(prev_ckpt)  # free last round's checkpoint blocks NOW
+        prev_ckpt = new_state
         state = new_state.drop("_old")
         iterations = it + 1
         converged = diff < tol

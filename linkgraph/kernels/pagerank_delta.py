@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
-from linkgraph.checkpoint import sever
+from linkgraph.checkpoint import release, sever
 
 DAMPING_FACTOR = 0.85  # algos.rs:178
 TOLERANCE = 1e-7  # algos.rs:179
@@ -109,6 +109,7 @@ def pagerank_delta(graph: Graph, max_iterations: int = 20) -> PageRankDeltaResul
         )
     )
     state = sever(state)
+    prev_ckpt = state
     sum_of_delta = state.agg(F.sum("delta")).first()[0] or 0.0
     rounds = 1
     metrics: list[dict] = [{"round": 0, "sum_of_delta": sum_of_delta}]
@@ -138,6 +139,8 @@ def pagerank_delta(graph: Graph, max_iterations: int = 20) -> PageRankDeltaResul
             )
         )
         state = sever(state)
+        release(prev_ckpt)
+        prev_ckpt = state
         sum_of_delta = state.agg(F.sum("delta")).first()[0] or 0.0
         rounds += 1
         metrics.append({"round": rounds - 1, "sum_of_delta": sum_of_delta})
