@@ -120,6 +120,46 @@ def q_pagerank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS levels + min-parent tree from the smallest vertex of the
+    symmetrized customer→supplier graph (SURVEY §2.4/A2, reference
+    src/algos.rs:124-167; parent = F.min('src') per SURVEY §2.5(5))."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import bfs
+
+    edges = symmetrize(_cust_supp_edges(spark, sf_dir))
+    g = _graph(edges)
+    root = int(g.edges.agg(F.min("src")).first()[0])
+    res = bfs(g, root, max_iter=15)
+    return res.df.select("id", "level", "parent")
+
+
+def q_labelprop_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 3 synchronous label-propagation rounds on the
+    customer→supplier graph (SURVEY §2.6: adopt the most frequent
+    in-neighbor label, ties -> smallest)."""
+    from linkgraph.kernels import label_propagation
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    res = label_propagation(g, max_iter=3)
+    return res.df.select("id", "label")
+
+
+def q_pagerank_delta_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-delta, faithful to the reference INCLUDING quirk 1
+    (src/algos.rs:203: the additive first-round activity test leaves
+    the post-round-0 frontier empty for any n > ~7), so with
+    max_iterations=3 the returned ranks are exactly the round-0 values
+    rank(v) = 0.85 * Σ_{u→v} (1/n)/out_deg(u) + 0.15 — which is what
+    the oracle expresses; the multi-round machinery is additionally
+    pinned against a NumPy transcription in tests/oracles.py."""
+    from linkgraph.kernels import pagerank_delta
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    res = pagerank_delta(g, max_iterations=3)
+    return res.df.select("id", F.round("rank", 9).alias("rank"))
+
+
 def q_event_sessions_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition graph: consecutive (event_type →
     event_type) edges per user ordered by (ts, event_id), with counts
@@ -174,7 +214,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline import ngram_jaccard_pairs
 
     docs = _documents(spark, sf_dir).where(FF.col("doc_id") < 100)
-    return ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    # max_df exercises the stop-shingle guard (the 100-TB quadratic-join
+    # mitigation); the oracle applies the identical document-frequency
+    # cutoff, so the comparison stays exact.
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=95)
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,9 +240,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (LSH-bucketed) — no SQL oracle (driver records a
-    rows-only check); exactness-vs-recall is pinned in pytest against
-    cosine_topk."""
+    """Approximate ANN (LSH-bucketed). The hyperplanes are seeded and
+    deterministic, so the full approximate pipeline (signatures →
+    bucket join → re-rank) is reproduced exactly in the SQL oracle
+    (_ann_lsh_sql); recall vs cosine_topk is additionally pinned in
+    pytest."""
     from linkgraph.pipeline import lsh_ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -222,6 +267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "cc_components": q_cc_components,
         "pagerank_k": q_pagerank_k,
+        "bfs_levels": q_bfs_levels,
+        "labelprop_k": q_labelprop_k,
+        "pagerank_delta_k": q_pagerank_delta_k,
         "event_sessions_graph": q_event_sessions_graph,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -290,6 +338,145 @@ r{i} AS (
     return sql
 
 
+_SYM_CUST_SUPP = f"""
+e0 AS ({_CUST_SUPP_E}),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)
+"""
+
+
+def _bfs_sql(max_level: int = 15) -> str:
+    """BFS from MIN(src) on the symmetrized cust→supp graph: levels via
+    bounded recursive expansion (level < max_level matches the Spark
+    call's max_iter), parent = MIN(src) over level-1 in-neighbors —
+    the deterministic form of the reference's CAS race
+    (src/algos.rs:136-140, SURVEY §2.5(5))."""
+    return f"""
+WITH RECURSIVE {_SYM_CUST_SUPP},
+walk(id, level) AS (
+  SELECT (SELECT MIN(src) FROM sym), 0
+  UNION
+  SELECT s.dst, w.level + 1
+  FROM walk w JOIN sym s ON w.id = s.src
+  WHERE w.level < {max_level}
+),
+lvl AS (SELECT id, MIN(level) AS level FROM walk GROUP BY id)
+SELECT l.id,
+       CAST(l.level AS BIGINT) AS level,
+       CAST(CASE WHEN l.level = 0 THEN l.id
+            ELSE (SELECT MIN(s.src) FROM sym s JOIN lvl l2 ON s.src = l2.id
+                  WHERE s.dst = l.id AND l2.level = l.level - 1)
+       END AS BIGINT) AS parent
+FROM lvl l
+"""
+
+
+def _labelprop_k_sql(k: int = 3) -> str:
+    """Unrolled k synchronous rounds: each vertex adopts the most
+    frequent label among its in-neighbors (ties -> smallest label);
+    no-in-neighbor vertices keep theirs (SURVEY §2.6)."""
+    sql = f"""
+WITH e AS ({_CUST_SUPP_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+l0 AS (SELECT id, id AS label FROM v)
+"""
+    prev = "l0"
+    for i in range(1, k + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst, l.label, COUNT(*) AS cnt
+  FROM e JOIN {prev} l ON e.src = l.id
+  GROUP BY e.dst, l.label
+),
+w{i} AS (
+  SELECT dst, label FROM (
+    SELECT dst, label,
+           ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+),
+l{i} AS (
+  SELECT l.id, COALESCE(w.label, l.label) AS label
+  FROM {prev} l LEFT JOIN w{i} w ON l.id = w.dst
+)"""
+        prev = f"l{i}"
+    sql += f"\nSELECT id, label FROM {prev}"
+    return sql
+
+
+# PageRank-delta with the reference's quirk 1 (src/algos.rs:203): the
+# post-round-0 frontier is empty for n > ~7, so converged ranks ARE the
+# round-0 values (see q_pagerank_delta_k docstring).
+_PAGERANK_DELTA_SQL = f"""
+WITH e AS ({_CUST_SUPP_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+od AS (
+  SELECT v.id, COALESCE(d.c, 0) AS out_deg
+  FROM v LEFT JOIN (SELECT src, COUNT(*) AS c FROM e GROUP BY src) d
+    ON v.id = d.src
+),
+g AS (
+  SELECT e.dst AS id, SUM((1.0 / (SELECT n FROM nn)) / od.out_deg) AS gathered
+  FROM e JOIN od ON e.src = od.id
+  WHERE od.out_deg > 0
+  GROUP BY e.dst
+)
+SELECT od.id,
+       ROUND(0.85 * COALESCE(g.gathered, 0.0) + 0.15, 9) AS rank
+FROM od LEFT JOIN g ON od.id = g.id
+"""
+
+
+def _ann_lsh_sql(k: int = 5, max_queries: int = 10, n_planes: int = 8, n_tables: int = 4, dim: int = 64) -> str:
+    """Reproduces lsh_ann_topk exactly: the seeded hyperplanes
+    (simsearch._hyperplanes, NumPy default_rng(42)) are emitted as
+    DOUBLE[] literals; signature = sign-bit integer per table, candidates
+    = bucket collisions in any table, exact cosine re-rank."""
+    from linkgraph.pipeline.simsearch import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, n_tables, seed=42)
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            arr = ", ".join(repr(float(x)) for x in planes[t, p])
+            rows.append(f"({t}, {p}, [{arr}]::DOUBLE[])")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+planes(t, p, pvec) AS (VALUES
+  {values}
+),
+dots AS (
+  SELECT e.vec_id, pl.t, pl.p, list_dot_product(e.vec, pl.pvec) AS dot
+  FROM e CROSS JOIN planes pl
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS sig
+  FROM dots GROUP BY vec_id, t
+),
+q AS (SELECT vec_id AS query_id, t, sig FROM sigs WHERE vec_id < {max_queries}),
+cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+  FROM q JOIN sigs s ON q.t = s.t AND q.sig = s.sig
+  WHERE s.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_cosine_similarity(eq.vec, en.vec), 9) AS sim
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {k}
+"""
+
+
 _H32 = "('0x' || substr(md5({col}), 1, 8))::BIGINT"
 
 _SHINGLES = """
@@ -338,13 +525,21 @@ pb AS (
   FROM th, UNNEST(range(0, 16)) AS t(b)
   GROUP BY doc_id, CAST(b AS INTEGER)
 )
-SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
 FROM pb GROUP BY doc_id
 """
 
 _NGRAM_JACCARD_SQL = f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT * FROM ({_SHINGLES}) WHERE doc_id < 100
+),
+sh AS (
+  -- stop-shingle guard mirror: drop shingles with document frequency
+  -- > 95 from index AND sizes (= ngram_jaccard_pairs(max_df=95))
+  SELECT sh0.doc_id, sh0.shingle FROM sh0
+  JOIN (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) d
+    ON sh0.shingle = d.shingle
+  WHERE d.df <= 95
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -452,6 +647,10 @@ FROM documents GROUP BY md5(text)
         "token_stats": _token_stats_sql(),
         "lang_id": _lang_id_sql(),
         "ann_topk": _ANN_TOPK_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "bfs_levels": _bfs_sql(),
+        "labelprop_k": _labelprop_k_sql(3),
+        "pagerank_delta_k": _PAGERANK_DELTA_SQL,
         "degree_counts": f"""
 WITH e AS ({_PART_SUPP_E}),
 v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)

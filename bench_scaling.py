@@ -2,21 +2,27 @@
 two-cluster-size criterion (N vs 4N executors, efficiency >= 0.8)
 cannot use a real cluster in this sandbox; per the driver instruction
 it is evidenced by running the SAME PageRank job on the SAME input at
-local[8] and local[32] and reporting throughput at both plus
-efficiency = (t_8 / t_32) / 4.
+two parallelism levels (default local[8] and local[32]) and reporting
+throughput at both plus efficiency = (t_low / t_high) / (high/low).
 
 Input sizing matters for what this measures: at sf0.1 (~0.6M edges)
 per-iteration fixed costs (job scheduling, plan truncation) dominate
 and the measurement reflects Spark's constant overhead, not the
 engine's scalability. The evidence run therefore uses a deterministic
 rMAT(scale=26, ef=12) graph (~40M reached vertices, ~700M distinct
-edges, hub-skewed like a web graph) with a FIXED 10 iterations (tol=0),
-where shuffle compute dominates — the regime a 100 TB cluster lives in. Both parallelism
-levels read the same parquet, generated once.
+edges, hub-skewed like a web graph) with FIXED iterations (tol=0),
+where shuffle compute dominates — the regime a 100 TB cluster lives
+in. Both parallelism levels read the same parquet, generated once.
+
+Telemetry per level: unsorted per-iteration walls (trend visibility),
+JVM GC time (GarbageCollectorMXBeans via py4j), and JVM process CPU
+seconds (/proc/<pid>/stat) so CPU-utilization = cpu_s / (wall * cores)
+exposes whether the high level is starved (stragglers / serial
+sections) or bandwidth-bound.
 
 Each level runs in its own subprocess (a JVM cannot change core count
-mid-flight), repeated `--repeats` times, best wall kept. Results are
-appended to BENCH/BASELINE.md.
+mid-flight), repeated `--repeats` times, best median-iteration kept.
+Results are appended to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -34,29 +40,49 @@ RMAT_PATH = os.path.join(REPO, "bench_data", "rmat26_edges")
 WORKER = """
 import json, os, sys, time
 edges_path = sys.argv[1]; cpus = int(sys.argv[2]); iters = int(sys.argv[3])
+heap = sys.argv[4]; partitions = int(sys.argv[5]); salt = int(sys.argv[6]) or None
+adaptive = bool(int(sys.argv[7]))
 from linkgraph.session import get_spark
-# identical partitioning at BOTH core counts. Measured sweep:
-# 256 partitions -> 0.52 (shuffle-block overhead dominates),
-# 64 -> 0.73 with the 32-core JVM at ~75% utilization and RSS
-# pinned at the 64g heap -> GC drag; heap raised to 100g.
 spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=64,
-                  extra_conf={"spark.driver.memory": "100g"})
+                  shuffle_partitions=partitions,
+                  extra_conf={"spark.driver.memory": heap})
+sc = spark.sparkContext
+jvm = sc._jvm
+
+def gc_ms():
+    total = 0
+    it = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans().iterator()
+    while it.hasNext():
+        total += it.next().getCollectionTime()
+    return total
+
+jvm_pid = int(jvm.java.lang.ProcessHandle.current().pid())
+
+def cpu_s():
+    with open(f"/proc/{jvm_pid}/stat") as f:
+        parts = f.read().split()
+    return (int(parts[13]) + int(parts[14])) / os.sysconf("SC_CLK_TCK")
+
 from linkgraph.build import build_graph_from_edges
 from linkgraph.kernels import pagerank
 g = build_graph_from_edges(spark.read.parquet(edges_path),
                            n=1 << 26, assume_deduped=True,
-                           num_partitions=64)
+                           num_partitions=partitions)
 g.edges.count()  # warm the cache before timing
+gc0, cpu0 = gc_ms(), cpu_s()
 t0 = time.time()
-res = pagerank(g, tol=0.0, max_iter=iters)
+res = pagerank(g, tol=0.0, max_iter=iters, salt=salt, adaptive=adaptive)
 wall = time.time() - t0
-iter_walls = sorted(m["wall_s"] for m in res.metrics)
-median = iter_walls[len(iter_walls) // 2]
+gc1, cpu1 = gc_ms(), cpu_s()
+walls = [round(m["wall_s"], 2) for m in res.metrics]   # run order, NOT sorted
+median = sorted(walls)[len(walls) // 2]
 print(json.dumps({"cpus": cpus, "wall_s": wall, "n": g.n, "m": g.m,
                   "iterations": res.iterations,
-                  "iter_walls": [round(w, 2) for w in iter_walls],
+                  "iter_walls": walls,
                   "median_iter_s": round(median, 2),
+                  "gc_s": round((gc1 - gc0) / 1000.0, 1),
+                  "jvm_cpu_s": round(cpu1 - cpu0, 1),
+                  "cpu_util": round((cpu1 - cpu0) / (wall * cpus), 3),
                   "edges_per_sec": res.edges_processed / wall,
                   "median_edges_per_sec": g.m / median}))
 """
@@ -96,18 +122,23 @@ def _drop_page_cache() -> None:
         pass
 
 
-def run_level(edges_path: str, cpus: int, iters: int, repeats: int) -> dict:
+def run_level(edges_path: str, cpus: int, args) -> dict:
     best = None
-    for _ in range(repeats):
+    for _ in range(args.repeats):
         _drop_page_cache()
         out = subprocess.run(
-            [sys.executable, "-c", WORKER, edges_path, str(cpus), str(iters)],
+            [
+                sys.executable, "-c", WORKER, edges_path, str(cpus),
+                str(args.iters), args.heap, str(args.partitions),
+                str(args.salt), str(int(args.adaptive)),
+            ],
             capture_output=True,
             text=True,
             cwd=REPO,
             check=True,
         )
         rec = json.loads(out.stdout.strip().splitlines()[-1])
+        print(json.dumps(rec), file=sys.stderr)
         if best is None or rec["median_iter_s"] < best["median_iter_s"]:
             best = rec
     return best
@@ -118,21 +149,32 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--iters", type=int, default=6)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--heap", default="56g")
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--adaptive", action="store_true")
+    ap.add_argument("--only", type=int, default=0, help="run a single level, print JSON, no md append")
     args = ap.parse_args()
 
     edges_path = ensure_rmat()
+    if args.only:
+        rec = run_level(edges_path, args.only, args)
+        print(json.dumps(rec))
+        return
     # high level first (any residual page-cache advantage then favors
     # the LOW level, biasing efficiency downward, never up); OS page
     # cache dropped before each worker for cold-start parity.
-    hi = run_level(edges_path, args.high, args.iters, args.repeats)
-    lo = run_level(edges_path, args.low, args.iters, args.repeats)
+    hi = run_level(edges_path, args.high, args)
+    lo = run_level(edges_path, args.low, args)
     factor = args.high / args.low
     # steady-state comparison: median per-iteration wall, which
-    # excludes first-iteration cache materialization and stragglers
+    # excludes first-iteration cache materialization
     efficiency = (lo["median_iter_s"] / hi["median_iter_s"]) / factor
     result = {
-        "input": "rmat(scale=26, ef=12, distributed-gen) fixed 10 PageRank iterations",
+        "input": "rmat(scale=26, ef=12, distributed-gen) fixed PageRank iterations",
+        "config": {"heap": args.heap, "partitions": args.partitions,
+                   "salt": args.salt, "adaptive": args.adaptive},
         "low": lo,
         "high": hi,
         "core_factor": factor,
@@ -146,11 +188,14 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            f"\n## Scaling run {result['ts']} (rMAT scale 26, ef 12, {args.iters} fixed iterations, median per-iteration)\n\n"
-            f"| cores | median iter s | median edges/sec | total wall s | n | m |\n|---|---|---|---|---|---|\n"
-            f"| {lo['cpus']} | {lo['median_iter_s']:.2f} | {lo['median_edges_per_sec']:.0f} | {lo['wall_s']:.2f} | {lo['n']} | {lo['m']} |\n"
-            f"| {hi['cpus']} | {hi['median_iter_s']:.2f} | {hi['median_edges_per_sec']:.0f} | {hi['wall_s']:.2f} | {hi['n']} | {hi['m']} |\n\n"
-            f"iteration walls low={lo['iter_walls']} high={hi['iter_walls']}\n\n"
+            f"\n## Scaling run {result['ts']} (rMAT scale 26, ef 12, {args.iters} fixed iterations, "
+            f"heap {args.heap}, {args.partitions} partitions, salt={args.salt}, "
+            f"aqe={'on' if args.adaptive else 'off'}, local.dir=tmpfs)\n\n"
+            f"| cores | median iter s | median edges/sec | total wall s | gc s | cpu util | n | m |\n"
+            f"|---|---|---|---|---|---|---|---|\n"
+            f"| {lo['cpus']} | {lo['median_iter_s']:.2f} | {lo['median_edges_per_sec']:.0f} | {lo['wall_s']:.2f} | {lo['gc_s']} | {lo['cpu_util']} | {lo['n']} | {lo['m']} |\n"
+            f"| {hi['cpus']} | {hi['median_iter_s']:.2f} | {hi['median_edges_per_sec']:.0f} | {hi['wall_s']:.2f} | {hi['gc_s']} | {hi['cpu_util']} | {hi['n']} | {hi['m']} |\n\n"
+            f"iteration walls (run order) low={lo['iter_walls']} high={hi['iter_walls']}\n\n"
             f"efficiency (median iter) = ({lo['median_iter_s']} / {hi['median_iter_s']}) / {factor:.0f} = "
             f"**{efficiency:.3f}** (criterion ≥ 0.8: {'MET' if efficiency >= 0.8 else 'NOT MET'})\n"
         )

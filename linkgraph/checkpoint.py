@@ -10,17 +10,65 @@ run (pinned by tests/test_resume.py).
 A `_SUCCESS`-gated layout makes partially-written iterations invisible
 to resume: the state parquet's own _SUCCESS marker plus our
 `_metrics.json` (written after the parquet commit) must both exist.
+
+All sidecar/marker I/O goes through the Hadoop FileSystem API (py4j),
+NOT driver-local open()/os.listdir — so the checkpoint root may be any
+filesystem the parquet writer accepts (file://, hdfs://, s3a://) and
+state + completion marker always live on the SAME filesystem.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    """Resolve (FileSystem, Path) for a string path via the session's
+    Hadoop configuration — the same resolution the parquet writer uses."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    fs, path = _fs_and_path(spark, path_str)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path_str: str) -> str:
+    jvm = spark._jvm
+    fs, path = _fs_and_path(spark, path_str)
+    stream = fs.open(path)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+    finally:
+        stream.close()
+
+
+def _fs_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _fs_and_path(spark, path_str)
+    return bool(fs.exists(path))
+
+
+def _active_spark() -> SparkSession:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "CheckpointManager needs an active SparkSession (filesystem "
+            "access is resolved through the session's Hadoop config)"
+        )
+    return spark
 
 
 @dataclass
@@ -30,7 +78,7 @@ class CheckpointManager:
     metrics: list[dict] = field(default_factory=list)
 
     def _iter_dir(self, iteration: int) -> str:
-        return os.path.join(self.root, self.job, f"iter={iteration:05d}")
+        return f"{self.root.rstrip('/')}/{self.job}/iter={iteration:05d}"
 
     lineage: dict | None = None  # input-snapshot provenance (set once per job)
 
@@ -43,9 +91,10 @@ class CheckpointManager:
         partition_counts: bool = True,
     ) -> None:
         d = self._iter_dir(iteration)
-        state.write.mode("overwrite").parquet(os.path.join(d, "state"))
+        spark = state.sparkSession
+        state.write.mode("overwrite").parquet(f"{d}/state")
         if frontier is not None:
-            frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+            frontier.write.mode("overwrite").parquet(f"{d}/frontier")
         extra: dict = {}
         if partition_counts:
             from pyspark.sql import functions as F
@@ -61,20 +110,22 @@ class CheckpointManager:
         record = {"iteration": iteration, "ts": time.time(), **extra, **(metrics or {})}
         self.metrics.append(record)
         # metrics sidecar last => presence marks the iteration complete
-        with open(os.path.join(d, "_metrics.json"), "w") as f:
-            json.dump(record, f)
+        _fs_write_text(spark, f"{d}/_metrics.json", json.dumps(record))
 
     def last_complete(self) -> int | None:
-        base = os.path.join(self.root, self.job)
-        if not os.path.isdir(base):
+        spark = _active_spark()
+        base = f"{self.root.rstrip('/')}/{self.job}"
+        fs, base_path = _fs_and_path(spark, base)
+        if not fs.exists(base_path):
             return None
         done = []
-        for name in os.listdir(base):
-            d = os.path.join(base, name)
-            if (
-                name.startswith("iter=")
-                and os.path.exists(os.path.join(d, "_metrics.json"))
-                and os.path.exists(os.path.join(d, "state", "_SUCCESS"))
+        for status in fs.listStatus(base_path):
+            name = status.getPath().getName()
+            if not name.startswith("iter="):
+                continue
+            d = f"{base}/{name}"
+            if _fs_exists(spark, f"{d}/_metrics.json") and _fs_exists(
+                spark, f"{d}/state/_SUCCESS"
             ):
                 done.append(int(name.split("=")[1]))
         return max(done) if done else None
@@ -83,17 +134,17 @@ class CheckpointManager:
         self, spark: SparkSession, iteration: int, with_frontier: bool = False
     ) -> tuple[DataFrame, DataFrame | None, dict]:
         d = self._iter_dir(iteration)
-        state = spark.read.parquet(os.path.join(d, "state"))
+        state = spark.read.parquet(f"{d}/state")
         frontier = None
-        fdir = os.path.join(d, "frontier")
-        if with_frontier and os.path.exists(fdir):
-            frontier = spark.read.parquet(fdir)
-        with open(os.path.join(d, "_metrics.json")) as f:
-            record = json.load(f)
+        if with_frontier and _fs_exists(spark, f"{d}/frontier"):
+            frontier = spark.read.parquet(f"{d}/frontier")
+        record = json.loads(_fs_read_text(spark, f"{d}/_metrics.json"))
         return state, frontier, record
 
     def clear(self) -> None:
-        shutil.rmtree(os.path.join(self.root, self.job), ignore_errors=True)
+        spark = _active_spark()
+        fs, path = _fs_and_path(spark, f"{self.root.rstrip('/')}/{self.job}")
+        fs.delete(path, True)
 
 
 def sever(df: DataFrame) -> DataFrame:

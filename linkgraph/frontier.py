@@ -9,14 +9,24 @@ aggregation and subsumes all of it (SURVEY §4.3).
 Frontier representation (node_set.rs:3-9 dual sparse/dense):
   * sparse  = a small DataFrame of frontier rows (id + message payload)
               -> broadcast hash join against the edge table (push);
-  * dense   = the full state DataFrame filtered by a predicate
-              -> shuffle join against the bucketed edge table (pull).
+  * dense   = a large frontier relation (typically the full state
+              filtered by an activity predicate) -> shuffle/SMJ join
+              against the bucketed edge table (pull): every cached edge
+              partition is scanned and matched in place, no broadcast
+              build, no frontier compaction — the Spark analogue of
+              Ligra's dense traversal that walks all of E reading
+              source state directly (ligra.rs:203-242).
 The switch is the reference's direction-optimizing rule
 (ligra.rs:82-87, threshold |E|/20 at graph.rs:31-33): push when the
-frontier's out-degree volume <= m/20. Catalyst/AQE would broadcast
-small sides anyway below the size threshold; we keep the explicit
-rule so the decision is deterministic, observable in metrics, and
-pinned to reference behavior.
+frontier's degree volume <= m/20, pull otherwise. Catalyst/AQE would
+broadcast small sides anyway below the size threshold; we keep the
+explicit rule so the decision is deterministic, observable in metrics
+(`info['mode']`), and pinned to reference behavior.
+
+Note for symmetric (symmetrized) graphs: the in-edge set equals the
+out-edge set, so a dense *pull* along in-edges is expressible as the
+same join over the src-bucketed edge cache — no extra exchange for the
+transpose. CC exploits this (kernels/cc.py).
 """
 
 from __future__ import annotations
@@ -27,14 +37,19 @@ from pyspark.sql import functions as F
 from linkgraph.build import Graph
 
 
-def frontier_volume(graph: Graph, frontier: DataFrame) -> int:
-    """Σ out_degree over frontier members — the statistic the reference
-    dispatcher computes at ligra.rs:80. Exact (one small join+agg);
-    callers on a hot loop may instead estimate count * avg_degree."""
+def frontier_volume(graph: Graph, frontier: DataFrame, reverse: bool = False) -> int:
+    """Σ degree over frontier members — the statistic the reference
+    dispatcher computes at ligra.rs:80. Sums out-degrees for the push
+    direction, in-degrees when walking the transpose (reverse=True) —
+    the in-edge walk's work is proportional to in_deg, so sizing the
+    broadcast decision off out_deg would misfire on skewed graphs.
+    Exact (one small join+agg); callers on a hot loop may instead
+    estimate count * avg_degree."""
+    deg = "in_deg" if reverse else "out_deg"
     row = (
         frontier.select("id")
         .join(graph.degrees, "id")
-        .agg(F.sum("out_deg"))
+        .agg(F.sum(deg))
         .first()
     )
     return int(row[0] or 0)
@@ -47,6 +62,9 @@ def edge_map(
     msg: dict[str, Column] | None = None,
     volume: int | None = None,
     reverse: bool = False,
+    dense: bool | None = None,
+    exclude_dst: DataFrame | None = None,
+    info: dict | None = None,
 ) -> DataFrame:
     """Ligra edgeMap (D1): for each edge (s,t) with s ∈ frontier, emit
     message columns, then combine per target.
@@ -58,20 +76,38 @@ def edge_map(
     aggs     : aggregate expressions applied per `dst` — the Spark
                replacement for the reference's atomic write-combining
                (CAS min -> F.min, fetch_add -> F.sum; SURVEY §2.3).
-    volume   : precomputed frontier out-degree volume; computed exactly
+    volume   : precomputed frontier degree volume; computed exactly
                if None.
     reverse  : walk in-edges instead (free transpose, SURVEY §1.4).
+    dense    : force dense (pull/SMJ) or sparse (push/broadcast) form;
+               None = the reference's |E|/20 dispatch (ligra.rs:82-87).
+    exclude_dst : optional relation of `id`s whose targets must not
+               receive messages this round — Ligra's `cond()` check
+               (ligra.rs:150,218: skip targets failing cond), expressed
+               as a left-anti join BEFORE aggregation so excluded
+               targets do no aggregation work.
+    info     : optional dict; receives {'mode', 'volume'} so kernels
+               can record which path ran (per-iteration metrics).
 
     Returns a DataFrame grouped by `dst` with the aggregate columns —
     the "next frontier candidates + merged messages" in one relation.
     """
     edges = graph.edges_reversed() if reverse else graph.edges
     if volume is None:
-        volume = frontier_volume(graph, frontier)
+        volume = frontier_volume(graph, frontier, reverse)
+    if dense is None:
+        dense = volume > graph.threshold
     src_side = frontier.withColumnRenamed("id", "src")
-    if volume <= graph.threshold:
+    if not dense:
         src_side = F.broadcast(src_side)  # push: sparse frontier
+    if info is not None:
+        info["mode"] = "dense-pull" if dense else "sparse-push"
+        info["volume"] = volume
     joined = edges.join(src_side, "src")
+    if exclude_dst is not None:
+        joined = joined.join(
+            exclude_dst.select(F.col("id").alias("dst")), "dst", "left_anti"
+        )
     if msg:
         joined = joined.withColumns(msg)
     return joined.groupBy("dst").agg(*aggs)

@@ -7,8 +7,13 @@ we use F.min('src') — deterministic, still a valid BFS tree (SURVEY
 tests compare.
 
 The unvisitedness check (parents[t] == usize::MAX, algos.rs:142-144)
-becomes a left-anti join against the visited set — NULL-free by
-construction, no sentinel values (SURVEY §1.2).
+is Ligra's cond(): expressed as edge_map's `exclude_dst` left-anti
+join against the visited set — NULL-free by construction, no sentinel
+values (SURVEY §1.2). Rounds go through frontier.edge_map, so the
+|E|/20 push/pull dispatch (ligra.rs:82-87) is live: wide middle
+rounds on small-diameter graphs take the dense-pull SMJ form, narrow
+first/last rounds the sparse-push broadcast form; the chosen mode is
+recorded per-iteration in metrics.
 """
 
 from __future__ import annotations
@@ -20,7 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
-from linkgraph.checkpoint import release, sever
+from linkgraph.checkpoint import CheckpointManager, release, sever
+from linkgraph.frontier import edge_map
 
 
 @dataclass
@@ -31,41 +37,70 @@ class BFSResult:
     metrics: list[dict] = field(default_factory=list)
 
 
-def bfs(graph: Graph, root: int, max_iter: int = 10_000) -> BFSResult:
+def bfs(
+    graph: Graph,
+    root: int,
+    max_iter: int = 10_000,
+    ckpt: CheckpointManager | None = None,
+) -> BFSResult:
     spark = graph.edges.sparkSession
     t0 = time.time()
-    # parents[root] = root (algos.rs:158)
-    visited = sever(
-        spark.createDataFrame([(root, 0, root)], "id long, level long, parent long")
-    )
-    frontier = visited.select("id")
-    iterations = 0
+
+    visited = None
+    start_level = 1
+    if ckpt is not None:
+        last = ckpt.last_complete()
+        if last is not None:
+            loaded, _, rec = ckpt.load(spark, last)
+            visited = sever(loaded)
+            start_level = last + 1
+            if rec.get("frontier_size_next") == 0:
+                return BFSResult(visited, last, 0.0, [rec])
+    if visited is None:
+        # parents[root] = root (algos.rs:158)
+        visited = sever(
+            spark.createDataFrame([(root, 0, root)], "id long, level long, parent long")
+        )
+    frontier = visited.where(F.col("level") == start_level - 1).select("id")
+
+    iterations = start_level - 1
     metrics: list[dict] = []
-    for level in range(1, max_iter + 1):
+    for level in range(start_level, max_iter + 1):
         fcount = frontier.count()
         if fcount == 0:
             break
-        src_side = frontier.select(F.col("id").alias("src"))
-        est_volume = fcount * (graph.m / max(graph.n, 1))
-        if est_volume <= graph.threshold:
-            src_side = F.broadcast(src_side)
-        nxt = (
-            graph.edges.join(src_side, "src")
-            .join(visited.select(F.col("id").alias("dst")), "dst", "left_anti")
-            .groupBy("dst")
-            .agg(F.min("src").alias("parent"))
-            .select(
-                F.col("dst").alias("id"),
-                F.lit(level).cast("long").alias("level"),
-                "parent",
-            )
+        est_volume = int(fcount * (graph.m / max(graph.n, 1)))
+        info: dict = {}
+        nxt = edge_map(
+            graph,
+            frontier,
+            aggs=[F.min("src").alias("parent")],
+            volume=est_volume,
+            exclude_dst=visited.select("id"),
+            info=info,
+        ).select(
+            F.col("dst").alias("id"),
+            F.lit(level).cast("long").alias("level"),
+            "parent",
         )
         prev = visited
         visited = sever(visited.union(nxt))
         release(prev)
         frontier = visited.where(F.col("level") == level).select("id")
         iterations = level
-        metrics.append({"iteration": level, "frontier_size": fcount})
+        rec = {
+            "iteration": level,
+            "frontier_size": fcount,
+            "mode": info.get("mode"),
+            "volume": info.get("volume"),
+        }
+        metrics.append(rec)
+        if ckpt is not None:
+            ckpt.save(
+                level,
+                visited,
+                metrics={**rec, "frontier_size_next": frontier.count()},
+            )
     return BFSResult(
         df=visited,
         iterations=iterations,

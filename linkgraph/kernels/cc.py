@@ -16,6 +16,15 @@ result is true connected components; tests pin both behaviors.
 Spark shape per round: the frontier rows already carry their NEW label
 (they are exactly the rows that changed), so the message source is the
 frontier DataFrame itself — no extra state join on the push side.
+
+Direction dispatch (ligra.rs:58-88): rounds go through
+frontier.edge_map, which applies the |E|/20 rule — a full/large
+frontier takes the dense-pull form (SMJ over the src-bucketed edge
+cache, no broadcast build), a small frontier the sparse-push form
+(broadcast join). On the symmetrized input the in-edge set equals the
+out-edge set, so the pull direction scans the SAME cached table — no
+transpose exchange (frontier.py module docstring). The chosen mode is
+recorded per-iteration in metrics ('mode': 'dense-pull'|'sparse-push').
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.build import Graph, build_graph_from_edges, symmetrize
 from linkgraph.checkpoint import CheckpointManager, release, sever
+from linkgraph.frontier import edge_map
 from linkgraph.session import conf_override
 
 
@@ -80,16 +90,18 @@ def connected_components(
         fcount = frontier.count()
         if fcount == 0:
             break
-        # push labels from changed vertices; broadcast when the frontier
-        # is small (|frontier| * avg_degree <= m/20, SURVEY §4.1)
-        src_side = frontier.select(F.col("id").alias("src"), "comp")
-        est_volume = fcount * (graph.m / max(graph.n, 1))
-        if est_volume <= graph.threshold:
-            src_side = F.broadcast(src_side)
-        msgs = (
-            graph.edges.join(src_side, "src")
-            .groupBy("dst")
-            .agg(F.min("comp").alias("new_comp"))
+        # edge_map dispatch: push (broadcast) from a small frontier,
+        # pull (dense SMJ) when |frontier| * avg_degree > m/20
+        # (ligra.rs:82-87; estimate instead of the exact volume join —
+        # the frontier carries changed labels, count*avg is free)
+        est_volume = int(fcount * (graph.m / max(graph.n, 1)))
+        info: dict = {}
+        msgs = edge_map(
+            graph,
+            frontier.select("id", "comp"),
+            aggs=[F.min("comp").alias("new_comp")],
+            volume=est_volume,
+            info=info,
         )
         new_state = (
             state.join(msgs, state["id"] == msgs["dst"], "left")
@@ -110,6 +122,8 @@ def connected_components(
         rec = {
             "iteration": it,
             "frontier_size": fcount,
+            "mode": info.get("mode"),
+            "volume": info.get("volume"),
             "wall_s": time.time() - it_t0,
         }
         metrics.append(rec)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
-from linkgraph.checkpoint import release, sever
+from linkgraph.checkpoint import CheckpointManager, release, sever
 from linkgraph.session import conf_override
 
 
@@ -34,16 +34,31 @@ class LabelPropResult:
     metrics: list[dict] = field(default_factory=list)
 
 
-def label_propagation(graph: Graph, max_iter: int = 20) -> LabelPropResult:
+def label_propagation(
+    graph: Graph,
+    max_iter: int = 20,
+    ckpt: CheckpointManager | None = None,
+) -> LabelPropResult:
     t0 = time.time()
-    labels = sever(graph.vertices.select("id", F.col("id").alias("label")))
+    labels = None
+    start_iter = 0
+    if ckpt is not None:
+        last = ckpt.last_complete()
+        if last is not None:
+            loaded, _, rec = ckpt.load(graph.edges.sparkSession, last)
+            labels = sever(loaded)
+            start_iter = last + 1
+            if rec.get("changed") == 0:
+                return LabelPropResult(labels, last + 1, 0.0, [rec])
+    if labels is None:
+        labels = sever(graph.vertices.select("id", F.col("id").alias("label")))
     prev_ckpt = labels
-    iterations = 0
+    iterations = start_iter
     metrics: list[dict] = []
     win = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
     # AQE off in the loop (same rationale as pagerank.py)
     with conf_override(graph.edges.sparkSession, {"spark.sql.adaptive.enabled": "false"}):
-      for it in range(max_iter):
+      for it in range(start_iter, max_iter):
         it_t0 = time.time()
         counts = (
             graph.edges.join(
@@ -71,9 +86,10 @@ def label_propagation(graph: Graph, max_iter: int = 20) -> LabelPropResult:
         prev_ckpt = new_labels
         labels = new_labels.drop("_old")
         iterations = it + 1
-        metrics.append(
-            {"iteration": it, "changed": changed, "wall_s": time.time() - it_t0}
-        )
+        rec = {"iteration": it, "changed": changed, "wall_s": time.time() - it_t0}
+        metrics.append(rec)
+        if ckpt is not None:
+            ckpt.save(it, labels, metrics=rec)
         if changed == 0:
             break
     return LabelPropResult(

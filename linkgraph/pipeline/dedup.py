@@ -138,18 +138,38 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.5
+    docs: DataFrame, k: int = 3, threshold: float = 0.5, max_df: int | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted
     index: pairs sharing >= 1 shingle get |A∩B| from the index join,
     |A|,|B| from per-doc shingle counts; jaccard = inter/(|A|+|B|-inter).
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded
-    to 9 decimals for order-insensitive comparison."""
+    to 9 decimals for order-insensitive comparison.
+
+    max_df is the stop-shingle guard for scale: the inverted-index
+    self-join costs Σ_shingle df² rows, so one ubiquitous shingle
+    (" th" at web scale is a multi-billion-row bucket) is quadratic.
+    Shingles with document frequency > max_df are dropped BEFORE the
+    join *and* excluded from the per-doc sizes, so the result is the
+    exact Jaccard over the discriminative-shingle space (the standard
+    stop-shingle mitigation; near-universal shingles carry no dedup
+    signal — every pair shares them — so scores shift only slightly
+    toward the rare-shingle overlap). max_df=None keeps the fully
+    exact small-input semantics."""
     sh = char_shingles(docs, k).persist()
     try:
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        if max_df is not None:
+            df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            sh_kept = (
+                sh.join(df_counts.where(F.col("df") <= max_df), "shingle")
+                .select("doc_id", "shingle")
+                .persist()
+            )
+        else:
+            sh_kept = sh
+        sizes = sh_kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        a = sh_kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh_kept.select(F.col("doc_id").alias("doc_b"), "shingle")
         inter = (
             a.join(b, "shingle")
             .where(F.col("doc_a") < F.col("doc_b"))
@@ -171,4 +191,6 @@ def ngram_jaccard_pairs(
         out = out.localCheckpoint(eager=True)
     finally:
         sh.unpersist()
+        if max_df is not None:
+            sh_kept.unpersist()
     return out

@@ -83,7 +83,27 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("LINKGRAPH_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Iterative kernels retire one shuffle + one localCheckpoint per
+        # round; the ContextCleaner only reclaims them after a JVM GC
+        # proves them unreachable. Default periodicGC is 30min — far
+        # longer than a whole run — so dead shuffle files pile up on
+        # spark.local.dir. 2min bounds that backlog.
+        .config("spark.cleaner.periodicGC.interval", "120s")
     )
+    # Shuffle/spill dir: local[] mode defaults spark.local.dir to /tmp,
+    # which in this sandbox is a slow virtual disk with high latency
+    # variance (measured: identical PageRank iterations ranged 36s-194s
+    # gated by straggler tasks re-reading shuffle blocks). Prefer the
+    # RAM-backed /dev/shm when present — on a real cluster executors
+    # get fast NVMe local dirs from the resource manager instead
+    # (SPARK_LOCAL_DIRS), which takes precedence here too.
+    if "SPARK_LOCAL_DIRS" not in os.environ and "spark.local.dir" not in (extra_conf or {}):
+        shm = os.environ.get("LINKGRAPH_LOCAL_DIR")
+        if shm is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            shm = "/dev/shm/linkgraph-spark"
+        if shm:
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -49,7 +49,16 @@ def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     for col in a.columns:
         av, bv = a[col].to_numpy(), b[col].to_numpy()
-        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+        # the driver's value-hash is dtype-sensitive: an int64 Spark
+        # column vs a float64 oracle column (e.g. DuckDB SUM -> HUGEINT
+        # -> float64) hash-mismatches even when values are equal
+        a_float = np.issubdtype(av.dtype, np.floating)
+        b_float = np.issubdtype(bv.dtype, np.floating)
+        assert a_float == b_float, (
+            f"{name}.{col}: dtype kind mismatch spark={av.dtype} oracle={bv.dtype}"
+            " (driver value-hash would fail)"
+        )
+        if a_float or b_float:
             assert np.allclose(
                 av.astype(float), bv.astype(float), rtol=0, atol=0
             ), f"{name}.{col}: float values differ"

@@ -68,3 +68,36 @@ def test_node_map_filter_constructors(spark, diamond):
     assert node_filter(state, F.col("out_deg") == 0).count() == 1
     assert single_frontier(diamond, 2).collect()[0]["id"] == 2
     assert full_frontier(diamond).count() == 4
+
+
+def test_frontier_volume_reverse_uses_in_deg(spark, diamond):
+    # vertex 3: out_deg 0 but in_deg 2 — the pull-direction statistic
+    # must size from in-degrees (ligra.rs:80 on the transpose)
+    f = spark.createDataFrame([(3,)], "id long")
+    assert frontier_volume(diamond, f) == 0
+    assert frontier_volume(diamond, f, reverse=True) == 2
+
+
+def test_edge_map_mode_dispatch_and_info(spark, diamond):
+    # m=4 -> threshold max(4//20,1)=1: volume 1 -> sparse, volume 3 -> dense
+    small = spark.createDataFrame([(1, 1.0)], "id long, val double")
+    info: dict = {}
+    edge_map(diamond, small, aggs=[F.sum("val").alias("s")], info=info).collect()
+    assert info["mode"] == "sparse-push" and info["volume"] == 1
+    big = spark.createDataFrame([(0, 1.0), (1, 1.0)], "id long, val double")
+    info = {}
+    out = edge_map(diamond, big, aggs=[F.sum("val").alias("s")], info=info)
+    assert info["mode"] == "dense-pull" and info["volume"] == 3
+    # dense and sparse forms agree on the result
+    forced_sparse = edge_map(diamond, big, aggs=[F.sum("val").alias("s")], dense=False)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, forced_sparse.collect()))
+
+
+def test_edge_map_exclude_dst_cond(spark, diamond):
+    # Ligra cond(): visited targets receive no messages (algos.rs:142-144)
+    f = spark.createDataFrame([(0, 1.0)], "id long, val double")
+    visited = spark.createDataFrame([(1,)], "id long")
+    out = edge_map(
+        diamond, f, aggs=[F.sum("val").alias("s")], exclude_dst=visited
+    ).collect()
+    assert {r["dst"] for r in out} == {2}

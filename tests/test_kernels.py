@@ -191,3 +191,30 @@ def test_web_sample_end_to_end(spark):
     comp = connected_components(g).df.toPandas().sort_values("id")["comp"].to_numpy()
     np.testing.assert_array_equal(comp, cc_numpy(g.n, src, dst))
     g.unpersist()
+
+
+def test_cc_takes_both_directions_in_one_run(spark):
+    """Direction dispatch is live (ligra.rs:58-88): a clique's full
+    round-0 frontier exceeds |E|/20 -> dense-pull; once the clique
+    settles, only a hanging path's tail keeps changing -> frontier
+    volume drops under the threshold -> sparse-push. One run, both
+    paths, result still exact."""
+    clique = [(i, j) for i in range(20) for j in range(20) if i != j]
+    tail = [(i, i + 1) for i in range(19, 30)]
+    pdf = pd.DataFrame(clique + tail, columns=["src", "dst"])
+    g = _graph(spark, pdf, 31)
+    res = connected_components(g)
+    modes = {m["mode"] for m in res.metrics}
+    assert modes == {"dense-pull", "sparse-push"}, res.metrics
+    got = res.df.toPandas().sort_values("id")["comp"].to_numpy()
+    expected = cc_numpy(31, pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+    np.testing.assert_array_equal(got, expected)
+    g.unpersist()
+
+
+def test_bfs_records_dispatch_mode(rmat_graph):
+    g, pdf, n = rmat_graph
+    res = bfs(g, root=0)
+    assert all(m["mode"] in ("dense-pull", "sparse-push") for m in res.metrics)
+    # the wide middle rounds of this small-diameter graph go dense
+    assert "dense-pull" in {m["mode"] for m in res.metrics}

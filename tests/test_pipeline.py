@@ -151,3 +151,25 @@ def test_token_stats_edge_cases(spark):
     assert out[0]["n_tokens"] == 0 and out[0]["quality_score"] == 0.0
     assert out[1]["n_tokens"] == 3
     assert out[1]["punct_cnt"] == 2
+
+
+def test_ngram_jaccard_stop_shingle_guard(spark):
+    """The max_df cutoff defuses the hot-shingle quadratic join: 40
+    docs sharing one long boilerplate prefix are all pairwise
+    near-dups without the guard (C(40,2) pairs from boilerplate
+    shingles alone); with max_df below the corpus size the universal
+    shingles are dropped from index AND sizes, and only genuinely
+    overlapping suffixes survive."""
+    from linkgraph.pipeline import ngram_jaccard_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [(i, boiler + f"unique tail number {i:04d}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    unguarded = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    assert unguarded.count() == 40 * 39 // 2  # boilerplate dominates
+    guarded = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=20)
+    # every shingle of the shared prefix has df=40 > 20 -> dropped; the
+    # remaining per-doc shingles ("...number 0001") overlap too little
+    assert guarded.count() < 40

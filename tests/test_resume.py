@@ -66,3 +66,35 @@ def test_metrics_recorded(small_graph, tmp_path):
     _, _, saved = ckpt.load(small_graph.edges.sparkSession, 4)
     assert sum(saved["partition_rows"].values()) == small_graph.n
     assert saved["lineage"]["m"] == small_graph.m
+
+
+def test_labelprop_resume_equals_uninterrupted(small_graph, tmp_path):
+    from linkgraph.kernels import label_propagation
+
+    full = label_propagation(small_graph, max_iter=10)
+
+    ckpt = CheckpointManager(str(tmp_path), "lp")
+    label_propagation(small_graph, max_iter=2, ckpt=ckpt)
+    assert ckpt.last_complete() == 1
+    resumed = label_propagation(small_graph, max_iter=10, ckpt=ckpt)
+
+    got_full = {r["id"]: r["label"] for r in full.df.collect()}
+    got_res = {r["id"]: r["label"] for r in resumed.df.collect()}
+    assert got_full == got_res
+    assert resumed.iterations == full.iterations
+
+
+def test_bfs_resume_equals_uninterrupted(small_graph, tmp_path):
+    from linkgraph.kernels import bfs
+
+    full = bfs(small_graph, root=0)
+
+    ckpt = CheckpointManager(str(tmp_path), "bfs")
+    bfs(small_graph, root=0, max_iter=2, ckpt=ckpt)
+    assert ckpt.last_complete() == 2
+    resumed = bfs(small_graph, root=0, ckpt=ckpt)
+
+    def levels(df):
+        return {r["id"]: (r["level"], r["parent"]) for r in df.collect()}
+
+    assert levels(resumed.df) == levels(full.df)
