@@ -87,11 +87,11 @@ def main(argv: list[str]) -> int:
         out = res.df.groupBy("comp").agg(F.count("*").alias("size")).orderBy(F.desc("size"))
         summary = {"kernel": "cc", "iterations": res.iterations}
     elif args.kernel == "bfs":
-        res = kernels.bfs(graph, root=args.root)
+        res = kernels.bfs(graph, root=args.root, ckpt=ckpt)
         out = res.df.orderBy("level", "id")
         summary = {"kernel": "bfs", "levels": res.iterations}
     elif args.kernel == "labelprop":
-        res = kernels.label_propagation(graph, max_iter=args.max_iter)
+        res = kernels.label_propagation(graph, max_iter=args.max_iter, ckpt=ckpt)
         out = res.df.groupBy("label").agg(F.count("*").alias("size")).orderBy(F.desc("size"))
         summary = {"kernel": "labelprop", "iterations": res.iterations}
     else:

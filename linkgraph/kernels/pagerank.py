@@ -27,7 +27,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
@@ -95,15 +95,30 @@ def pagerank(
     # re-planning costs ~0.3-0.7s driver latency per iteration
     # (measured 25-35% of iteration wall on rMAT-20). Skew in the
     # gather is already handled by partial+final aggregation.
-    loop_conf = {} if adaptive else {"spark.sql.adaptive.enabled": "false"}
+    # Shuffled-hash join instead of sort-merge: the edge cache is
+    # already laid out by src, but SMJ re-sorts the n-row state side
+    # on BOTH per-iteration joins (scatter on src, apply on id) —
+    # 2 × n log(n/P) of pure overhead per round. SHJ builds a small
+    # per-partition hash table on the state/gathered side (n/P rows)
+    # and streams the edges — no sorts at all.
+    loop_conf = {"spark.sql.join.preferSortMergeJoin": "false"}
+    if not adaptive:
+        loop_conf["spark.sql.adaptive.enabled"] = "false"
     with conf_override(edges.sparkSession, loop_conf):
       for it in range(start_iter, max_iter):
         it_t0 = time.time()
+        # SHUFFLE_HASH hint: checkpointed state is a LogicalRDD with
+        # unknown stats, so the planner's size check would fall back to
+        # SMJ; the hint forces the hash build on the n-row side (n/P
+        # rows per task — trivially in-memory) and streams the cached
+        # edge partitions with no sort.
         contribs = edges.join(
-            state.where(F.col("out_deg") > 0).select(
+            state.where(F.col("out_deg") > 0)
+            .select(
                 F.col("id").alias("src"),
                 (F.col("rank") / F.col("out_deg")).alias("w"),
-            ),
+            )
+            .hint("shuffle_hash"),
             "src",
         )
         if salt:
@@ -116,15 +131,26 @@ def pagerank(
         else:
             gathered = contribs.groupBy("dst").agg(F.sum("w").alias("gathered"))
 
+        # The per-iteration dangling mass enters as a BROADCAST ONE-ROW
+        # COLUMN, not as F.lit(dm/n): a changing literal makes every
+        # iteration's plan (and generated code) unique, defeating the
+        # Janino code cache and forcing fresh JIT per round. Keeping the
+        # plan byte-identical across iterations costs one 1-row
+        # broadcast. (Note: this removes recompilation overhead, but the
+        # 2-4x sporadic CPU inflation observed on identical stages in
+        # BENCH/BASELINE.md survived it — that component is host-level
+        # interference on the shared VM, see the bench methodology.)
+        dm_df = edges.sparkSession.createDataFrame([(float(dm),)], "dm_val double")
         new_state = (
-            state.join(gathered, state["id"] == gathered["dst"], "left")
+            state.join(gathered.hint("shuffle_hash"), state["id"] == gathered["dst"], "left")
+            .crossJoin(F.broadcast(dm_df))
             .select(
                 state["id"],
                 state["out_deg"],
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("gathered"), F.lit(0.0)) + F.lit(dm / n))
+                    * (F.coalesce(F.col("gathered"), F.lit(0.0)) + F.col("dm_val") / n)
                 ).alias("rank"),
                 state["rank"].alias("_old"),
             )
@@ -136,11 +162,25 @@ def pagerank(
         # 72s/iter by round 7 without this). localCheckpoint is the
         # plan-truncation API; its cost is one n-row pass, small next
         # to the m-row scatter shuffle at scale (SURVEY hard-part #1).
-        new_state = sever(new_state)
-        diff, dm_next = new_state.agg(
-            F.max(F.abs(F.col("rank") - F.col("_old"))),
-            F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(F.lit(0.0))),
-        ).first()
+        #
+        # Convergence diff + next dangling mass ride along as observed
+        # metrics on the SAME job that materializes the checkpoint —
+        # zero extra passes, zero extra job-scheduling round-trips per
+        # iteration (the reference's atomic global, as an Observation).
+        # fixed name: the observation name is part of the plan; keep
+        # every iteration's plan (and thus codegen source) identical
+        obs = Observation("pr_iter")
+        new_state = sever(
+            new_state.observe(
+                obs,
+                F.max(F.abs(F.col("rank") - F.col("_old"))).alias("diff"),
+                F.sum(
+                    F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(F.lit(0.0))
+                ).alias("dm"),
+            )
+        )
+        got = obs.get
+        diff, dm_next = got["diff"], got["dm"]
         dm = dm_next or 0.0
         release(prev_ckpt)  # free last round's checkpoint blocks NOW
         prev_ckpt = new_state
