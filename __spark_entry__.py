@@ -232,6 +232,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_documents(spark, sf_dir))
 
 
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline import winnow_fingerprints
+
+    return winnow_fingerprints(_documents(spark, sf_dir), k=5, window=4)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline import cosine_topk
 
@@ -278,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
@@ -556,6 +563,36 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
 """
 
 
+# Winnowing fingerprints (k=5-token grams, window=4): mirrors
+# linkgraph/pipeline/fingerprint.py exactly — same tokenization (trim +
+# split on \s+, NO empty-filter: an all-whitespace doc yields [''] with
+# len 1 < k on both engines), same h32 gram hash, same full-window rule
+# (GREATEST(n_grams - window, 0) keeps pos 0 alone when the doc has
+# fewer grams than one window = min over all its hashes).
+_DOC_FINGERPRINTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         array_to_string(toks[CAST(t.i + 1 AS BIGINT):CAST(t.i + 5 AS BIGINT)], ' ') AS gram
+  FROM toks, UNNEST(range(0, len(toks) - 5 + 1)) AS t(i)
+  WHERE len(toks) >= 5
+),
+h AS (SELECT doc_id, pos, {_H32.format(col='gram')} AS h FROM grams),
+w AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM h
+)
+SELECT DISTINCT doc_id, fp AS fingerprint
+FROM w WHERE pos <= GREATEST(n_grams - 4, 0)
+"""
+
+
 def _occ(needle: str) -> str:
     target = f" {needle} "
     return (
@@ -646,6 +683,7 @@ FROM documents GROUP BY md5(text)
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "token_stats": _token_stats_sql(),
         "lang_id": _lang_id_sql(),
+        "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "bfs_levels": _bfs_sql(),

@@ -41,7 +41,7 @@ WORKER = """
 import json, os, sys, time, threading
 edges_path = sys.argv[1]; cpus = int(sys.argv[2]); iters = int(sys.argv[3])
 heap = sys.argv[4]; partitions = int(sys.argv[5]); salt = int(sys.argv[6]) or None
-adaptive = bool(int(sys.argv[7]))
+adaptive = bool(int(sys.argv[7])); warmup = int(sys.argv[8])
 
 # host-level /proc/stat sampler: attributes user/steal/idle % to each
 # iteration so slow iterations can be separated into "our code" vs
@@ -106,8 +106,14 @@ iter_host = []
 for w in walls:
     iter_host.append(window_stats(acc, acc + w))
     acc += w
-median = sorted(walls)[len(walls) // 2]
-best = min(walls)
+# statistics over the steady-state window only: the first `warmup`
+# iterations carry C2 JIT compilation + first-touch of the edge cache
+# (observed: iteration 1 is 1.5-2x the steady state on the low leg),
+# which contaminates the median asymmetrically — the slow leg amortizes
+# warm-up over longer iterations. All walls are still published.
+steady = walls[warmup:] if len(walls) > warmup else walls
+median = sorted(steady)[len(steady) // 2]
+best = min(steady)
 
 # per-stage spill/shuffle telemetry from the REST API: separates
 # "slow iteration because more bytes were spilled" from host noise.
@@ -197,7 +203,7 @@ def run_level(edges_path: str, cpus: int, args) -> dict:
             pin + [
                 sys.executable, "-c", WORKER, edges_path, str(cpus),
                 str(args.iters), args.heap, str(args.partitions),
-                str(args.salt), str(int(args.adaptive)),
+                str(args.salt), str(int(args.adaptive)), str(args.warmup),
             ],
             capture_output=True,
             text=True,
@@ -226,6 +232,8 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--adaptive", action="store_true")
+    ap.add_argument("--warmup", type=int, default=2,
+                    help="iterations excluded from median/min (JIT + cache first-touch)")
     ap.add_argument("--only", type=int, default=0, help="run a single level, print JSON, no md append")
     args = ap.parse_args()
 
@@ -269,9 +277,10 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            f"\n## Scaling run {result['ts']} (rMAT scale 26, ef 12, {args.iters} fixed iterations, "
+            f"\n## Scaling run {result['ts']} (rMAT scale 26, ef 12, {args.iters} fixed iterations "
+            f"({args.warmup} warm-up excluded from stats), "
             f"heap {args.heap}, {args.partitions} partitions, salt={args.salt}, "
-            f"aqe={'on' if args.adaptive else 'off'}, local.dir=tmpfs)\n\n"
+            f"aqe={'on' if args.adaptive else 'off'}, local.dir=tmpfs, cpuset-pinned)\n\n"
             f"| cores | median iter s | min iter s | median edges/sec | min edges/sec | total wall s | gc s | cpu util | n | m |\n"
             f"|---|---|---|---|---|---|---|---|---|---|\n"
             f"| {lo['cpus']} | {lo['median_iter_s']:.2f} | {lo['min_iter_s']:.2f} | {lo['median_edges_per_sec']:.0f} | {lo['min_edges_per_sec']:.0f} | {lo['wall_s']:.2f} | {lo['gc_s']} | {lo['cpu_util']} | {lo['n']} | {lo['m']} |\n"

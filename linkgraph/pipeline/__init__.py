@@ -2,7 +2,8 @@
 and `embeddings` tables: deduplication (exact, MinHash+LSH, SimHash,
 n-gram Jaccard), similarity search (brute-force + LSH-bucketed ANN),
 text analysis (token stats, quality scoring, language-ID heuristic),
-and multimodal binary-column plumbing.
+document fingerprinting (winnowing rolling-hash), and multimodal
+binary-column plumbing.
 
 All hot paths are JVM-side built-in functions (explode / groupBy /
 window) — no per-row Python; the only Python is the multimodal decode
@@ -17,6 +18,7 @@ from linkgraph.pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from linkgraph.pipeline.fingerprint import winnow_fingerprints
 from linkgraph.pipeline.simsearch import cosine_topk, lsh_ann_topk
 from linkgraph.pipeline.textstats import lang_id, token_stats
 
@@ -30,4 +32,5 @@ __all__ = [
     "lsh_ann_topk",
     "token_stats",
     "lang_id",
+    "winnow_fingerprints",
 ]

@@ -17,6 +17,7 @@ from linkgraph.pipeline import (
     minhash_signatures,
     simhash,
     token_stats,
+    winnow_fingerprints,
 )
 from linkgraph.pipeline.dedup import MINHASH_P, minhash_params
 from linkgraph.pipeline.multimodal import (
@@ -81,6 +82,41 @@ def test_simhash_matches_python_oracle(spark):
     d_near = bin(got[0] ^ got[2]).count("1")
     d_far = bin(got[0] ^ got[3]).count("1")
     assert d_near < d_far
+
+
+def _winnow_py(text: str, k: int, w: int) -> set[int]:
+    """Straight-line winnowing oracle (Schleimer et al. SIGMOD'03),
+    mirroring fingerprint.py's tokenization exactly: trim + split \\s+,
+    empties kept (an empty text gives [''] -> no grams)."""
+    import re
+
+    toks = re.split(r"\s+", text.strip())
+    if len(toks) < k:
+        return set()
+    hs = [_h32(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+    return {min(hs[p : p + w]) for p in range(0, max(len(hs) - w, 0) + 1)}
+
+
+def test_winnow_fingerprints_matches_python_oracle(spark):
+    texts = [
+        "a b c d e f g h i j k l m n o p",  # long: many full windows
+        "z y x a b c d e f g h i w v u",  # shares the run "a b c d e f g h"
+        "one two three four five",  # exactly k tokens -> 1 gram < window
+        "tiny doc",  # < k tokens -> no fingerprints
+        "",  # empty -> no fingerprints
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(df, k=5, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _winnow_py(t, 5, 4), f"doc {i}"
+    # the winnowing guarantee: a shared token run of length >= w+k-1
+    # (here 8 = 4+5-1) yields at least one shared fingerprint
+    assert got[0] & got[1]
+    assert not got[0] & got.get(3, set())
 
 
 @pytest.fixture(scope="module")
