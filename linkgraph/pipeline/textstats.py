@@ -50,12 +50,15 @@ def token_stats(docs: DataFrame) -> DataFrame:
     for sw in STOPWORDS:
         c = _count_occurrences(F.col("text"), sw)
         stopword_cnt = c if stopword_cnt is None else stopword_cnt + c
+    # long, not int: downstream oracles (DuckDB length() -> BIGINT)
+    # compare dtype-for-dtype through Arrow, and int32 vs int64 is the
+    # exact class of value-identical hash mismatch that bit simhash.
     df = docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars"),
-        punct_cnt.alias("punct_cnt"),
-        stopword_cnt.alias("stopword_cnt"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        punct_cnt.cast("long").alias("punct_cnt"),
+        stopword_cnt.cast("long").alias("stopword_cnt"),
     )
     avg_tok = F.when(
         F.col("n_tokens") > 0,
