@@ -257,6 +257,32 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, k=5, max_queries=10)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed candidates, exact
+    cosine re-check). The synthetic embeddings are iid random — max
+    pair cosine at sf0.01 is ~0.51 — so the driver query pins
+    threshold=0.35 to yield a non-trivial result; production web-scale
+    corpora use ~0.9. The seeded hyperplanes make the approximate
+    candidate set exactly reproducible in the SQL oracle."""
+    from linkgraph.pipeline import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.35)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters = the engine's CC kernel over the exact
+    n-gram-Jaccard pair graph (same sub-corpus + stop-shingle guard as
+    q_ngram_jaccard). Oracle: recursive transitive closure in DuckDB —
+    cluster = MIN reachable doc_id, exactly the hash-min CC fixpoint."""
+    from pyspark.sql import functions as FF
+
+    from linkgraph.pipeline import dedup_clusters
+
+    docs = _documents(spark, sf_dir).where(FF.col("doc_id") < 100)
+    return dedup_clusters(docs, k=3, threshold=0.5, max_df=95)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank over the sf0.001 customer→supplier
     graph; top-100 (id, rank)."""
@@ -287,6 +313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -481,6 +509,73 @@ r AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {k}
+"""
+
+
+def _near_dup_sql(threshold: float = 0.35, n_planes: int = 8, n_tables: int = 4, dim: int = 64) -> str:
+    """Reproduces embedding_near_dup_pairs exactly: same seeded
+    hyperplanes as DOUBLE[] literals, candidate pairs = signature
+    collisions in any table (vec_a < vec_b), exact rounded-cosine
+    filter at `threshold`."""
+    from linkgraph.pipeline.simsearch import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, n_tables, seed=42)
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            arr = ", ".join(repr(float(x)) for x in planes[t, p])
+            rows.append(f"({t}, {p}, [{arr}]::DOUBLE[])")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+planes(t, p, pvec) AS (VALUES
+  {values}
+),
+dots AS (
+  SELECT e.vec_id, pl.t, pl.p, list_dot_product(e.vec, pl.pvec) AS dot
+  FROM e CROSS JOIN planes pl
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS sig
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         ROUND(list_cosine_similarity(ea.vec, eb.vec), 9) AS sim
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, sim FROM scored WHERE sim >= {threshold}
+"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Transitive closure over the q_ngram_jaccard pair graph: cluster
+    = MIN doc_id reachable along near-dup edges (undirected), i.e. the
+    hash-min CC fixpoint; pair-free docs are their own cluster."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_NGRAM_JACCARD_SQL})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT)
+  FROM documents WHERE doc_id < 100
+  UNION
+  SELECT e.b, w.r FROM reach w JOIN edges e ON e.a = w.node
+)
+SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+FROM reach GROUP BY node
 """
 
 
@@ -686,6 +781,8 @@ FROM documents GROUP BY md5(text)
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_near_dup": _near_dup_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "bfs_levels": _bfs_sql(),
         "labelprop_k": _labelprop_k_sql(3),
         "pagerank_delta_k": _PAGERANK_DELTA_SQL,

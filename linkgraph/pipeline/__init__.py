@@ -12,6 +12,7 @@ image/audio libs are not in this sandbox).
 """
 
 from linkgraph.pipeline.dedup import (
+    dedup_clusters,
     exact_dup_groups,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -19,7 +20,11 @@ from linkgraph.pipeline.dedup import (
     simhash,
 )
 from linkgraph.pipeline.fingerprint import winnow_fingerprints
-from linkgraph.pipeline.simsearch import cosine_topk, lsh_ann_topk
+from linkgraph.pipeline.simsearch import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
 from linkgraph.pipeline.textstats import lang_id, token_stats
 
 __all__ = [
@@ -28,8 +33,10 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "dedup_clusters",
     "cosine_topk",
     "lsh_ann_topk",
+    "embedding_near_dup_pairs",
     "token_stats",
     "lang_id",
     "winnow_fingerprints",

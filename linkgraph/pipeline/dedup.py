@@ -194,3 +194,43 @@ def ngram_jaccard_pairs(
         if max_df is not None:
             sh_kept.unpersist()
     return out
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    max_iter: int = 1000,
+) -> DataFrame:
+    """Near-duplicate clusters: connected components over the exact
+    n-gram-Jaccard pair graph. Returns (doc_id, cluster) for EVERY
+    document — cluster = min doc_id in its component (hash-min CC
+    fixpoint); documents with no qualifying pair are singletons.
+
+    This is the canonical "pick one per duplicate group" step after
+    pair finding: pairs alone don't dedup (near-dup is not transitive
+    but clustering must be), so production pipelines cluster pairs and
+    keep one representative per cluster. The pair graph comes from the
+    inverted-index join (stop-shingle guard via max_df, same as
+    ngram_jaccard_pairs); the clustering reuses the engine's own CC
+    kernel (kernels/cc.py hash-min label propagation, edge_map
+    push/pull dispatch) — the link-graph and the LLM-pipeline halves of
+    the library composed into one job. At 100 TB both stages are
+    shuffle-safe: the pair join is bucket-keyed, and CC rounds are
+    hash-partitioned joins with broadcast small-frontier dispatch.
+    """
+    from linkgraph.build import build_graph_from_edges
+    from linkgraph.kernels.cc import connected_components
+
+    pairs = ngram_jaccard_pairs(docs, k=k, threshold=threshold, max_df=max_df)
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    )
+    vertices = docs.select(F.col("doc_id").cast("long").alias("id")).distinct()
+    g = build_graph_from_edges(edges, vertices=vertices)
+    res = connected_components(g, max_iter=max_iter)
+    return res.df.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster")
+    )

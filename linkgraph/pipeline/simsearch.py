@@ -79,6 +79,91 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.n
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
+def _signed(emb: DataFrame, planes: np.ndarray) -> DataFrame:
+    """(vec_id, vec, sig0..sigT): per-table sign-bit signature against
+    the literal hyperplane arrays — all JVM-side higher-order funcs."""
+    n_tables, n_planes, _ = planes.shape
+    sig_cols = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            arr = F.array(*[F.lit(float(x)) for x in planes[t, p]])
+            # dot product against a literal hyperplane array
+            prod = F.aggregate(
+                F.zip_with("vec", arr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(prod > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        sig_cols.append(sum(bits[1:], bits[0]).alias(f"sig{t}"))
+    return emb.select("vec_id", "vec", *sig_cols)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, sim) with
+    vec_a < vec_b and cosine >= threshold, candidates restricted to
+    hyperplane-LSH bucket collisions (same signature in ANY table).
+
+    This is the embedding-space member of the dedup family (exact /
+    MinHash-LSH / SimHash / n-gram-Jaccard / embedding-cosine). The
+    scale shape mirrors lsh_candidate_pairs: a self-join keyed on
+    (table, signature) buckets costs Σ bucket² rows, not n² — at 100 TB
+    the bucket width is tuned via n_planes (16-24 bits) so buckets stay
+    small; recall comes from n_tables independent tables. The
+    hyperplanes are seeded/deterministic, so the full approximate
+    pipeline is exactly reproducible (the driver oracle re-derives the
+    same planes as SQL literals).
+
+    Pair orientation vec_a < vec_b is applied INSIDE each bucket join
+    (halves the join output) and duplicates across tables are dropped
+    before the exact cosine re-check.
+    """
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    dim = len(emb.select("vec").first()[0])
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    signed = _signed(emb, planes).persist()
+    try:
+        cands = None
+        for t in range(n_tables):
+            a = signed.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("vec").alias("va"),
+                F.col(f"sig{t}").alias("sig"),
+            )
+            b = signed.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("vec").alias("vb"),
+                F.col(f"sig{t}").alias("sig"),
+            )
+            c = (
+                a.join(b, "sig")
+                .where(F.col("vec_a") < F.col("vec_b"))
+                .select("vec_a", "va", "vec_b", "vb")
+            )
+            cands = c if cands is None else cands.union(c)
+        cands = cands.dropDuplicates(["vec_a", "vec_b"])
+        out = (
+            cands.select(
+                "vec_a",
+                "vec_b",
+                F.round(_cosine("va", "vb"), 9).alias("sim"),
+            )
+            .where(F.col("sim") >= threshold)
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        signed.unpersist()
+    return out
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -97,24 +182,7 @@ def lsh_ann_topk(
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-
-    # signature per (vec, table): sign-bit integer against each plane
-    sig_cols = []
-    for t in range(n_tables):
-        bits = []
-        for p in range(n_planes):
-            arr = F.array(*[F.lit(float(x)) for x in planes[t, p]])
-            # dot product against a literal hyperplane array
-            prod = F.aggregate(
-                F.zip_with("vec", arr, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(prod > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        sig_cols.append(
-            sum(bits[1:], bits[0]).alias(f"sig{t}")
-        )
-    signed = emb.select("vec_id", "vec", *sig_cols).persist()
+    signed = _signed(emb, planes).persist()
     try:
         queries = signed.where(F.col("vec_id") < max_queries)
         cands = None

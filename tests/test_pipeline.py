@@ -209,3 +209,83 @@ def test_ngram_jaccard_stop_shingle_guard(spark):
     # every shingle of the shared prefix has df=40 > 20 -> dropped; the
     # remaining per-doc shingles ("...number 0001") overlap too little
     assert guarded.count() < 40
+
+
+def test_embedding_near_dup_pairs(spark, emb_df):
+    """Clustered embeddings: every same-cluster pair has cosine ~1
+    (0.05 jitter) and identical-direction vectors always share every
+    LSH signature, so all high-sim pairs must be found; returned pairs
+    are exactly {(a<b): sim >= t AND bucket-collision in >=1 table},
+    verified against a NumPy reconstruction of the same pipeline."""
+    from linkgraph.pipeline import embedding_near_dup_pairs
+    from linkgraph.pipeline.simsearch import _hyperplanes
+
+    t = 0.95
+    out = embedding_near_dup_pairs(emb_df, threshold=t, n_planes=6, n_tables=4).toPandas()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb_df.collect()}
+    planes = _hyperplanes(16, 6, 4, seed=42)
+    sigs = {}
+    for vid, v in vecs.items():
+        sigs[vid] = [
+            sum((1 << p) for p in range(6) if float(np.dot(v, planes[tb, p])) > 0)
+            for tb in range(4)
+        ]
+    expected = set()
+    for a in vecs:
+        for b in vecs:
+            if a >= b:
+                continue
+            if not any(sigs[a][tb] == sigs[b][tb] for tb in range(4)):
+                continue
+            sim = round(float(np.dot(vecs[a], vecs[b])
+                              / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))), 9)
+            if sim >= t:
+                expected.add((a, b))
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    assert got == expected
+    assert (out["sim"] >= t).all()
+    # same-cluster pairs dominate: the op actually finds near-dups
+    assert len(got) > 100
+    same_cluster = sum(1 for a, b in got if a % 10 == b % 10)
+    assert same_cluster == len(got)
+
+
+def test_dedup_clusters_union_find(spark):
+    """dedup_clusters == union-find over the >=threshold Jaccard pair
+    graph; docs with no pair are singletons labelled by their own id."""
+    from linkgraph.pipeline import dedup_clusters, ngram_jaccard_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [
+                "aaaa bbbb cccc dddd",
+                "aaaa bbbb cccc dddd",      # dup of 0
+                "aaaa bbbb cccc dddx",      # near-dup of 0/1
+                "wholly unrelated text one",
+                "wholly unrelated text two",  # near-dup of 3
+                "zzz qqq vvv",              # singleton
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(docs)
+    pairs = ngram_jaccard_pairs(sdf, k=3, threshold=0.5).toPandas()
+    parent = list(range(6))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, r in pairs.iterrows():
+        ra, rb = find(int(r["doc_a"])), find(int(r["doc_b"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: min(x for x in range(6) if find(x) == find(d)) for d in range(6)}
+    out = dedup_clusters(sdf, k=3, threshold=0.5).toPandas()
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    assert got == expected
+    assert got[5] == 5  # singleton keeps its own id
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == 3
