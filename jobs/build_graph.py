@@ -37,7 +37,9 @@ def main(argv: list[str]) -> int:
 
         pages = spark.createDataFrame(generate_pages(PagesSpec(n_pages=args.synth)))
     else:
-        pages = spark.read.parquet(args.pages)
+        from linkgraph.io import read_pages
+
+        pages = read_pages(spark, args.pages)
     phases["load"] = time.time() - t0
 
     t1 = time.time()

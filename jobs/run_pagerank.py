@@ -54,7 +54,9 @@ def main(argv: list[str]) -> int:
         pages = spark.createDataFrame(generate_pages(PagesSpec(n_pages=args.synth)))
         graph = build_graph_from_pages(pages)
     elif args.pages:
-        graph = build_graph_from_pages(spark.read.parquet(args.pages))
+        from linkgraph.io import read_pages
+
+        graph = build_graph_from_pages(read_pages(spark, args.pages))
     else:
         graph = build_graph_from_edges(spark.read.parquet(args.edges))
     build_s = time.time() - t0

@@ -69,3 +69,22 @@ def test_write_read_roundtrip(spark, tmp_path):
     assert g2.threshold == 1
     g.unpersist()
     g2.unpersist()
+
+
+def test_read_pages_dispatch(spark, tmp_path):
+    """io.read_pages: parquet path and table-identifier (the Iceberg
+    code path — spark.read.table; sandbox uses a temp view since no
+    Iceberg catalog jar is installable here) return identical data."""
+    import pandas as pd
+
+    from linkgraph.io import read_pages
+
+    pdf = pd.DataFrame({"url": ["http://a/", "http://b/"],
+                        "text": ["x", "y"], "lang": ["en", "en"]})
+    path = str(tmp_path / "pages_pq")
+    spark.createDataFrame(pdf).write.parquet(path)
+    via_path = read_pages(spark, path).orderBy("url").toPandas()
+    spark.read.parquet(path).createOrReplaceTempView("pages_view")
+    via_table = read_pages(spark, "table:pages_view").orderBy("url").toPandas()
+    assert via_path.equals(via_table)
+    assert list(via_path["url"]) == ["http://a/", "http://b/"]
