@@ -1,0 +1,101 @@
+"""spark-submit entry: training-data pipeline operators over a
+documents / embeddings corpus (SURVEY §2.8).
+
+Usage:
+  spark-submit --py-files dist/linkgraph.zip jobs/run_pipeline.py \\
+      --docs /path/documents_parquet --op dedup_clusters \\
+      [--output /path/out] [--threshold 0.5] [--max-df 1000]
+
+  spark-submit ... jobs/run_pipeline.py \\
+      --embeddings /path/embeddings_parquet --op near_dup --threshold 0.9
+
+Ops over --docs:        exact_dedup | minhash | lsh_pairs | simhash |
+                        ngram_jaccard | dedup_clusters | token_stats |
+                        lang_id | fingerprints
+Ops over --embeddings:  ann_topk | ann_lsh | near_dup
+
+Writes the result as parquet to --output when given, else prints 20
+rows. Packaged-for-spark-submit per BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+DOC_OPS = {
+    "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
+    "dedup_clusters", "token_stats", "lang_id", "fingerprints",
+}
+EMB_OPS = {"ann_topk", "ann_lsh", "near_dup"}
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(description="linkgraph pipeline runner")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--docs", help="parquet dir or table:<id> with documents(doc_id, text)")
+    src.add_argument("--embeddings", help="parquet dir or table:<id> with embeddings(vec_id, embedding)")
+    ap.add_argument("--op", required=True, choices=sorted(DOC_OPS | EMB_OPS))
+    ap.add_argument("--output", help="parquet output dir (default: show 20 rows)")
+    ap.add_argument("--threshold", type=float, default=None)
+    ap.add_argument("--k", type=int, default=None, help="shingle size / top-k")
+    ap.add_argument("--max-df", type=int, default=None, help="stop-shingle cutoff")
+    args = ap.parse_args(argv)
+
+    from linkgraph.io import read_pages
+    from linkgraph.session import get_spark
+
+    spark = get_spark(app_name=f"linkgraph-pipeline-{args.op}")
+    if args.op in DOC_OPS and not args.docs:
+        ap.error(f"--op {args.op} needs --docs")
+    if args.op in EMB_OPS and not args.embeddings:
+        ap.error(f"--op {args.op} needs --embeddings")
+    source = read_pages(spark, args.docs or args.embeddings)
+
+    import linkgraph.pipeline as P
+
+    t0 = time.time()
+    if args.op == "exact_dedup":
+        out = P.exact_dup_groups(source)
+    elif args.op == "minhash":
+        out = P.minhash_signatures(source)
+    elif args.op == "lsh_pairs":
+        out = P.lsh_candidate_pairs(source)
+    elif args.op == "simhash":
+        out = P.simhash(source)
+    elif args.op == "ngram_jaccard":
+        out = P.ngram_jaccard_pairs(
+            source, k=args.k or 3, threshold=args.threshold or 0.5, max_df=args.max_df
+        )
+    elif args.op == "dedup_clusters":
+        out = P.dedup_clusters(
+            source, k=args.k or 3, threshold=args.threshold or 0.5, max_df=args.max_df
+        )
+    elif args.op == "token_stats":
+        out = P.token_stats(source)
+    elif args.op == "lang_id":
+        out = P.lang_id(source)
+    elif args.op == "fingerprints":
+        out = P.winnow_fingerprints(source, k=5, window=4)
+    elif args.op == "ann_topk":
+        out = P.cosine_topk(source, k=args.k or 5)
+    elif args.op == "ann_lsh":
+        out = P.lsh_ann_topk(source, k=args.k or 5)
+    elif args.op == "near_dup":
+        out = P.embedding_near_dup_pairs(source, threshold=args.threshold or 0.9)
+    else:  # pragma: no cover
+        raise AssertionError(args.op)
+
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f'{{"op": "{args.op}", "rows": {n}, "wall_s": {time.time() - t0:.3f}}}')
+    else:
+        out.show(20, truncate=80)
+        print(f'{{"op": "{args.op}", "wall_s": {time.time() - t0:.3f}}}')
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
