@@ -58,7 +58,29 @@ def pagerank(
     ckpt: CheckpointManager | None = None,
     ckpt_every: int = 5,
     adaptive: bool = False,
+    check_every: int = 1,
 ) -> PageRankResult:
+    """check_every=K chains K power-iteration rounds into ONE Spark job:
+    the dangling mass enters each chained round as an IN-PLAN broadcast
+    scalar aggregate (a one-row agg of the round's input state) instead
+    of a driver-collected literal, so no driver round-trip happens
+    inside a block; convergence is checked (and lineage severed) only
+    at block boundaries. Ranks after N executed iterations are
+    IDENTICAL to check_every=1 (same recurrence, pinned by pytest
+    parity at atol 1e-15); convergence may be detected up to K-1
+    iterations late.
+
+    MEASURED trade-off (sf0.1 graph, 16 fixed iters, local[32], warm):
+    K=1 9.9 s, K=2 9.1 s, K=4 31.8 s, K=8 234 s. K=2 buys ~8% by
+    halving Observation collects; K>2 LOSES exponentially because
+    Catalyst logical plans are TREES, not DAGs — inside a block each
+    round's output is referenced by three consumers (next scatter,
+    next apply, next dm agg), so every reference clones the whole
+    subtree through analysis/optimization/codegen: ~3^K driver-side
+    plan work that no executor-side persist can amortize (persisting
+    intermediates was measured to not help — the cost is planning, not
+    recompute). Default stays 1; 2 is the only other sensible value,
+    on clusters where the per-job driver barrier is the bottleneck."""
     n = graph.n
     edges = graph.edges
 
@@ -83,9 +105,14 @@ def pagerank(
         )
 
     t0 = time.time()
+    check_every = max(1, check_every)
     # dangling mass of the CURRENT state; refreshed by the per-iteration
-    # stats pass so the loop does exactly one collect per round.
-    dm = state.where(F.col("out_deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+    # stats pass so the loop does exactly one collect per round. With
+    # chained blocks (check_every > 1) the mass is computed in-plan
+    # instead — no driver-side scalar is ever needed.
+    dm = 0.0
+    if check_every == 1:
+        dm = state.where(F.col("out_deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
 
     iterations = 0
     converged = False
@@ -104,16 +131,14 @@ def pagerank(
     loop_conf = {"spark.sql.join.preferSortMergeJoin": "false"}
     if not adaptive:
         loop_conf["spark.sql.adaptive.enabled"] = "false"
-    with conf_override(edges.sparkSession, loop_conf):
-      for it in range(start_iter, max_iter):
-        it_t0 = time.time()
+    def one_round(cur: DataFrame, dm_df: DataFrame) -> DataFrame:
         # SHUFFLE_HASH hint: checkpointed state is a LogicalRDD with
         # unknown stats, so the planner's size check would fall back to
         # SMJ; the hint forces the hash build on the n-row side (n/P
         # rows per task — trivially in-memory) and streams the cached
         # edge partitions with no sort.
         contribs = edges.join(
-            state.where(F.col("out_deg") > 0)
+            cur.where(F.col("out_deg") > 0)
             .select(
                 F.col("id").alias("src"),
                 (F.col("rank") / F.col("out_deg")).alias("w"),
@@ -130,31 +155,52 @@ def pagerank(
             )
         else:
             gathered = contribs.groupBy("dst").agg(F.sum("w").alias("gathered"))
-
-        # The per-iteration dangling mass enters as a BROADCAST ONE-ROW
-        # COLUMN, not as F.lit(dm/n): a changing literal makes every
-        # iteration's plan (and generated code) unique, defeating the
-        # Janino code cache and forcing fresh JIT per round. Keeping the
-        # plan byte-identical across iterations costs one 1-row
-        # broadcast. (Note: this removes recompilation overhead, but the
-        # 2-4x sporadic CPU inflation observed on identical stages in
-        # BENCH/BASELINE.md survived it — that component is host-level
-        # interference on the shared VM, see the bench methodology.)
-        dm_df = edges.sparkSession.createDataFrame([(float(dm),)], "dm_val double")
-        new_state = (
-            state.join(gathered.hint("shuffle_hash"), state["id"] == gathered["dst"], "left")
+        return (
+            cur.join(gathered.hint("shuffle_hash"), cur["id"] == gathered["dst"], "left")
             .crossJoin(F.broadcast(dm_df))
             .select(
-                state["id"],
-                state["out_deg"],
+                cur["id"],
+                cur["out_deg"],
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (F.coalesce(F.col("gathered"), F.lit(0.0)) + F.col("dm_val") / n)
                 ).alias("rank"),
-                state["rank"].alias("_old"),
+                cur["rank"].alias("_old"),
             )
         )
+
+    with conf_override(edges.sparkSession, loop_conf):
+      it = start_iter
+      while it < max_iter:
+        it_t0 = time.time()
+        k = min(check_every, max_iter - it)
+        cur = state
+        for _j in range(k):
+            if check_every == 1:
+                # The per-iteration dangling mass enters as a BROADCAST
+                # ONE-ROW COLUMN, not as F.lit(dm/n): a changing literal
+                # makes every iteration's plan (and generated code)
+                # unique, defeating the Janino code cache and forcing
+                # fresh JIT per round. Keeping the plan byte-identical
+                # across iterations costs one 1-row broadcast. (This
+                # removes recompilation overhead; the 2-4x sporadic CPU
+                # inflation on identical stages in BENCH/BASELINE.md
+                # survived it — host-level interference, see the bench
+                # methodology.)
+                dm_df = edges.sparkSession.createDataFrame(
+                    [(float(dm),)], "dm_val double"
+                )
+            else:
+                # In-plan dangling mass: one-row aggregate of the
+                # round's input state, broadcast into the apply join —
+                # the chained rounds need no driver scalar at all.
+                dm_df = cur.where(F.col("out_deg") == 0).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm_val")
+                )
+            nxt = one_round(cur, dm_df)
+            cur = nxt.drop("_old")
+        new_state = nxt
         # Lineage MUST be cut every round: `state` feeds both the
         # scatter join and the apply join, so the logical plan DOUBLES
         # per iteration — persist() caches execution but Catalyst still
@@ -185,19 +231,23 @@ def pagerank(
         release(prev_ckpt)  # free last round's checkpoint blocks NOW
         prev_ckpt = new_state
         state = new_state.drop("_old")
-        iterations = it + 1
+        it += k
+        iterations = it
         converged = diff < tol
         rec = {
-            "iteration": it,
+            "iteration": it - 1,
+            "iterations_in_block": k,
             "diff": diff,
             "dangling_mass": dm,
-            "edges_processed": graph.m,
+            "edges_processed": graph.m * k,
             "wall_s": time.time() - it_t0,
             "converged": converged,
         }
         metrics.append(rec)
-        if ckpt is not None and (converged or (it + 1) % ckpt_every == 0):
-            ckpt.save(it, state, metrics=rec)
+        if ckpt is not None and (
+            converged or (it % ckpt_every) < k and it >= ckpt_every
+        ):
+            ckpt.save(it - 1, state, metrics=rec)
         if converged:
             break
 

@@ -218,3 +218,24 @@ def test_bfs_records_dispatch_mode(rmat_graph):
     assert all(m["mode"] in ("dense-pull", "sparse-push") for m in res.metrics)
     # the wide middle rounds of this small-diameter graph go dense
     assert "dense-pull" in {m["mode"] for m in res.metrics}
+
+
+def test_pagerank_check_every_parity(rmat_graph):
+    """check_every=K chains K rounds per job with in-plan dangling
+    mass; executed-iteration ranks must be bit-comparable to the
+    round-per-job path (same recurrence, same float op order)."""
+    from linkgraph.kernels import pagerank
+
+    g, _, _ = rmat_graph
+    base = pagerank(g, tol=0.0, max_iter=6).df.orderBy("id").toPandas()
+    blocked = pagerank(g, tol=0.0, max_iter=6, check_every=3)
+    got = blocked.df.orderBy("id").toPandas()
+    assert blocked.iterations == 6
+    assert len(blocked.metrics) == 2  # two blocks of three
+    np.testing.assert_allclose(got["rank"], base["rank"], atol=1e-15, rtol=0)
+
+    # convergence detection at block boundaries: tol reached mid-block
+    # -> stops at the block end with converged=True
+    conv = pagerank(g, tol=1e-3, max_iter=40, check_every=4)
+    assert conv.converged
+    assert conv.iterations % 4 == 0
