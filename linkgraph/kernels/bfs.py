@@ -14,6 +14,11 @@ values (SURVEY §1.2). Rounds go through frontier.edge_map, so the
 rounds on small-diameter graphs take the dense-pull SMJ form, narrow
 first/last rounds the sparse-push broadcast form; the chosen mode is
 recorded per-iteration in metrics.
+
+Driver round-trips: ONE Spark job per level — the newly-reached count
+rides the localCheckpoint materialization as an Observation (the
+pagerank pattern, pagerank.py:212-229), replacing both the
+loop-condition frontier.count() and the checkpoint-time recount.
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
@@ -48,13 +53,15 @@ def bfs(
 
     visited = None
     start_level = 1
+    fcount = 1  # fresh start: frontier = {root}
     if ckpt is not None:
         last = ckpt.last_complete()
         if last is not None:
             loaded, _, rec = ckpt.load(spark, last)
             visited = sever(loaded)
             start_level = last + 1
-            if rec.get("frontier_size_next") == 0:
+            fcount = int(rec.get("frontier_size_next") or 0)
+            if fcount == 0:
                 return BFSResult(visited, last, 0.0, [rec])
     if visited is None:
         # parents[root] = root (algos.rs:158)
@@ -66,9 +73,9 @@ def bfs(
     iterations = start_level - 1
     metrics: list[dict] = []
     for level in range(start_level, max_iter + 1):
-        fcount = frontier.count()
         if fcount == 0:
             break
+        entering = fcount
         est_volume = int(fcount * (graph.m / max(graph.n, 1)))
         info: dict = {}
         nxt = edge_map(
@@ -84,23 +91,29 @@ def bfs(
             "parent",
         )
         prev = visited
-        visited = sever(visited.union(nxt))
+        # one job per level: the newly-reached count (= next frontier
+        # size) rides the union's materialization as an Observation
+        obs = Observation("bfs_iter")
+        visited = sever(
+            visited.union(nxt).observe(
+                obs,
+                F.sum((F.col("level") == level).cast("long")).alias("added"),
+            )
+        )
         release(prev)
+        fcount = int(obs.get["added"] or 0)
         frontier = visited.where(F.col("level") == level).select("id")
         iterations = level
         rec = {
             "iteration": level,
-            "frontier_size": fcount,
+            "frontier_size": entering,
             "mode": info.get("mode"),
             "volume": info.get("volume"),
+            "frontier_size_next": fcount,
         }
         metrics.append(rec)
         if ckpt is not None:
-            ckpt.save(
-                level,
-                visited,
-                metrics={**rec, "frontier_size_next": frontier.count()},
-            )
+            ckpt.save(level, visited, metrics=rec)
     return BFSResult(
         df=visited,
         iterations=iterations,

@@ -17,6 +17,20 @@ Spark shape per round: the frontier rows already carry their NEW label
 (they are exactly the rows that changed), so the message source is the
 frontier DataFrame itself — no extra state join on the push side.
 
+Frontier representation (D9, node_set.rs:123-158): the frontier is a
+BITMAP — a `changed` boolean column carried ON the state DataFrame and
+materialized with it in the same localCheckpoint pass (the Spark
+analogue of Ligra's dense `bool[n]` colocated with the per-vertex
+state). The sparse view needed by edge_map is `state.where(changed)`,
+a filter over the checkpointed state — never a separately materialized
+or counted DataFrame. Checkpoints store only the state (the bitmap
+rides along); resume re-derives the frontier by filtering.
+
+Driver round-trips: ONE Spark job per round. The next frontier size is
+an `Observation` aggregate riding the localCheckpoint materialization
+job (the same pattern as pagerank.py:212-229) — no frontier.count()
+loop-condition job, no recount at checkpoint save.
+
 Direction dispatch (ligra.rs:58-88): rounds go through
 frontier.edge_map, which applies the |E|/20 rule — a full/large
 frontier takes the dense-pull form (SMJ over the src-bucketed edge
@@ -32,7 +46,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph, build_graph_from_edges, symmetrize
@@ -55,30 +69,53 @@ def connected_components(
     max_iter: int = 1000,
     ckpt: CheckpointManager | None = None,
 ) -> CCResult:
+    sym_graph = None
     if symmetrize_edges:
         graph = build_graph_from_edges(
             symmetrize(graph.edges), vertices=graph.vertices
         )
+        sym_graph = graph  # internal cache; released before returning
     t0 = time.time()
+    try:
+        return _cc_loop(graph, max_iter, ckpt, t0)
+    finally:
+        if sym_graph is not None:
+            # release the internal symmetrized edge/degree caches (the
+            # vertices DF belongs to the caller's graph — leave it).
+            # Results are severed (localCheckpoint), so this is safe.
+            sym_graph.edges.unpersist()
+            sym_graph.degrees.unpersist()
+
+
+def _cc_loop(
+    graph: Graph,
+    max_iter: int,
+    ckpt: CheckpointManager | None,
+    t0: float,
+) -> CCResult:
 
     state = None
     start_iter = 0
-    frontier = None
+    fcount = 0
     if ckpt is not None:
         last = ckpt.last_complete()
         if last is not None:
-            loaded_state, loaded_frontier, rec = ckpt.load(
-                graph.edges.sparkSession, last, with_frontier=True
-            )
-            state = sever(loaded_state)
-            frontier = sever(loaded_frontier) if loaded_frontier is not None else None
+            loaded_state, _, rec = ckpt.load(graph.edges.sparkSession, last)
+            state = sever(loaded_state)  # (id, comp, changed) — bitmap rides along
             start_iter = last + 1
-            if rec.get("frontier_size_next") == 0:
+            fcount = int(rec.get("frontier_size_next") or 0)
+            if fcount == 0:
                 return CCResult(state.select("id", "comp"), last + 1, 0.0, [rec])
     if state is None:
         # ids[v] = v (algos.rs:88); round 0 frontier = full (algos.rs:113)
-        state = sever(graph.vertices.select("id", F.col("id").alias("comp")))
-        frontier = state  # full frontier carries its labels
+        # — encoded as changed=true on every row of the bitmap state, so
+        # the full frontier costs no materialization of its own.
+        state = sever(
+            graph.vertices.select(
+                "id", F.col("id").alias("comp"), F.lit(True).alias("changed")
+            )
+        )
+        fcount = graph.n
 
     iterations = start_iter
     prev_ckpt = state
@@ -87,18 +124,20 @@ def connected_components(
     with conf_override(graph.edges.sparkSession, {"spark.sql.adaptive.enabled": "false"}):
       for it in range(start_iter, max_iter):
         it_t0 = time.time()
-        fcount = frontier.count()
         if fcount == 0:
             break
+        # frontier = the bitmap filter view over the checkpointed state
+        frontier = state.where(F.col("changed")).select("id", "comp")
         # edge_map dispatch: push (broadcast) from a small frontier,
         # pull (dense SMJ) when |frontier| * avg_degree > m/20
         # (ligra.rs:82-87; estimate instead of the exact volume join —
-        # the frontier carries changed labels, count*avg is free)
+        # fcount came free off last round's Observation, count*avg is
+        # driver arithmetic)
         est_volume = int(fcount * (graph.m / max(graph.n, 1)))
         info: dict = {}
         msgs = edge_map(
             graph,
-            frontier.select("id", "comp"),
+            frontier,
             aggs=[F.min("comp").alias("new_comp")],
             volume=est_volume,
             info=info,
@@ -110,25 +149,38 @@ def connected_components(
                 F.least(
                     state["comp"], F.coalesce(F.col("new_comp"), state["comp"])
                 ).alias("comp"),
-                state["comp"].alias("_old"),
+                (
+                    F.coalesce(F.col("new_comp"), state["comp"]) < state["comp"]
+                ).alias("changed"),
             )
         )
-        new_state = sever(new_state)
+        # ONE job per round: the next frontier size rides the
+        # checkpoint materialization as an Observation (pagerank
+        # pattern) — no separate count job, no recount at save.
+        obs = Observation("cc_iter")
+        new_state = sever(
+            new_state.observe(
+                obs, F.sum(F.col("changed").cast("long")).alias("changed")
+            )
+        )
+        next_count = int(obs.get["changed"] or 0)
         release(prev_ckpt)
         prev_ckpt = new_state
-        frontier = new_state.where(F.col("comp") < F.col("_old")).select("id", "comp")
-        state = new_state.drop("_old")
-        iterations = it + 1
         rec = {
             "iteration": it,
             "frontier_size": fcount,
+            "frontier_rep": "bitmap",
             "mode": info.get("mode"),
             "volume": info.get("volume"),
+            "frontier_size_next": next_count,
             "wall_s": time.time() - it_t0,
         }
+        state = new_state
+        fcount = next_count
+        iterations = it + 1
         metrics.append(rec)
         if ckpt is not None:
-            ckpt.save(it, state, frontier=frontier, metrics={**rec, "frontier_size_next": frontier.count()})
+            ckpt.save(it, state, metrics=rec)
     return CCResult(
         df=state.select("id", "comp"),
         iterations=iterations,

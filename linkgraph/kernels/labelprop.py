@@ -8,9 +8,16 @@ label changes or max_iter reached. Verified against a NumPy oracle
 (tests/oracles.py).
 
 Spark shape per round: join labels onto edges by src, count labels per
-(dst, label), pick the winner with a row_number window ordered by
-(count desc, label asc) — the window partitions by dst so it
-parallelizes across vertices (SURVEY §2.6 row 1).
+(dst, label) (map-side partial agg bounds hub dsts), then pick the
+winner with a single `min_by(label, struct(-cnt, label))` aggregate —
+the (cnt desc, label asc) ordering expressed as one hash aggregation,
+no per-partition window sort. (SURVEY §2.6 row 1 prescribed a
+row_number window; min_by gives the identical winner with one less
+sort per round — the plan has no Window node.)
+
+Driver round-trips: ONE Spark job per round — the changed-count rides
+the localCheckpoint materialization as an Observation (the pagerank
+pattern, pagerank.py:212-229) instead of a separate count job.
 """
 
 from __future__ import annotations
@@ -18,7 +25,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
@@ -55,7 +62,6 @@ def label_propagation(
     prev_ckpt = labels
     iterations = start_iter
     metrics: list[dict] = []
-    win = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
     # AQE off in the loop (same rationale as pagerank.py)
     with conf_override(graph.edges.sparkSession, {"spark.sql.adaptive.enabled": "false"}):
       for it in range(start_iter, max_iter):
@@ -67,11 +73,13 @@ def label_propagation(
             .groupBy("dst", "label")
             .agg(F.count("*").alias("cnt"))
         )
-        winners = (
-            counts.withColumn("rn", F.row_number().over(win))
-            .where(F.col("rn") == 1)
-            .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
-        )
+        # winner per dst = label with (cnt desc, label asc): one
+        # min_by hash aggregation, no window sort
+        winners = counts.groupBy("dst").agg(
+            F.min_by(
+                "label", F.struct(F.negate(F.col("cnt")), F.col("label"))
+            ).alias("new_label")
+        ).select(F.col("dst").alias("id"), "new_label")
         new_labels = (
             labels.join(winners, "id", "left")
             .select(
@@ -80,8 +88,18 @@ def label_propagation(
                 F.col("label").alias("_old"),
             )
         )
-        new_labels = sever(new_labels)
-        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        # changed-count rides the checkpoint job as an Observation —
+        # one driver round-trip per round
+        obs = Observation("lp_iter")
+        new_labels = sever(
+            new_labels.observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
+        )
+        changed = int(obs.get["changed"] or 0)
         release(prev_ckpt)
         prev_ckpt = new_labels
         labels = new_labels.drop("_old")

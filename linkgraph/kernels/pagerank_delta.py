@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
-from linkgraph.checkpoint import release, sever
+from linkgraph.checkpoint import CheckpointManager, release, sever
 
 DAMPING_FACTOR = 0.85  # algos.rs:178
 TOLERANCE = 1e-7  # algos.rs:179
@@ -75,47 +75,76 @@ def _scatter(graph: Graph, frontier_state: DataFrame) -> DataFrame:
     return contribs.groupBy("dst").agg(F.sum("w").alias("gathered"))
 
 
-def pagerank_delta(graph: Graph, max_iterations: int = 20) -> PageRankDeltaResult:
+def pagerank_delta(
+    graph: Graph,
+    max_iterations: int = 20,
+    ckpt: CheckpointManager | None = None,
+) -> PageRankDeltaResult:
+    """Resume semantics mirror the other iterative kernels: every round
+    saves (state, sum_of_delta); a restarted run reloads the last
+    complete round and re-enters the loop with `remaining` rebuilt as
+    max_iterations - last_round, so the continuation is bit-identical
+    to an uninterrupted run (parquet round-trips doubles exactly). A
+    run that had already terminated re-derives its own stop condition
+    (error < TOLERANCE or remaining == 0) on the first loop test and
+    returns immediately."""
     n = graph.n
     t0 = time.time()
     one_over_n = 1.0 / n
 
-    # state: (id, out_deg, rank, delta, active)
-    state = sever(
-        graph.degrees.select(
-            "id",
-            "out_deg",
-            F.lit(0.0).alias("rank"),
-            F.lit(one_over_n).alias("delta"),
-            F.lit(True).alias("active"),
-        )
-    )
+    state = None
+    metrics: list[dict] = []
+    if ckpt is not None:
+        last = ckpt.last_complete()
+        if last is not None:
+            loaded, _, rec = ckpt.load(graph.edges.sparkSession, last)
+            state = sever(loaded)
+            sum_of_delta = rec["sum_of_delta"]
+            rounds = last + 1
+            remaining = max_iterations - last
+            metrics.append(rec)
 
-    # ---- round 0: full-frontier scatter + FirstRound apply ----
-    gathered = _scatter(graph, state)  # full frontier (algos.rs:277)
-    g = F.coalesce(F.col("gathered"), F.lit(0.0))
-    pre_delta = g * DAMPING_FACTOR + F.lit(ALPHA)
-    new_rank = F.col("rank") + pre_delta  # rank was 0
-    state = (
-        state.join(gathered, state["id"] == gathered["dst"], "left")
-        .select(
-            state["id"],
-            state["out_deg"],
-            new_rank.alias("rank"),
-            (pre_delta - one_over_n).alias("delta"),
-            (F.abs(pre_delta - one_over_n) > new_rank + DELTA_THRESHOLD).alias(
-                "active"
-            ),
+    if state is None:
+        # state: (id, out_deg, rank, delta, active)
+        state = sever(
+            graph.degrees.select(
+                "id",
+                "out_deg",
+                F.lit(0.0).alias("rank"),
+                F.lit(one_over_n).alias("delta"),
+                F.lit(True).alias("active"),
+            )
         )
-    )
-    state = sever(state)
+
+        # ---- round 0: full-frontier scatter + FirstRound apply ----
+        gathered = _scatter(graph, state)  # full frontier (algos.rs:277)
+        g = F.coalesce(F.col("gathered"), F.lit(0.0))
+        pre_delta = g * DAMPING_FACTOR + F.lit(ALPHA)
+        new_rank = F.col("rank") + pre_delta  # rank was 0
+        state = (
+            state.join(gathered, state["id"] == gathered["dst"], "left")
+            .select(
+                state["id"],
+                state["out_deg"],
+                new_rank.alias("rank"),
+                (pre_delta - one_over_n).alias("delta"),
+                (F.abs(pre_delta - one_over_n) > new_rank + DELTA_THRESHOLD).alias(
+                    "active"
+                ),
+            )
+        )
+        state = sever(state)
+        sum_of_delta = state.agg(F.sum("delta")).first()[0] or 0.0
+        rounds = 1
+        remaining = max_iterations
+        rec0 = {"round": 0, "sum_of_delta": sum_of_delta}
+        metrics.append(rec0)
+        if ckpt is not None:
+            ckpt.save(0, state, metrics=rec0)
+
     prev_ckpt = state
-    sum_of_delta = state.agg(F.sum("delta")).first()[0] or 0.0
-    rounds = 1
-    metrics: list[dict] = [{"round": 0, "sum_of_delta": sum_of_delta}]
 
     # ---- remaining rounds (algos.rs:281-291) ----
-    remaining = max_iterations
     while True:
         error = sum_of_delta  # sum_of_delta_and_reset (:263-265)
         remaining -= 1
@@ -143,7 +172,10 @@ def pagerank_delta(graph: Graph, max_iterations: int = 20) -> PageRankDeltaResul
         prev_ckpt = state
         sum_of_delta = state.agg(F.sum("delta")).first()[0] or 0.0
         rounds += 1
-        metrics.append({"round": rounds - 1, "sum_of_delta": sum_of_delta})
+        rec = {"round": rounds - 1, "sum_of_delta": sum_of_delta}
+        metrics.append(rec)
+        if ckpt is not None:
+            ckpt.save(rounds - 1, state, metrics=rec)
 
     return PageRankDeltaResult(
         df=state.select("id", "rank"),

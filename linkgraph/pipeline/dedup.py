@@ -230,7 +230,12 @@ def dedup_clusters(
     )
     vertices = docs.select(F.col("doc_id").cast("long").alias("id")).distinct()
     g = build_graph_from_edges(edges, vertices=vertices)
-    res = connected_components(g, max_iter=max_iter)
-    return res.df.select(
-        F.col("id").alias("doc_id"), F.col("comp").alias("cluster")
-    )
+    try:
+        res = connected_components(g, max_iter=max_iter)
+        # res.df is severed (localCheckpoint) — safe to drop the pair
+        # graph's caches so repeated pipeline calls don't leak blocks
+        return res.df.select(
+            F.col("id").alias("doc_id"), F.col("comp").alias("cluster")
+        )
+    finally:
+        g.unpersist()

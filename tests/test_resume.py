@@ -84,6 +84,23 @@ def test_labelprop_resume_equals_uninterrupted(small_graph, tmp_path):
     assert resumed.iterations == full.iterations
 
 
+def test_pagerank_delta_resume_equals_uninterrupted(small_graph, tmp_path):
+    from linkgraph.kernels import pagerank_delta
+
+    full = pagerank_delta(small_graph, max_iterations=12)
+
+    # quirk 1 empties the frontier after round 0 (n > ~7), so runs
+    # settle in 2 rounds; interrupt after round 0 — the one mid-run
+    # point — and resume through termination
+    ckpt = CheckpointManager(str(tmp_path), "prd")
+    pagerank_delta(small_graph, max_iterations=1, ckpt=ckpt)
+    assert ckpt.last_complete() == 0
+    resumed = pagerank_delta(small_graph, max_iterations=12, ckpt=ckpt)
+
+    assert _ranks(resumed.df) == _ranks(full.df)
+    assert resumed.rounds == full.rounds
+
+
 def test_bfs_resume_equals_uninterrupted(small_graph, tmp_path):
     from linkgraph.kernels import bfs
 
