@@ -7,6 +7,10 @@ Usage:
   spark-submit --py-files dist/linkgraph.zip jobs/build_graph.py \\
       --pages /path/pages_parquet --output /path/graph [--buckets 64]
   spark-submit ... jobs/build_graph.py --synth 10000 --output /path/graph
+
+Both --pages and --output accept ``table:<identifier>`` to read from /
+write to catalog tables (Iceberg in production; see linkgraph/io.py) —
+the output lands as <identifier>_edges/_vertices/_degrees.
 """
 
 from __future__ import annotations

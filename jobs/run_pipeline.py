@@ -37,11 +37,22 @@ def main(argv: list[str]) -> int:
     src.add_argument("--docs", help="parquet dir or table:<id> with documents(doc_id, text)")
     src.add_argument("--embeddings", help="parquet dir or table:<id> with embeddings(vec_id, embedding)")
     ap.add_argument("--op", required=True, choices=sorted(DOC_OPS | EMB_OPS))
-    ap.add_argument("--output", help="parquet output dir (default: show 20 rows)")
+    ap.add_argument("--output", help="parquet dir or table:<id> output (default: show 20 rows)")
     ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--k", type=int, default=None, help="shingle size / top-k")
     ap.add_argument("--max-df", type=int, default=None, help="stop-shingle cutoff")
+    ap.add_argument(
+        "--max-brute-rows", type=int, default=1_000_000,
+        help="refuse --op ann_topk above this corpus size (it is the "
+             "brute-force cross-join baseline; use --op ann_lsh at scale). "
+             "0 disables the guard.",
+    )
     args = ap.parse_args(argv)
+
+    # `x if x is not None else default` (NOT `x or default`): an
+    # explicit 0 must stay 0, not silently become the default
+    def opt(val, default):
+        return val if val is not None else default
 
     from linkgraph.io import read_pages
     from linkgraph.session import get_spark
@@ -66,11 +77,13 @@ def main(argv: list[str]) -> int:
         out = P.simhash(source)
     elif args.op == "ngram_jaccard":
         out = P.ngram_jaccard_pairs(
-            source, k=args.k or 3, threshold=args.threshold or 0.5, max_df=args.max_df
+            source, k=opt(args.k, 3), threshold=opt(args.threshold, 0.5),
+            max_df=args.max_df,
         )
     elif args.op == "dedup_clusters":
         out = P.dedup_clusters(
-            source, k=args.k or 3, threshold=args.threshold or 0.5, max_df=args.max_df
+            source, k=opt(args.k, 3), threshold=opt(args.threshold, 0.5),
+            max_df=args.max_df,
         )
     elif args.op == "token_stats":
         out = P.token_stats(source)
@@ -79,17 +92,24 @@ def main(argv: list[str]) -> int:
     elif args.op == "fingerprints":
         out = P.winnow_fingerprints(source, k=5, window=4)
     elif args.op == "ann_topk":
-        out = P.cosine_topk(source, k=args.k or 5)
+        # guarded: cosine_topk is the brute-force baseline and raises
+        # above --max-brute-rows, directing users to --op ann_lsh
+        out = P.cosine_topk(
+            source, k=opt(args.k, 5),
+            max_rows=args.max_brute_rows if args.max_brute_rows > 0 else None,
+        )
     elif args.op == "ann_lsh":
-        out = P.lsh_ann_topk(source, k=args.k or 5)
+        out = P.lsh_ann_topk(source, k=opt(args.k, 5))
     elif args.op == "near_dup":
-        out = P.embedding_near_dup_pairs(source, threshold=args.threshold or 0.9)
+        out = P.embedding_near_dup_pairs(source, threshold=opt(args.threshold, 0.9))
     else:  # pragma: no cover
         raise AssertionError(args.op)
 
     if args.output:
-        out.write.mode("overwrite").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
+        from linkgraph.io import write_table
+
+        write_table(out, args.output)
+        n = read_pages(spark, args.output).count()
         print(f'{{"op": "{args.op}", "rows": {n}, "wall_s": {time.time() - t0:.3f}}}')
     else:
         out.show(20, truncate=80)

@@ -203,30 +203,55 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return edges.union(rev).distinct()
 
 
-def write_graph(g: Graph, path: str, buckets: int | None = None) -> None:
+def _graph_parts(dest: str) -> dict[str, str]:
+    """Resolve the three per-graph outputs for a destination.
+
+    ``table:<id>`` → catalog tables ``<id>_edges`` / ``<id>_vertices``
+    / ``<id>_degrees`` (suffixes, not sub-namespaces, so a single
+    Iceberg namespace holds the whole graph); a bare path → the
+    ``<path>/edges`` parquet subdirectory layout."""
+    if dest.startswith("table:"):
+        ident = dest[len("table:"):]
+        return {part: f"table:{ident}_{part}" for part in ("edges", "vertices", "degrees")}
+    return {part: f"{dest}/{part}" for part in ("edges", "vertices", "degrees")}
+
+
+def write_graph(g: Graph, dest: str, buckets: int | None = None) -> None:
     """Persist the graph: the Spark analogue of the reference's binary
     dump (S4, /root/reference/src/graph.rs:322-357). Edge table written
     hash-distributed by src and sorted (src, dst) within files so a
-    re-read preserves join locality. (Iceberg is the production target;
-    this sandbox has plain parquet, same layout semantics.)"""
+    re-read preserves join locality.
+
+    `dest` dispatches like the read side (io.read_pages / io.write_table):
+    ``table:<id>`` lands the three tables in the session's catalogs —
+    on an Iceberg catalog via the V2 writeTo/createOrReplace commit
+    path (the north rule's production target; a deployment would also
+    pin the layout in table properties: write.distribution-mode=hash +
+    a (src, dst) sort order) — while a bare path writes parquet
+    directories (the sandbox layout, same layout semantics)."""
+    from linkgraph.io import write_table
+
     p = buckets or g.edges.sparkSession.sparkContext.defaultParallelism
-    (
-        g.edges.repartition(p, "src")
-        .sortWithinPartitions("src", "dst")
-        .write.mode("overwrite")
-        .parquet(f"{path}/edges")
+    parts = _graph_parts(dest)
+    write_table(
+        g.edges.repartition(p, "src").sortWithinPartitions("src", "dst"),
+        parts["edges"],
     )
-    g.vertices.write.mode("overwrite").parquet(f"{path}/vertices")
-    g.degrees.write.mode("overwrite").parquet(f"{path}/degrees")
+    write_table(g.vertices, parts["vertices"])
+    write_table(g.degrees, parts["degrees"])
 
 
-def read_graph(spark: SparkSession, path: str) -> Graph:
-    """Load a graph persisted by write_graph (S5/S6 analogue)."""
-    edges = spark.read.parquet(f"{path}/edges").persist(StorageLevel.MEMORY_AND_DISK)
-    vertices = spark.read.parquet(f"{path}/vertices").persist(
+def read_graph(spark: SparkSession, source: str) -> Graph:
+    """Load a graph persisted by write_graph (S5/S6 analogue).
+    Accepts the same ``table:<id>`` / path dispatch as write_graph."""
+    from linkgraph.io import read_pages
+
+    parts = _graph_parts(source)
+    edges = read_pages(spark, parts["edges"]).persist(StorageLevel.MEMORY_AND_DISK)
+    vertices = read_pages(spark, parts["vertices"]).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    degrees = spark.read.parquet(f"{path}/degrees").persist(
+    degrees = read_pages(spark, parts["degrees"]).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     return Graph(

@@ -37,3 +37,42 @@ def read_pages(spark: SparkSession, source: str, fmt: str | None = None) -> Data
     if fmt:
         return spark.read.format(fmt).load(source)
     return spark.read.parquet(source)
+
+
+def write_table(df: DataFrame, dest: str, fmt: str | None = None) -> None:
+    """Output dispatch — the write-side mirror of `read_pages`:
+
+    * ``table:<identifier>`` — catalog table write. Takes the
+      DataSourceV2 path first: `df.writeTo(id).createOrReplace()`,
+      which on an Iceberg (or any V2) catalog atomically replaces the
+      table through the catalog's commit protocol — snapshot isolation,
+      format/partition-spec owned by the catalog. The session catalog
+      without a V2 provider rejects REPLACE TABLE; we fall back to the
+      V1 `saveAsTable(mode=overwrite)` so the same `table:` scheme is
+      testable in this sandbox (no Iceberg jar) — exactly the
+      degradation the read side has (read.table over a temp view).
+    * path with ``fmt`` — `df.write.format(fmt).save(path)`.
+    * bare path — parquet (the sandbox layout).
+
+    Task-level ordering (repartition/sortWithinPartitions applied by
+    the caller) is preserved into the written files on every branch.
+    """
+    if dest.startswith("table:"):
+        from pyspark.errors import AnalysisException
+
+        ident = dest[len("table:"):]
+        try:
+            df.writeTo(ident).createOrReplace()
+        except AnalysisException as e:
+            # fall back ONLY on the session catalog's V1 limitation;
+            # any other analysis error (schema mismatch, missing
+            # namespace, ...) must surface, not be retried differently
+            msg = str(e).upper()
+            if "REPLACE TABLE" not in msg and "V2" not in msg:
+                raise
+            df.write.mode("overwrite").saveAsTable(ident)
+        return
+    if fmt:
+        df.write.mode("overwrite").format(fmt).save(dest)
+        return
+    df.write.mode("overwrite").parquet(dest)

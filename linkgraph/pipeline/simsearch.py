@@ -41,14 +41,31 @@ def cosine_topk(
     query_ids: list[int] | None = None,
     k: int = 5,
     max_queries: int = 10,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim, rnk): top-k cosine neighbors per
     query vector (self excluded). Similarities are computed in double,
     rounded to 9 decimals, and ranked by (sim desc, neighbor_id asc) so
-    results are order-insensitive-comparable across engines."""
+    results are order-insensitive-comparable across engines.
+
+    CONTRACT: this is the brute-force EXACTNESS BASELINE — the plan is
+    a crossJoin(broadcast(queries)), i.e. corpus_rows × queries dot
+    products. It exists to pin the recall of lsh_ann_topk and for
+    small corpora; it is NOT the scale path. Pass `max_rows` to refuse
+    (ValueError) when the corpus exceeds it — jobs/run_pipeline.py
+    enforces this by default and points callers at `ann_lsh`."""
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
+    if max_rows is not None:
+        n_rows = emb.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"cosine_topk is the brute-force baseline (corpus × queries "
+                f"cross join); corpus has {n_rows} rows > max_rows={max_rows}. "
+                f"Use lsh_ann_topk (op 'ann_lsh') for large corpora, or raise "
+                f"max_rows explicitly."
+            )
     if query_ids is not None:
         queries = emb.where(F.col("vec_id").isin(query_ids))
     else:
@@ -127,7 +144,12 @@ def embedding_near_dup_pairs(
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    dim = len(emb.select("vec").first()[0])
+    first = emb.select("vec").first()
+    if first is None:  # empty corpus -> empty pair set, same schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, sim double"
+        )
+    dim = len(first[0])
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     signed = _signed(emb, planes).persist()
     try:
@@ -176,7 +198,12 @@ def lsh_ann_topk(
     exact re-rank within candidates. At 100 TB the bucket join replaces
     the brute-force crossJoin: cost ~ Σ bucket² instead of n·q."""
     spark = embeddings.sparkSession
-    dim = len(embeddings.select("embedding").first()[0])
+    first = embeddings.select("embedding").first()
+    if first is None:  # empty corpus -> empty result, same schema
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rnk long"
+        )
+    dim = len(first[0])
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
 
     emb = embeddings.select(

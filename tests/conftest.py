@@ -13,7 +13,12 @@ def spark():
         app_name="linkgraph-tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # managed tables (the table: write-dispatch tests) go to
+            # /tmp, not a spark-warehouse/ dir inside the repo
+            "spark.sql.warehouse.dir": "/tmp/linkgraph-test-warehouse",
+        },
     )
     yield s
 

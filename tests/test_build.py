@@ -71,6 +71,35 @@ def test_write_read_roundtrip(spark, tmp_path):
     g2.unpersist()
 
 
+def test_write_read_roundtrip_table_dispatch(spark):
+    """write_graph/read_graph through the ``table:`` scheme — the
+    Iceberg write path (io.write_table: V2 writeTo/createOrReplace,
+    with the session-catalog saveAsTable fallback this sandbox takes
+    since no Iceberg jar is installable). Mirrors the read-side
+    dispatch test below."""
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]})
+    )
+    g = build_graph_from_edges(edges, n=4)
+    try:
+        write_graph(g, "table:lg_rt")
+        g2 = read_graph(spark, "table:lg_rt")
+        assert g2.n == 4 and g2.m == 3
+        assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == {
+            (0, 1), (1, 2), (2, 0),
+        }
+        # createOrReplace semantics: a rewrite replaces, never appends
+        write_graph(g, "table:lg_rt")
+        g3 = read_graph(spark, "table:lg_rt")
+        assert g3.m == 3
+        g2.unpersist()
+        g3.unpersist()
+    finally:
+        g.unpersist()
+        for part in ("edges", "vertices", "degrees"):
+            spark.sql(f"DROP TABLE IF EXISTS lg_rt_{part}")
+
+
 def test_read_pages_dispatch(spark, tmp_path):
     """io.read_pages: parquet path and table-identifier (the Iceberg
     code path — spark.read.table; sandbox uses a temp view since no

@@ -160,6 +160,38 @@ def test_lsh_ann_recall(spark, emb_df):
     assert hits / tot >= 0.7, f"LSH recall {hits}/{tot}"
 
 
+def test_cosine_topk_max_rows_guard(spark, emb_df):
+    """The brute-force baseline refuses corpora above max_rows,
+    directing callers at the LSH scale path (docstring contract)."""
+    with pytest.raises(ValueError, match="lsh_ann_topk"):
+        cosine_topk(emb_df, k=3, max_rows=50)
+    # under the limit (or unguarded) it runs
+    assert cosine_topk(emb_df, k=1, max_queries=2, max_rows=200).count() == 2
+
+
+def test_runner_refuses_brute_force_above_limit(spark, emb_df, tmp_path):
+    """jobs/run_pipeline.py enforces the guard by default."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_pipeline
+    finally:
+        sys.path.pop(0)
+    path = str(tmp_path / "emb")
+    emb_df.write.parquet(path)
+    with pytest.raises(ValueError, match="ann_lsh"):
+        run_pipeline.main(["--embeddings", path, "--op", "ann_topk",
+                           "--max-brute-rows", "50"])
+
+
+def test_empty_embeddings_guards(spark):
+    from linkgraph.pipeline.simsearch import embedding_near_dup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert embedding_near_dup_pairs(empty).count() == 0
+    assert lsh_ann_topk(empty).count() == 0
+
+
 def test_multimodal_features(spark):
     media = fake_media_table(spark, n=32)
     feats = extract_features(media, bins=16).toPandas()
