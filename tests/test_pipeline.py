@@ -179,9 +179,18 @@ def test_runner_refuses_brute_force_above_limit(spark, emb_df, tmp_path):
         sys.path.pop(0)
     path = str(tmp_path / "emb")
     emb_df.write.parquet(path)
-    with pytest.raises(ValueError, match="ann_lsh"):
-        run_pipeline.main(["--embeddings", path, "--op", "ann_topk",
-                           "--max-brute-rows", "50"])
+    # run_pipeline calls get_spark(); getOrCreate applies that default
+    # config to the EXISTING session — restore the test session's confs
+    # afterwards so later tests aren't silently re-configured
+    from linkgraph.session import conf_override
+    keep = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.shuffle.partitions",)
+    }
+    with conf_override(spark, keep):
+        with pytest.raises(ValueError, match="ann_lsh"):
+            run_pipeline.main(["--embeddings", path, "--op", "ann_topk",
+                               "--max-brute-rows", "50"])
 
 
 def test_empty_embeddings_guards(spark):
