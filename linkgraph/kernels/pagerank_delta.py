@@ -41,7 +41,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
@@ -133,8 +133,13 @@ def pagerank_delta(
                 ),
             )
         )
-        state = sever(state)
-        sum_of_delta = state.agg(F.sum("delta")).first()[0] or 0.0
+        # sum_of_delta rides the checkpoint materialization as an
+        # Observation (one job per round, same as the other kernels)
+        obs = Observation("prd_round")
+        state = sever(
+            state.observe(obs, F.sum("delta").alias("sum_of_delta"))
+        )
+        sum_of_delta = obs.get["sum_of_delta"] or 0.0
         rounds = 1
         remaining = max_iterations
         rec0 = {"round": 0, "sum_of_delta": sum_of_delta}
@@ -167,10 +172,13 @@ def pagerank_delta(
                 keep.alias("active"),
             )
         )
-        state = sever(state)
+        obs = Observation("prd_round")
+        state = sever(
+            state.observe(obs, F.sum("delta").alias("sum_of_delta"))
+        )
         release(prev_ckpt)
         prev_ckpt = state
-        sum_of_delta = state.agg(F.sum("delta")).first()[0] or 0.0
+        sum_of_delta = obs.get["sum_of_delta"] or 0.0
         rounds += 1
         rec = {"round": rounds - 1, "sum_of_delta": sum_of_delta}
         metrics.append(rec)

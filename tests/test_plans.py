@@ -1,0 +1,106 @@
+"""Plan-shape regression tests: pin the physical-plan properties the
+engine's scale story depends on, so a refactor that silently
+reintroduces a Window sort, loses a broadcast, or breaks parquet
+pushdown fails CI — not a 100 TB run.
+
+These assert on executedPlan().toString() BEFORE execution (the
+initial plan), which is deterministic for a given session config —
+no AQE runtime re-plan has happened yet.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.build import build_graph_from_edges
+from linkgraph.frontier import edge_map
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tiny_graph(spark):
+    g = build_graph_from_edges(
+        spark.createDataFrame(
+            pd.DataFrame({"src": [0, 1, 2, 0], "dst": [1, 2, 0, 2]})
+        ),
+        num_partitions=2,
+    )
+    yield g
+    g.unpersist()
+
+
+def test_labelprop_winner_has_no_window_node(spark):
+    """The min_by winner pick must stay a hash aggregation — a
+    row_number regression would add a Window (and its per-partition
+    sort) back into every labelprop round."""
+    counts = spark.createDataFrame(
+        pd.DataFrame({"dst": [0, 0, 1], "label": [1, 2, 1], "cnt": [2, 1, 1]})
+    )
+    winners = counts.groupBy("dst").agg(
+        F.min_by("label", F.struct(F.negate(F.col("cnt")), F.col("label"))).alias(
+            "new_label"
+        )
+    )
+    assert "Window" not in _plan(winners)
+
+
+def test_edge_map_sparse_push_broadcasts_the_frontier(spark, tiny_graph):
+    """Sparse-push mode must plan a broadcast join (the frontier is the
+    build side): losing it turns every small-frontier round into an
+    m-row shuffle."""
+    frontier = spark.createDataFrame([(0,)], "id long")
+    out = edge_map(
+        tiny_graph, frontier, aggs=[F.count("*").alias("c")], dense=False, volume=0
+    )
+    assert "BroadcastExchange" in _plan(out)
+
+
+def test_edge_map_dense_pull_does_not_broadcast(spark, tiny_graph):
+    """Dense-pull mode must NOT force a broadcast build of the (full)
+    frontier — at scale that build side is the n-row state. (Catalyst
+    may still auto-broadcast a genuinely tiny side; disable the
+    threshold to model the at-scale planner decision.)"""
+    from linkgraph.session import conf_override
+
+    frontier = tiny_graph.vertices.select("id")
+    with conf_override(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        out = edge_map(
+            tiny_graph, frontier, aggs=[F.count("*").alias("c")],
+            dense=True, volume=10**9,
+        )
+        plan = _plan(out)
+    assert "BroadcastExchange" not in plan
+
+
+def test_cc_bitmap_frontier_filter_is_exchange_free(spark, tiny_graph):
+    """The CC frontier is a boolean filter over the checkpointed state
+    (the D9 bitmap rep) — deriving it must not cost a shuffle."""
+    state = (
+        tiny_graph.vertices.select(
+            "id", F.col("id").alias("comp"), F.lit(True).alias("changed")
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = state.where(F.col("changed")).select("id", "comp")
+    assert "Exchange" not in _plan(frontier)
+
+
+def test_parquet_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    """Filters and projections must reach the parquet scan: a plan
+    reading all columns for a 2-column projection is wrong at any
+    scale (SURVEY §4; the north rule's corpus is columnar)."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 10)
+        .select("doc_id")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,10)" in plan
+    # ReadSchema carries only the pruned column
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
