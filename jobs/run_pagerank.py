@@ -25,14 +25,14 @@ def main(argv: list[str]) -> int:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="parquet dir with pages(url, warc_ts, html, text, lang)")
     src.add_argument("--synth", type=int, help="generate N synthetic pages instead")
-    src.add_argument("--edges", help="parquet dir with edges(src long, dst long)")
+    src.add_argument("--edges", help="parquet dir or table:<id> with edges(src long, dst long)")
     ap.add_argument(
         "--kernel",
         default="pagerank",
         choices=["pagerank", "pagerank_delta", "cc", "bfs", "labelprop", "triangles"],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
-    ap.add_argument("--output", help="write result parquet here")
+    ap.add_argument("--output", help="write result here (parquet dir or table:<id>)")
     ap.add_argument("--top", type=int, default=20, help="rows to print")
     ap.add_argument("--root", type=int, default=0, help="bfs root")
     ap.add_argument("--max-iter", type=int, default=200)
@@ -58,7 +58,9 @@ def main(argv: list[str]) -> int:
 
         graph = build_graph_from_pages(read_pages(spark, args.pages))
     else:
-        graph = build_graph_from_edges(spark.read.parquet(args.edges))
+        from linkgraph.io import read_pages
+
+        graph = build_graph_from_edges(read_pages(spark, args.edges))
     build_s = time.time() - t0
     print(f"graph built: n={graph.n} m={graph.m} ({build_s:.2f}s)")
 
@@ -81,7 +83,7 @@ def main(argv: list[str]) -> int:
             "edges_per_second": round(res.edges_per_second),
         }
     elif args.kernel == "pagerank_delta":
-        res = kernels.pagerank_delta(graph, max_iterations=args.max_iter)
+        res = kernels.pagerank_delta(graph, max_iterations=args.max_iter, ckpt=ckpt)
         out = res.df.orderBy(F.desc("rank"))
         summary = {"kernel": "pagerank_delta", "rounds": res.rounds}
     elif args.kernel == "cc":
@@ -104,7 +106,9 @@ def main(argv: list[str]) -> int:
     print(json.dumps(summary))
     out.show(args.top, truncate=False)
     if args.output:
-        out.write.mode("overwrite").parquet(args.output)
+        from linkgraph.io import write_table
+
+        write_table(out, args.output)
         print(f"wrote {args.output}")
     return 0
 
