@@ -75,6 +75,7 @@ def bfs(
     for level in range(start_level, max_iter + 1):
         if fcount == 0:
             break
+        it_t0 = time.time()
         entering = fcount
         est_volume = int(fcount * (graph.m / max(graph.n, 1)))
         info: dict = {}
@@ -110,6 +111,7 @@ def bfs(
             "mode": info.get("mode"),
             "volume": info.get("volume"),
             "frontier_size_next": fcount,
+            "wall_s": time.time() - it_t0,
         }
         metrics.append(rec)
         if ckpt is not None:
