@@ -101,6 +101,16 @@ def _cc_loop(
         last = ckpt.last_complete()
         if last is not None:
             loaded_state, _, rec = ckpt.load(graph.edges.sparkSession, last)
+            if "changed" not in loaded_state.columns:
+                # pre-bitmap checkpoint layout (state without the
+                # bitmap column): resume with a full frontier — a
+                # superset frontier is safe for hash-min (monotone;
+                # extra messages can't change the fixpoint), it only
+                # re-does one round's worth of work.
+                loaded_state = loaded_state.select(
+                    "id", "comp", F.lit(True).alias("changed")
+                )
+                rec = {**rec, "frontier_size_next": graph.n}
             state = sever(loaded_state)  # (id, comp, changed) — bitmap rides along
             start_iter = last + 1
             fcount = int(rec.get("frontier_size_next") or 0)

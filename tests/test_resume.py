@@ -54,6 +54,30 @@ def test_cc_resume_equals_uninterrupted(small_graph, tmp_path):
     assert got_full == got_res
 
 
+def test_cc_resume_from_pre_bitmap_checkpoint(small_graph, tmp_path):
+    """An r2-era checkpoint (state without the `changed` bitmap
+    column) must still resume to the correct fixpoint — the kernel
+    falls back to a full frontier, which is safe for hash-min."""
+    from pyspark.sql import functions as F
+
+    full = connected_components(small_graph)
+
+    ckpt = CheckpointManager(str(tmp_path), "cc_old")
+    # simulate the old layout: run one checkpointed round, then strip
+    # the bitmap column from the saved state
+    connected_components(small_graph, max_iter=1, ckpt=ckpt)
+    spark = small_graph.edges.sparkSession
+    loaded, _, rec = ckpt.load(spark, 0)
+    old_style = loaded.select("id", "comp").localCheckpoint(eager=True)
+    ckpt.save(0, old_style, metrics={k: v for k, v in rec.items()
+                                     if k not in ("partition_rows",)})
+
+    resumed = connected_components(small_graph, ckpt=ckpt)
+    got_full = {r["id"]: r["comp"] for r in full.df.collect()}
+    got_res = {r["id"]: r["comp"] for r in resumed.df.collect()}
+    assert got_full == got_res
+
+
 def test_metrics_recorded(small_graph, tmp_path):
     ckpt = CheckpointManager(str(tmp_path), "prm")
     ckpt.lineage = {"input": "rmat(scale=5)", "n": small_graph.n, "m": small_graph.m}
