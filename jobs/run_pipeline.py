@@ -42,6 +42,11 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--k", type=int, default=None, help="shingle size / top-k")
     ap.add_argument("--max-df", type=int, default=None, help="stop-shingle cutoff")
     ap.add_argument(
+        "--max-bucket", type=int, default=None,
+        help="LSH bucket-size cutoff for lsh_pairs (drop template "
+             "mega-buckets before the pair join)",
+    )
+    ap.add_argument(
         "--max-brute-rows", type=int, default=1_000_000,
         help="refuse --op ann_topk above this corpus size (it is the "
              "brute-force cross-join baseline; use --op ann_lsh at scale). "
@@ -72,7 +77,7 @@ def main(argv: list[str]) -> int:
     elif args.op == "minhash":
         out = P.minhash_signatures(source)
     elif args.op == "lsh_pairs":
-        out = P.lsh_candidate_pairs(source)
+        out = P.lsh_candidate_pairs(source, max_bucket=args.max_bucket)
     elif args.op == "simhash":
         out = P.simhash(source)
     elif args.op == "ngram_jaccard":

@@ -82,14 +82,29 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, num_hashes: int = 8, band_rows: int = 2, k: int = 3
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding: split the signature into bands of
     `band_rows` hashes; docs sharing ANY band signature become a
     candidate pair. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
 
     Scale path: the join key is (band_id, band_sig) — buckets, not
-    documents — so the shuffle is bounded by bucket sizes, never n²."""
+    documents — so the shuffle is bounded by Σ bucket², never n².
+    That bound degenerates on template-heavy corpora (measured on the
+    sf0.1 synthetic documents: 5000 docs → 7.57M candidate pairs, 60%
+    of all possible pairs, because near-identical templates collapse
+    into a few giant buckets). `max_bucket` guards that regime — the
+    bucket-size analogue of ngram_jaccard_pairs' `max_df` stop-shingle
+    cutoff: buckets with more than `max_bucket` members are dropped
+    before the self-join. Members of an oversized bucket are
+    near-duplicates of a template; at 100 TB route them to
+    exact/cluster dedup (the bucket signature itself identifies the
+    group) rather than pairwise-expanding them. Default None preserves
+    exact banding semantics (and the driver oracle)."""
     sig = minhash_signatures(docs, num_hashes, k)
     bands = sig.groupBy(
         "doc_id", (F.col("hash_idx") / band_rows).cast("int").alias("band_id")
@@ -98,6 +113,14 @@ def lsh_candidate_pairs(
             ":", F.sort_array(F.collect_list(F.concat_ws("=", "hash_idx", "min_hash")))
         ).alias("band_sig")
     )
+    if max_bucket is not None:
+        small = (
+            bands.groupBy("band_id", "band_sig")
+            .agg(F.count("*").alias("_bucket_n"))
+            .where(F.col("_bucket_n") <= max_bucket)
+            .select("band_id", "band_sig")
+        )
+        bands = bands.join(small, ["band_id", "band_sig"], "left_semi")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_sig")
     return (

@@ -160,6 +160,26 @@ def test_lsh_ann_recall(spark, emb_df):
     assert hits / tot >= 0.7, f"LSH recall {hits}/{tot}"
 
 
+def test_lsh_pairs_max_bucket_guard(spark):
+    """Template mega-buckets are dropped by max_bucket; distinct docs
+    in small buckets are unaffected; default None is exact banding."""
+    from linkgraph.pipeline.dedup import lsh_candidate_pairs
+
+    # 6 identical template docs (one giant bucket per band) + 2 docs
+    # identical to each other but distinct from the template
+    rows = [(i, "the same boilerplate template text here") for i in range(6)]
+    rows += [(10, "a genuinely different document body"),
+             (11, "a genuinely different document body")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unguarded = lsh_candidate_pairs(docs)
+    assert unguarded.count() == 15 + 1  # C(6,2) template pairs + the real pair
+
+    guarded = lsh_candidate_pairs(docs, max_bucket=3)
+    got = {(r["doc_a"], r["doc_b"]) for r in guarded.collect()}
+    assert got == {(10, 11)}  # mega-bucket dropped, real pair kept
+
+
 def test_cosine_topk_max_rows_guard(spark, emb_df):
     """The brute-force baseline refuses corpora above max_rows,
     directing callers at the LSH scale path (docstring contract)."""
