@@ -24,6 +24,12 @@ import argparse
 import sys
 import time
 
+def opt(val, default):
+    """`x if x is not None else default` (NOT `x or default`): an
+    explicit 0 must stay 0, not silently become the default."""
+    return val if val is not None else default
+
+
 DOC_OPS = {
     "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
     "dedup_clusters", "token_stats", "lang_id", "fingerprints",
@@ -53,11 +59,6 @@ def main(argv: list[str]) -> int:
              "0 disables the guard.",
     )
     args = ap.parse_args(argv)
-
-    # `x if x is not None else default` (NOT `x or default`): an
-    # explicit 0 must stay 0, not silently become the default
-    def opt(val, default):
-        return val if val is not None else default
 
     from linkgraph.io import read_pages
     from linkgraph.session import get_spark

@@ -100,6 +100,27 @@ def test_write_read_roundtrip_table_dispatch(spark):
             spark.sql(f"DROP TABLE IF EXISTS lg_rt_{part}")
 
 
+def test_write_table_fmt_branch_and_runner_opt(spark, tmp_path):
+    """write_table's explicit-format branch round-trips; the runner's
+    opt() keeps an explicit 0 instead of substituting the default."""
+    import sys
+
+    from linkgraph.io import write_table
+
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}))
+    dest = str(tmp_path / "json_out")
+    write_table(df, dest, fmt="json")
+    back = spark.read.json(dest)
+    assert back.count() == 2 and set(back.columns) == {"a", "b"}
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        from run_pipeline import opt
+    finally:
+        sys.path.pop(0)
+    assert opt(0, 5) == 0 and opt(0.0, 0.9) == 0.0 and opt(None, 5) == 5
+
+
 def test_read_pages_dispatch(spark, tmp_path):
     """io.read_pages: parquet path and table-identifier (the Iceberg
     code path — spark.read.table; sandbox uses a temp view since no
