@@ -19,6 +19,16 @@ Driver round-trips: ONE Spark job per level — the newly-reached count
 rides the localCheckpoint materialization as an Observation (the
 pagerank pattern, pagerank.py:212-229), replacing both the
 loop-condition frontier.count() and the checkpoint-time recount.
+
+Delta materialization: each level checkpoints only the NEWLY-reached
+rows (the delta), not the whole visited set — per-level write cost is
+O(|frontier|), not O(|visited|). `visited` stays a lazy union of the
+checkpointed deltas (a flat union tree of severed leaves: plan
+analysis is linear in depth, no lineage doubling) and is compacted
+into a single checkpoint every `compact_every` levels to bound the
+tree on high-diameter graphs. (Motivated by the rMAT-26 probe in
+ROUND3_NOTES: tail-level cost there was dominated by re-materializing
+the 24.7M-row visited set for frontiers of a few hundred rows.)
 """
 
 from __future__ import annotations
@@ -47,6 +57,7 @@ def bfs(
     root: int,
     max_iter: int = 10_000,
     ckpt: CheckpointManager | None = None,
+    compact_every: int = 32,
 ) -> BFSResult:
     spark = graph.edges.sparkSession
     t0 = time.time()
@@ -70,6 +81,9 @@ def bfs(
         )
     frontier = visited.where(F.col("level") == start_level - 1).select("id")
 
+    # visited = lazy union over checkpointed per-level deltas; compacted
+    # into one checkpoint every compact_every levels
+    deltas = [visited]
     iterations = start_level - 1
     metrics: list[dict] = []
     for level in range(start_level, max_iter + 1):
@@ -91,19 +105,15 @@ def bfs(
             F.lit(level).cast("long").alias("level"),
             "parent",
         )
-        prev = visited
-        # one job per level: the newly-reached count (= next frontier
-        # size) rides the union's materialization as an Observation
+        # one job per level, sized to the DELTA: only the newly-reached
+        # rows are materialized; their count (= next frontier size)
+        # rides the same job as an Observation
         obs = Observation("bfs_iter")
-        visited = sever(
-            visited.union(nxt).observe(
-                obs,
-                F.sum((F.col("level") == level).cast("long")).alias("added"),
-            )
-        )
-        release(prev)
+        delta = sever(nxt.observe(obs, F.count(F.lit(1)).alias("added")))
         fcount = int(obs.get["added"] or 0)
-        frontier = visited.where(F.col("level") == level).select("id")
+        deltas.append(delta)
+        visited = visited.union(delta)
+        frontier = delta.select("id")
         iterations = level
         rec = {
             "iteration": level,
@@ -115,7 +125,19 @@ def bfs(
         }
         metrics.append(rec)
         if ckpt is not None:
+            # durable checkpoints still persist the FULL reached set —
+            # resume semantics are unchanged (parquet write walks the
+            # delta union once)
             ckpt.save(level, visited, metrics=rec)
+        if len(deltas) >= compact_every:
+            compacted = sever(visited)
+            for d in deltas:
+                release(d)  # includes the level-L delta backing `frontier`
+            deltas = [compacted]
+            visited = compacted
+            # frontier must be re-derived from the compacted state —
+            # its previous backing delta was just released
+            frontier = visited.where(F.col("level") == level).select("id")
     return BFSResult(
         df=visited,
         iterations=iterations,

@@ -125,6 +125,19 @@ def test_pagerank_delta_resume_equals_uninterrupted(small_graph, tmp_path):
     assert resumed.rounds == full.rounds
 
 
+def test_bfs_delta_compaction_equals_default(small_graph):
+    """compact_every=2 forces several delta-union compactions on a
+    multi-level run; the reached set must be identical."""
+    from linkgraph.kernels import bfs
+
+    def levels(df):
+        return {r["id"]: (r["level"], r["parent"]) for r in df.collect()}
+
+    assert levels(bfs(small_graph, root=0, compact_every=2).df) == levels(
+        bfs(small_graph, root=0).df
+    )
+
+
 def test_bfs_resume_equals_uninterrupted(small_graph, tmp_path):
     from linkgraph.kernels import bfs
 
