@@ -88,8 +88,12 @@ class CheckpointManager:
         state: DataFrame,
         frontier: DataFrame | None = None,
         metrics: dict | None = None,
-        partition_counts: bool = True,
+        partition_counts: bool = False,
     ) -> None:
+        """partition_counts defaults OFF: it runs one extra Spark job
+        (a groupBy over the state) per save, which matters for kernels
+        that save EVERY round (cc/labelprop/bfs). Sparse-saving callers
+        (pagerank, ckpt_every=5) opt in for the richer sidecar."""
         d = self._iter_dir(iteration)
         spark = state.sparkSession
         state.write.mode("overwrite").parquet(f"{d}/state")
@@ -112,12 +116,15 @@ class CheckpointManager:
         # metrics sidecar last => presence marks the iteration complete
         _fs_write_text(spark, f"{d}/_metrics.json", json.dumps(record))
 
-    def last_complete(self) -> int | None:
+    def complete_iters(self) -> list[int]:
+        """Sorted list of fully-committed iterations (_SUCCESS-gated).
+        Delta-layout kernels (BFS) reconstruct state by unioning all of
+        these; full-state kernels only need the max."""
         spark = _active_spark()
         base = f"{self.root.rstrip('/')}/{self.job}"
         fs, base_path = _fs_and_path(spark, base)
         if not fs.exists(base_path):
-            return None
+            return []
         done = []
         for status in fs.listStatus(base_path):
             name = status.getPath().getName()
@@ -128,7 +135,11 @@ class CheckpointManager:
                 spark, f"{d}/state/_SUCCESS"
             ):
                 done.append(int(name.split("=")[1]))
-        return max(done) if done else None
+        return sorted(done)
+
+    def last_complete(self) -> int | None:
+        done = self.complete_iters()
+        return done[-1] if done else None
 
     def load(
         self, spark: SparkSession, iteration: int, with_frontier: bool = False

@@ -64,11 +64,13 @@ def write_table(df: DataFrame, dest: str, fmt: str | None = None) -> None:
         try:
             df.writeTo(ident).createOrReplace()
         except AnalysisException as e:
-            # fall back ONLY on the session catalog's V1 limitation;
-            # any other analysis error (schema mismatch, missing
+            # fall back ONLY on the session catalog's V1 limitation,
+            # identified by the STRUCTURED error condition (stable
+            # across Spark versions/locales, unlike message text); any
+            # other analysis error (schema mismatch, missing
             # namespace, ...) must surface, not be retried differently
-            msg = str(e).upper()
-            if "REPLACE TABLE" not in msg and "V2" not in msg:
+            cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+            if cond != "UNSUPPORTED_FEATURE.TABLE_OPERATION":
                 raise
             df.write.mode("overwrite").saveAsTable(ident)
         return

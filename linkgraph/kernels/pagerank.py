@@ -247,7 +247,10 @@ def pagerank(
         if ckpt is not None and (
             converged or (it % ckpt_every) < k and it >= ckpt_every
         ):
-            ckpt.save(it - 1, state, metrics=rec)
+            # partition_counts opted in: pagerank saves every
+            # ckpt_every=5 rounds, so the extra per-save job is cheap
+            # relative to the sidecar detail it buys
+            ckpt.save(it - 1, state, metrics=rec, partition_counts=True)
         if converged:
             break
 

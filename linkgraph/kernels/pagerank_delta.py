@@ -86,7 +86,7 @@ def pagerank_delta(
     max_iterations - last_round, so the continuation is bit-identical
     to an uninterrupted run (parquet round-trips doubles exactly). A
     run that had already terminated re-derives its own stop condition
-    (error < TOLERANCE or remaining == 0) on the first loop test and
+    (error < TOLERANCE or remaining <= 0) on the first loop test and
     returns immediately."""
     n = graph.n
     t0 = time.time()
@@ -153,7 +153,11 @@ def pagerank_delta(
     while True:
         error = sum_of_delta  # sum_of_delta_and_reset (:263-265)
         remaining -= 1
-        if error < TOLERANCE or remaining == 0:
+        # <= 0 (not == 0): a resume with max_iterations smaller than
+        # the checkpointed round makes `remaining` start negative, and
+        # max_iterations=0 on a fresh run starts it at -1 after the
+        # decrement — both must stop here, not run to error-convergence
+        if error < TOLERANCE or remaining <= 0:
             break
         frontier_state = state.where(F.col("active"))
         gathered = _scatter(graph, frontier_state)

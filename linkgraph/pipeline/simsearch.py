@@ -41,7 +41,7 @@ def cosine_topk(
     query_ids: list[int] | None = None,
     k: int = 5,
     max_queries: int = 10,
-    max_rows: int | None = None,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim, rnk): top-k cosine neighbors per
     query vector (self excluded). Similarities are computed in double,
@@ -51,9 +51,11 @@ def cosine_topk(
     CONTRACT: this is the brute-force EXACTNESS BASELINE — the plan is
     a crossJoin(broadcast(queries)), i.e. corpus_rows × queries dot
     products. It exists to pin the recall of lsh_ann_topk and for
-    small corpora; it is NOT the scale path. Pass `max_rows` to refuse
-    (ValueError) when the corpus exceeds it — jobs/run_pipeline.py
-    enforces this by default and points callers at `ann_lsh`."""
+    small corpora; it is NOT the scale path. The guard is ON BY
+    DEFAULT at the library layer: corpora larger than `max_rows`
+    (default 100k) are refused with a ValueError pointing at
+    lsh_ann_topk; passing an explicit larger bound (or None) is the
+    escape hatch for callers who really want the cartesian."""
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )

@@ -121,6 +121,55 @@ def test_write_table_fmt_branch_and_runner_opt(spark, tmp_path):
     assert opt(0, 5) == 0 and opt(0.0, 0.9) == 0.0 and opt(None, 5) == 5
 
 
+def test_write_table_fallback_gated_on_error_condition(spark, monkeypatch):
+    """write_table's V1 fallback fires ONLY on the structured
+    UNSUPPORTED_FEATURE.TABLE_OPERATION condition (the session
+    catalog's REPLACE TABLE rejection). Any other AnalysisException
+    must SURFACE — even when its message happens to mention 'V2' or
+    'REPLACE TABLE', which the r3 string-matching gate would have
+    swallowed and retried as saveAsTable(overwrite)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from linkgraph.io import write_table
+
+    fell_back = []
+
+    class FakeV2Writer:
+        def __init__(self, condition):
+            self.condition = condition
+
+        def createOrReplace(self):
+            raise AnalysisException(
+                "message text mentions V2 and REPLACE TABLE misleadingly",
+                errorClass=self.condition,
+            )
+
+    df = spark.range(3)
+    # patch the CONCRETE classes (pyspark 4: spark.range returns the
+    # classic subclass, not pyspark.sql.DataFrame itself)
+    monkeypatch.setattr(
+        type(df), "writeTo",
+        lambda self, ident: FakeV2Writer("UNRESOLVED_COLUMN.WITH_SUGGESTION"),
+    )
+    monkeypatch.setattr(
+        type(df.write), "saveAsTable",
+        lambda self, ident: fell_back.append(ident),
+    )
+    with pytest.raises(AnalysisException) as ei:
+        write_table(df, "table:whatever")
+    assert ei.value.getCondition() == "UNRESOLVED_COLUMN.WITH_SUGGESTION"
+    assert fell_back == []  # no silent retry
+
+    # the genuine V1 limitation still takes the fallback
+    monkeypatch.setattr(
+        type(df), "writeTo",
+        lambda self, ident: FakeV2Writer("UNSUPPORTED_FEATURE.TABLE_OPERATION"),
+    )
+    write_table(df, "table:whatever")
+    assert fell_back == ["whatever"]
+
+
 def test_read_pages_dispatch(spark, tmp_path):
     """io.read_pages: parquet path and table-identifier (the Iceberg
     code path — spark.read.table; sandbox uses a temp view since no

@@ -189,6 +189,20 @@ def test_cosine_topk_max_rows_guard(spark, emb_df):
     assert cosine_topk(emb_df, k=1, max_queries=2, max_rows=200).count() == 2
 
 
+def test_cosine_topk_guard_is_default(spark):
+    """The guard is ON at the library layer WITHOUT any argument: a
+    >100k-row corpus is refused by the default max_rows (VERDICT r3
+    item 4 — previously only jobs/run_pipeline.py enforced it)."""
+    big = spark.range(100_001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.1), F.lit(0.2)).cast("array<float>").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_rows=100000"):
+        cosine_topk(big, k=1)
+    # explicit escape hatch still works
+    assert cosine_topk(big, k=1, max_queries=1, max_rows=None).count() == 1
+
+
 def test_runner_refuses_brute_force_above_limit(spark, emb_df, tmp_path):
     """jobs/run_pipeline.py enforces the guard by default."""
     import sys

@@ -146,7 +146,38 @@ def test_bfs_resume_equals_uninterrupted(small_graph, tmp_path):
     ckpt = CheckpointManager(str(tmp_path), "bfs")
     bfs(small_graph, root=0, max_iter=2, ckpt=ckpt)
     assert ckpt.last_complete() == 2
+    # r4 layout: iter=<k>/state holds ONLY the level-k delta (the r3
+    # layout rewrote the whole visited set every level)
+    spark = small_graph.edges.sparkSession
+    delta2, _, rec2 = ckpt.load(spark, 2)
+    assert rec2["delta_ckpt"] is True
+    assert {r["level"] for r in delta2.collect()} == {2}
     resumed = bfs(small_graph, root=0, ckpt=ckpt)
+
+    def levels(df):
+        return {r["id"]: (r["level"], r["parent"]) for r in df.collect()}
+
+    assert levels(resumed.df) == levels(full.df)
+
+
+def test_bfs_resume_from_legacy_full_checkpoint(small_graph, tmp_path):
+    """An r3-era checkpoint — FULL visited set at iter=<k>, no
+    `delta_ckpt` flag, and no `frontier_size_next` key — must still
+    resume to the same result: the kernel takes the full-state load
+    path and RECOUNTS the frontier instead of coercing the missing key
+    to 0 (which would silently return a truncated reached set,
+    ADVICE r3)."""
+    from linkgraph.kernels import bfs
+
+    full = bfs(small_graph, root=0)
+
+    ckpt = CheckpointManager(str(tmp_path), "bfs_new")
+    partial = bfs(small_graph, root=0, max_iter=2, ckpt=ckpt)
+    full_visited = partial.df.localCheckpoint(eager=True)
+
+    legacy = CheckpointManager(str(tmp_path), "bfs_old")
+    legacy.save(2, full_visited, metrics={"iteration": 2})
+    resumed = bfs(small_graph, root=0, ckpt=legacy)
 
     def levels(df):
         return {r["id"]: (r["level"], r["parent"]) for r in df.collect()}
