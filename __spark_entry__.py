@@ -160,6 +160,28 @@ def q_pagerank_delta_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_pagerank_delta_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-ROUND PageRank-delta driver pin (VERDICT r3 item 3): on a
+    3-vertex fixture graph — region keys {0,1,2}, edges (0→1),(0→2),
+    (1→2) — quirk 1 (src/algos.rs:203: active iff |delta| > rank+0.01)
+    KEEPS vertex 0 active after round 0 (1/n = 1/3 > 2·0.15 + 0.01),
+    so the loop body (sparse-frontier scatter + quirk-2 apply,
+    pagerank_delta.py:157-190) executes a real round before the
+    sum-of-delta error (−0.1558 < 1e-7) terminates it. The oracle
+    unrolls both rounds in SQL — this gives the loop body a driver
+    CORRECTNESS row, where pagerank_delta_k only pins round 0 (its
+    frontier dies at n > ~7)."""
+    from linkgraph.kernels import pagerank_delta
+
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").select("r_regionkey")
+    a = r.select(F.col("r_regionkey").alias("src")).where(F.col("src") <= 1)
+    b = r.select(F.col("r_regionkey").alias("dst")).where(F.col("dst") <= 2)
+    edges = a.crossJoin(b).where(F.col("src") < F.col("dst"))
+    g = _graph(edges)
+    res = pagerank_delta(g, max_iterations=3)
+    return res.df.select("id", F.round("rank", 9).alias("rank"))
+
+
 def q_event_sessions_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition graph: consecutive (event_type →
     event_type) edges per user ordered by (ts, event_id), with counts
@@ -302,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": q_bfs_levels,
         "labelprop_k": q_labelprop_k,
         "pagerank_delta_k": q_pagerank_delta_k,
+        "pagerank_delta_multi": q_pagerank_delta_multi,
         "event_sessions_graph": q_event_sessions_graph,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -459,6 +482,58 @@ g AS (
 SELECT od.id,
        ROUND(0.85 * COALESCE(g.gathered, 0.0) + 0.15, 9) AS rank
 FROM od LEFT JOIN g ON od.id = g.id
+"""
+
+
+# Multi-round PageRank-delta on the 3-vertex region fixture (see
+# q_pagerank_delta_multi): round 0 (full-frontier FirstRound apply,
+# quirk-1 activity) and round 1 (scatter restricted to the ACTIVE
+# frontier, quirk-2 keep-test apply) unrolled in plain SQL. After
+# round 1 the kernel's error term sum(delta) is −0.1558…, below the
+# 1e-7 tolerance, so two rounds IS the full trajectory for any
+# max_iterations ≥ 2 on this fixture (verified against the NumPy
+# transcription of /root/reference/src/algos.rs:169-295).
+_PAGERANK_DELTA_MULTI_SQL = """
+WITH e AS (
+  SELECT a.r_regionkey AS src, b.r_regionkey AS dst
+  FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
+  WHERE a.r_regionkey <= 1 AND b.r_regionkey <= 2
+),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+od AS (
+  SELECT v.id, COALESCE(d.c, 0) AS out_deg
+  FROM v LEFT JOIN (SELECT src, COUNT(*) AS c FROM e GROUP BY src) d
+    ON v.id = d.src
+),
+g0 AS (
+  SELECT e.dst AS id, SUM((1.0 / (SELECT n FROM nn)) / od.out_deg) AS gathered
+  FROM e JOIN od ON e.src = od.id
+  WHERE od.out_deg > 0
+  GROUP BY e.dst
+),
+r0 AS (
+  SELECT od.id, od.out_deg,
+         0.85 * COALESCE(g0.gathered, 0.0) + 0.15 AS rank,
+         0.85 * COALESCE(g0.gathered, 0.0) + 0.15 - 1.0 / (SELECT n FROM nn) AS delta,
+         ABS(0.85 * COALESCE(g0.gathered, 0.0) + 0.15 - 1.0 / (SELECT n FROM nn))
+           > (0.85 * COALESCE(g0.gathered, 0.0) + 0.15) + 0.01 AS active
+  FROM od LEFT JOIN g0 ON od.id = g0.id
+),
+g1 AS (
+  SELECT e.dst AS id, SUM(r.delta / r.out_deg) AS gathered
+  FROM e JOIN r0 r ON e.src = r.id
+  WHERE r.active AND r.out_deg > 0
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT r.id,
+         CASE WHEN ABS(r.rank) > r.rank * 0.01
+              THEN r.rank + 0.85 * COALESCE(g.gathered, 0.0)
+              ELSE r.rank END AS rank
+  FROM r0 r LEFT JOIN g1 g ON r.id = g.id
+)
+SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 9) AS rank FROM r1
 """
 
 
@@ -786,6 +861,7 @@ FROM documents GROUP BY md5(text)
         "bfs_levels": _bfs_sql(),
         "labelprop_k": _labelprop_k_sql(3),
         "pagerank_delta_k": _PAGERANK_DELTA_SQL,
+        "pagerank_delta_multi": _PAGERANK_DELTA_MULTI_SQL,
         "degree_counts": f"""
 WITH e AS ({_PART_SUPP_E}),
 v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)

@@ -108,12 +108,26 @@ def assign_dense_ids(
 
 
 def build_graph_from_pages(
-    pages: DataFrame, num_partitions: int | None = None
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    phase_walls: dict | None = None,
 ) -> Graph:
     """pages -> Graph. Vertex set = page urls ∪ href targets, so edges
     to pages outside the crawl become sink vertices (out_deg 0) and the
-    dangling-mass path is exercised."""
+    dangling-mass path is exercised.
+
+    `phase_walls`: pass a dict to record per-phase wall seconds
+    (extract_s / ids_s / build_s). Phase boundaries are forced with a
+    count() on the already-persisted intermediate, so the only extra
+    work is that scan — used by bench.py to decompose the web leg."""
+    import time as _time
+
+    t0 = _time.time()
     url_edges = edges_from_pages(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    if phase_walls is not None:
+        url_edges.count()
+        phase_walls["extract_s"] = round(_time.time() - t0, 3)
+        t0 = _time.time()
     all_urls = (
         pages.select(F.col("url"))
         .union(url_edges.select(F.col("dst_url").alias("url")))
@@ -122,6 +136,10 @@ def build_graph_from_pages(
     vertices = assign_dense_ids(all_urls, "url", num_partitions).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if phase_walls is not None:
+        vertices.count()
+        phase_walls["ids_s"] = round(_time.time() - t0, 3)
+        t0 = _time.time()
     # two broadcast-or-shuffle joins map urls -> ids; vertices is the
     # smaller side at web scale? No — vertices is huge; both joins are
     # shuffle hash joins on url. AQE picks the strategy.
@@ -137,6 +155,8 @@ def build_graph_from_pages(
         .select("src", "dst")
     )
     g = build_graph_from_edges(edges, vertices=vertices)
+    if phase_walls is not None:
+        phase_walls["build_s"] = round(_time.time() - t0, 3)
     url_edges.unpersist()
     return g
 

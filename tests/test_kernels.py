@@ -118,6 +118,26 @@ def test_pagerank_delta_matches_reference_transcription(rmat_graph):
     np.testing.assert_allclose(got, expected, atol=1e-12)
 
 
+def test_pagerank_delta_multi_round_frontier_survives(spark):
+    """The q_pagerank_delta_multi fixture (edges 0→1, 0→2, 1→2; n=3)
+    must keep vertex 0 active past round 0 (quirk 1: 1/3 > 2·0.15+0.01)
+    so the LOOP BODY executes a sparse-frontier round — the driver
+    oracle for the multi-round path depends on exactly this 2-round
+    trajectory."""
+    pdf = pd.DataFrame({"src": [0, 0, 1], "dst": [1, 2, 2]})
+    g = _graph(spark, pdf, 3)
+    res = pagerank_delta(g, max_iterations=8)
+    assert res.rounds == 2  # round 0 + ONE real loop round, then error<tol
+    expected = pagerank_delta_numpy(
+        3, pdf["src"].to_numpy(), pdf["dst"].to_numpy(), max_iterations=8
+    )
+    got = res.df.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(got, expected, atol=1e-12)
+    # the loop round really changed ranks (round-0 values differ)
+    assert abs(got[2] - 0.575) > 1e-3
+    g.unpersist()
+
+
 def test_cc_matches_union_find(rmat_graph):
     g, pdf, n = rmat_graph
     res = connected_components(g)
