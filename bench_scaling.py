@@ -41,7 +41,7 @@ WORKER = """
 import json, os, sys, time, threading
 edges_path = sys.argv[1]; cpus = int(sys.argv[2]); iters = int(sys.argv[3])
 heap = sys.argv[4]; partitions = int(sys.argv[5]); salt = int(sys.argv[6]) or None
-adaptive = bool(int(sys.argv[7])); warmup = int(sys.argv[8])
+adaptive = bool(int(sys.argv[7])); warmup = int(sys.argv[8]); kernel = sys.argv[9]
 
 # host-level /proc/stat sampler: attributes user/steal/idle % to each
 # iteration so slow iterations can be separated into "our code" vs
@@ -89,31 +89,52 @@ def cpu_s():
         parts = f.read().split()
     return (int(parts[13]) + int(parts[14])) / os.sysconf("SC_CLK_TCK")
 
-from linkgraph.build import build_graph_from_edges
-from linkgraph.kernels import pagerank
+from linkgraph.build import build_graph_from_edges, symmetrize
+from linkgraph.kernels import connected_components, pagerank
 g = build_graph_from_edges(spark.read.parquet(edges_path),
                            n=1 << 26, assume_deduped=True,
                            num_partitions=partitions)
+if kernel == "cc":
+    # symmetrize OUTSIDE the timed window: the scaling criterion is
+    # about the kernel loop, not the one-off input prep. cc runs to
+    # its deterministic fixpoint (same round sequence at any
+    # parallelism), so both levels execute identical rounds.
+    g = build_graph_from_edges(symmetrize(g.edges), vertices=g.vertices,
+                               assume_deduped=False, num_partitions=partitions)
 g.edges.count()  # warm the cache before timing
 gc0, cpu0 = gc_ms(), cpu_s()
 t0 = time.time()
-res = pagerank(g, tol=0.0, max_iter=iters, salt=salt, adaptive=adaptive)
+if kernel == "cc":
+    res = connected_components(g, symmetrize_edges=False)
+else:
+    res = pagerank(g, tol=0.0, max_iter=iters, salt=salt, adaptive=adaptive)
 wall = time.time() - t0
 gc1, cpu1 = gc_ms(), cpu_s()
 walls = [round(m["wall_s"], 2) for m in res.metrics]   # run order, NOT sorted
+modes = [m.get("mode") for m in res.metrics]
 ends, acc = [], t0
 iter_host = []
 for w in walls:
     iter_host.append(window_stats(acc, acc + w))
     acc += w
-# statistics over the steady-state window only: the first `warmup`
-# iterations carry C2 JIT compilation + first-touch of the edge cache
-# (observed: iteration 1 is 1.5-2x the steady state on the low leg),
-# which contaminates the median asymmetrically — the slow leg amortizes
-# warm-up over longer iterations. All walls are still published.
-steady = walls[warmup:] if len(walls) > warmup else walls
-median = sorted(steady)[len(steady) // 2]
-best = min(steady)
+if kernel == "cc":
+    # cc rounds are HETEROGENEOUS (heavy dense-pull head, tiny
+    # sparse-push tail), so a median/min round is not a scaling
+    # estimator. Primary = sum of the dense-pull round walls (the
+    # compute-bound rounds, identical round indices at both levels);
+    # the fixed-latency tail rounds are published but excluded.
+    dense = [w for w, md in zip(walls, modes) if md == "dense-pull"]
+    median = round(sum(dense), 2) if dense else round(sum(walls), 2)
+    best = median
+else:
+    # statistics over the steady-state window only: the first `warmup`
+    # iterations carry C2 JIT compilation + first-touch of the edge cache
+    # (observed: iteration 1 is 1.5-2x the steady state on the low leg),
+    # which contaminates the median asymmetrically — the slow leg amortizes
+    # warm-up over longer iterations. All walls are still published.
+    steady = walls[warmup:] if len(walls) > warmup else walls
+    median = sorted(steady)[len(steady) // 2]
+    best = min(steady)
 
 # per-stage spill/shuffle telemetry from the REST API: separates
 # "slow iteration because more bytes were spilled" from host noise.
@@ -139,9 +160,11 @@ try:
 except Exception as exc:
     stage_rows = [{"err": str(exc)}]
 print(json.dumps({"cpus": cpus, "wall_s": wall, "n": g.n, "m": g.m,
+                  "kernel": kernel,
                   "stages": stage_rows,
                   "iterations": res.iterations,
                   "iter_walls": walls,
+                  "iter_modes": modes,
                   "iter_host": iter_host,
                   "median_iter_s": round(median, 2),
                   "min_iter_s": round(best, 2),
@@ -204,6 +227,7 @@ def run_level(edges_path: str, cpus: int, args) -> dict:
                 sys.executable, "-c", WORKER, edges_path, str(cpus),
                 str(args.iters), args.heap, str(args.partitions),
                 str(args.salt), str(int(args.adaptive)), str(args.warmup),
+                args.kernel,
             ],
             capture_output=True,
             text=True,
@@ -234,6 +258,11 @@ def main() -> None:
     ap.add_argument("--adaptive", action="store_true")
     ap.add_argument("--warmup", type=int, default=2,
                     help="iterations excluded from median/min (JIT + cache first-touch)")
+    ap.add_argument("--kernel", choices=("pagerank", "cc"), default="pagerank",
+                    help="pagerank: fixed --iters rounds, median/min per-iteration "
+                         "estimators; cc: runs to the deterministic fixpoint, "
+                         "estimator = sum of dense-pull round walls (the "
+                         "compute-bound rounds; the sparse tail is fixed-latency)")
     ap.add_argument("--only", type=int, default=0, help="run a single level, print JSON, no md append")
     args = ap.parse_args()
 
@@ -260,7 +289,8 @@ def main() -> None:
     efficiency = (lo["median_iter_s"] / hi["median_iter_s"]) / factor
     efficiency_min = (lo["min_iter_s"] / hi["min_iter_s"]) / factor
     result = {
-        "input": "rmat(scale=26, ef=12, distributed-gen) fixed PageRank iterations",
+        "input": f"rmat(scale=26, ef=12, distributed-gen) {args.kernel}",
+        "kernel": args.kernel,
         "config": {"heap": args.heap, "partitions": args.partitions,
                    "salt": args.salt, "adaptive": args.adaptive},
         "low": lo,
@@ -276,8 +306,13 @@ def main() -> None:
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
+        iters_note = (
+            "to fixpoint; estimator = Σ dense-pull round walls"
+            if args.kernel == "cc"
+            else f"{args.iters} fixed iterations"
+        )
         f.write(
-            f"\n## Scaling run {result['ts']} (rMAT scale 26, ef 12, {args.iters} fixed iterations "
+            f"\n## Scaling run {result['ts']} (rMAT scale 26, ef 12, kernel={args.kernel}, {iters_note} "
             f"({args.warmup} warm-up excluded from stats), "
             f"heap {args.heap}, {args.partitions} partitions, salt={args.salt}, "
             f"aqe={'on' if args.adaptive else 'off'}, local.dir=tmpfs, cpuset-pinned)\n\n"
