@@ -48,14 +48,26 @@ def cosine_topk(
     rounded to 9 decimals, and ranked by (sim desc, neighbor_id asc) so
     results are order-insensitive-comparable across engines.
 
-    CONTRACT: this is the brute-force EXACTNESS BASELINE — the plan is
-    a crossJoin(broadcast(queries)), i.e. corpus_rows × queries dot
-    products. It exists to pin the recall of lsh_ann_topk and for
-    small corpora; it is NOT the scale path. The guard is ON BY
-    DEFAULT at the library layer: corpora larger than `max_rows`
-    (default 100k) are refused with a ValueError pointing at
-    lsh_ann_topk; passing an explicit larger bound (or None) is the
-    escape hatch for callers who really want the cartesian."""
+    CONTRACT: this is the exact brute-force BASELINE — every query is
+    scored against every corpus row — but the PLAN is scan-parallel,
+    not a materialized cartesian: the bounded query batch (≤
+    max_queries by construction) is shipped to every task, each input
+    partition computes its own partial top-k with Arrow-batched NumPy
+    (sequential-fold dot products, bit-identical to the JVM
+    `aggregate` fold and to DuckDB's list fold), and only ~P·q·k
+    candidate rows reach the final exact merge window. One corpus
+    scan, no n·q-row exchange, no single-key skew. Work is still
+    O(n·q) dot products, so the `max_rows` guard stays ON BY DEFAULT
+    as a cost ceiling: corpora larger than `max_rows` (default 100k)
+    are refused with a ValueError pointing at lsh_ann_topk; an
+    explicit larger bound (or None) is the escape hatch.
+
+    Partition-stage pruning is exact-safe: a candidate is kept if its
+    raw sim is within 2e-9 of the partition's k-th best (wider than
+    the 1e-9 rounding bucket, so no row that could tie at 9 decimals
+    is dropped), capped at k+64 rows per (query, partition) ordered by
+    (rounded sim desc, neighbor_id asc) so degenerate all-tied corpora
+    stay bounded."""
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
@@ -64,7 +76,7 @@ def cosine_topk(
         if n_rows > max_rows:
             raise ValueError(
                 f"cosine_topk is the brute-force baseline (corpus × queries "
-                f"cross join); corpus has {n_rows} rows > max_rows={max_rows}. "
+                f"dot products); corpus has {n_rows} rows > max_rows={max_rows}. "
                 f"Use lsh_ann_topk (op 'ann_lsh') for large corpora, or raise "
                 f"max_rows explicitly."
             )
@@ -72,16 +84,68 @@ def cosine_topk(
         queries = emb.where(F.col("vec_id").isin(query_ids))
     else:
         queries = emb.where(F.col("vec_id") < max_queries)
-    q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    qrows = sorted(queries.collect(), key=lambda r: r["vec_id"])
+    spark = embeddings.sparkSession
+    out_schema = "query_id long, neighbor_id long, sim double"
+    if not qrows:
+        return spark.createDataFrame(
+            [], out_schema + ", rnk long"
+        )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["vec"] for r in qrows], dtype=np.float64)
+
+    def _seq_fold_dot(X: np.ndarray, q: np.ndarray) -> np.ndarray:
+        # left fold acc = (acc + x_d*y_d) in dimension order: the exact
+        # fp addition order of aggregate(zip_with(...)) on the JVM and
+        # of the DuckDB oracle's list fold — bit-identical doubles.
+        acc = np.zeros(X.shape[0], dtype=np.float64)
+        for d in range(X.shape[1]):
+            acc = acc + X[:, d] * q[d]
+        return acc
+
+    q_norms = np.array(
+        [np.sqrt(_seq_fold_dot(q_mat[i : i + 1], q_mat[i])[0]) for i in range(len(qrows))]
     )
-    joined = emb.crossJoin(F.broadcast(q)).where(
-        F.col("vec_id") != F.col("query_id")
-    )
-    scored = joined.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(_cosine("qvec", "vec"), 9).alias("sim"),
+
+    def partial_topk(batches):
+        import pandas as pd
+
+        cand_sims = {int(qid): np.empty(0) for qid in q_ids}
+        cand_ids = {int(qid): np.empty(0, dtype=np.int64) for qid in q_ids}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf["vec"].to_list(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            row_norms = np.sqrt(_seq_fold_dot(X * X, np.ones(X.shape[1])))
+            for qi in range(len(q_ids)):
+                qid = int(q_ids[qi])
+                dots = _seq_fold_dot(X, q_mat[qi])
+                sims = dots / (q_norms[qi] * row_norms)
+                mask = ids != qid
+                s = np.concatenate([cand_sims[qid], sims[mask]])
+                nid = np.concatenate([cand_ids[qid], ids[mask]])
+                if len(s) > k:
+                    kth = np.partition(s, len(s) - k)[len(s) - k]
+                    keep = s >= kth - 2e-9
+                    s, nid = s[keep], nid[keep]
+                    if len(s) > k + 64:
+                        order = np.lexsort((nid, -np.round(s, 9)))[: k + 64]
+                        s, nid = s[order], nid[order]
+                cand_sims[qid], cand_ids[qid] = s, nid
+        frames = [
+            pd.DataFrame(
+                {"query_id": qid, "neighbor_id": cand_ids[qid], "sim": cand_sims[qid]}
+            )
+            for qid in cand_sims
+            if len(cand_sims[qid])
+        ]
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = emb.mapInPandas(partial_topk, out_schema)
+    scored = partial.select(
+        "query_id", "neighbor_id", F.round(F.col("sim"), 9).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")

@@ -104,3 +104,24 @@ def test_parquet_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
     # ReadSchema carries only the pruned column
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_cosine_topk_plan_is_scan_parallel_not_cartesian(spark):
+    """The exact top-k baseline must keep its scan-parallel shape: one
+    corpus scan feeding a per-partition partial top-k (mapInPandas),
+    with NO cartesian/broadcast-nested-loop join and no n*q-row
+    exchange — the final window only ever sees the pruned partials.
+    A crossJoin regression would reintroduce the skewed single-key
+    shuffle this plan removed."""
+    from linkgraph.pipeline import cosine_topk
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.1), F.col("id").cast("double")).cast(
+            "array<float>"
+        ).alias("embedding"),
+    )
+    plan = _plan(cosine_topk(emb, k=3, max_queries=4, max_rows=None))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
