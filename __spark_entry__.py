@@ -134,6 +134,22 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", "level", "parent")
 
 
+def q_msbfs_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (4 lanes in ONE frontier loop, composite
+    (dst, source) combine key) + sampled harmonic centrality rollup
+    over the symmetrized customer→supplier graph. Sources = the 4
+    smallest vertex ids; max_iter=15 matches the oracle's bounded
+    recursive expansion. (kernels/msbfs.py; MS-BFS per Then et al.
+    VLDB'15, harmonic estimator per Boldi & Vigna 2014.)"""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import harmonic_centrality
+
+    edges = symmetrize(_cust_supp_edges(spark, sf_dir))
+    g = _graph(edges)
+    sources = [int(r["id"]) for r in g.vertices.orderBy("id").limit(4).collect()]
+    return harmonic_centrality(g, sources, max_iter=15)
+
+
 def q_labelprop_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 3 synchronous label-propagation rounds on the
     customer→supplier graph (SURVEY §2.6: adopt the most frequent
@@ -322,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "pagerank_k": q_pagerank_k,
         "bfs_levels": q_bfs_levels,
+        "msbfs_harmonic": q_msbfs_harmonic,
         "labelprop_k": q_labelprop_k,
         "pagerank_delta_k": q_pagerank_delta_k,
         "pagerank_delta_multi": q_pagerank_delta_multi,
@@ -425,6 +442,34 @@ SELECT l.id,
                   WHERE s.dst = l.id AND l2.level = l.level - 1)
        END AS BIGINT) AS parent
 FROM lvl l
+"""
+
+
+def _msbfs_harmonic_sql(max_level: int = 15) -> str:
+    """Multi-source BFS from the 4 smallest vertices of the symmetrized
+    cust→supp graph via ONE bounded recursive expansion carrying the
+    source lane as a column; harmonic = Σ 1/dist over reaching lanes
+    (dist > 0), rounded to 9 decimals to match the Spark side."""
+    return f"""
+WITH RECURSIVE {_SYM_CUST_SUPP},
+v AS (SELECT src AS id FROM sym UNION SELECT dst AS id FROM sym),
+-- DISTINCT is load-bearing: under WITH RECURSIVE, DuckDB 1.0 evaluates
+-- sibling CTE UNIONs with ALL semantics, so v carries duplicates here
+srcs AS (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4),
+walk(id, source, dist) AS (
+  SELECT id, id, 0 FROM srcs
+  UNION
+  SELECT s.dst, w.source, w.dist + 1
+  FROM walk w JOIN sym s ON w.id = s.src
+  WHERE w.dist < {max_level}
+),
+d AS (SELECT id, source, MIN(dist) AS dist FROM walk GROUP BY id, source)
+SELECT id,
+       ROUND(SUM(CAST(1.0 AS DOUBLE) / dist), 9) AS harmonic,
+       COUNT(*) AS reached
+FROM d
+WHERE dist > 0
+GROUP BY id
 """
 
 
@@ -859,6 +904,7 @@ FROM documents GROUP BY md5(text)
         "embedding_near_dup": _near_dup_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "bfs_levels": _bfs_sql(),
+        "msbfs_harmonic": _msbfs_harmonic_sql(),
         "labelprop_k": _labelprop_k_sql(3),
         "pagerank_delta_k": _PAGERANK_DELTA_SQL,
         "pagerank_delta_multi": _PAGERANK_DELTA_MULTI_SQL,

@@ -65,6 +65,7 @@ def edge_map(
     dense: bool | None = None,
     exclude_dst: DataFrame | None = None,
     info: dict | None = None,
+    group_extra: list[str] | None = None,
 ) -> DataFrame:
     """Ligra edgeMap (D1): for each edge (s,t) with s ∈ frontier, emit
     message columns, then combine per target.
@@ -85,9 +86,20 @@ def edge_map(
                receive messages this round — Ligra's `cond()` check
                (ligra.rs:150,218: skip targets failing cond), expressed
                as a left-anti join BEFORE aggregation so excluded
-               targets do no aggregation work.
+               targets do no aggregation work. With `group_extra`, any
+               of those columns present on exclude_dst join too, so the
+               cond() is per (target, extra-key) — e.g. per-source
+               visitedness in multi-source traversals.
     info     : optional dict; receives {'mode', 'volume'} so kernels
                can record which path ran (per-iteration metrics).
+    group_extra : extra frontier payload columns to include in the
+               combine key, generalizing the per-target combine to
+               per (target, extra...) — the multi-source traversal
+               form (each logical traversal lane combines
+               independently). The reference's single-lane edgeMap is
+               group_extra=None; lanes multiply message volume, not
+               the edge relation, so the |E|/20 dispatch input is the
+               Σ-degree volume over frontier ROWS (id × lane).
 
     Returns a DataFrame grouped by `dst` with the aggregate columns —
     the "next frontier candidates + merged messages" in one relation.
@@ -104,13 +116,17 @@ def edge_map(
         info["mode"] = "dense-pull" if dense else "sparse-push"
         info["volume"] = volume
     joined = edges.join(src_side, "src")
+    extra = list(group_extra or [])
     if exclude_dst is not None:
+        anti_keys = ["dst"] + [c for c in extra if c in exclude_dst.columns]
         joined = joined.join(
-            exclude_dst.select(F.col("id").alias("dst")), "dst", "left_anti"
+            exclude_dst.withColumnRenamed("id", "dst").select(*anti_keys),
+            anti_keys,
+            "left_anti",
         )
     if msg:
         joined = joined.withColumns(msg)
-    return joined.groupBy("dst").agg(*aggs)
+    return joined.groupBy("dst", *extra).agg(*aggs)
 
 
 def node_map(state: DataFrame, updates: dict[str, Column]) -> DataFrame:

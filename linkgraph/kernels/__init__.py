@@ -7,6 +7,8 @@ cc              connected components via hash-min label propagation
 bfs             frontier BFS (levels + min-parent tree)
 labelprop       community label propagation (most-frequent in-neighbor label)
 triangles       triangle count via degree-ordered edge-intersection join
+msbfs           multi-source BFS (all lanes in one frontier loop) +
+                sampled harmonic centrality rollup
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -15,6 +17,7 @@ from linkgraph.kernels.bfs import bfs
 from linkgraph.kernels.labelprop import label_propagation
 from linkgraph.kernels.triangles import triangle_count
 from linkgraph.kernels.pagerank_delta import pagerank_delta
+from linkgraph.kernels.msbfs import msbfs, harmonic_centrality
 
 __all__ = [
     "pagerank",
@@ -23,4 +26,6 @@ __all__ = [
     "bfs",
     "label_propagation",
     "triangle_count",
+    "msbfs",
+    "harmonic_centrality",
 ]

@@ -259,3 +259,40 @@ def test_pagerank_check_every_parity(rmat_graph):
     conv = pagerank(g, tol=1e-3, max_iter=40, check_every=4)
     assert conv.converged
     assert conv.iterations % 4 == 0
+
+
+def test_msbfs_matches_per_source_bfs(rmat_graph):
+    """One msbfs run over 4 lanes == 4 independent NumPy BFS runs:
+    (id, source, dist) agrees lane-by-lane, so the composite combine
+    key (frontier.py group_extra) and per-lane cond() are exact."""
+    from linkgraph.kernels import msbfs
+
+    g, pdf, n = rmat_graph
+    sources = [0, 1, 5, 9]
+    res = msbfs(g, sources)
+    got = {(r["id"], r["source"]): r["dist"] for r in res.df.collect()}
+    expected = {}
+    for s in sources:
+        for v, lvl in bfs_levels_numpy(
+            n, pdf["src"].to_numpy(), pdf["dst"].to_numpy(), s
+        ).items():
+            expected[(v, s)] = lvl
+    assert got == expected
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """Exact harmonic centrality on an undirected 4-path with all
+    vertices as sources: ends get 1 + 1/2 + 1/3, middles 2 + 1/2."""
+    from linkgraph.kernels import harmonic_centrality
+
+    pdf = pd.DataFrame(
+        {"src": [0, 1, 1, 2, 2, 3], "dst": [1, 0, 2, 1, 3, 2]}
+    )
+    g = _graph(spark, pdf, 4)
+    got = {
+        r["id"]: (r["harmonic"], r["reached"])
+        for r in harmonic_centrality(g, [0, 1, 2, 3]).collect()
+    }
+    end = round(1 + 1 / 2 + 1 / 3, 9)
+    mid = round(1 + 1 + 1 / 2, 9)
+    assert got == {0: (end, 3), 1: (mid, 3), 2: (mid, 3), 3: (end, 3)}

@@ -183,3 +183,25 @@ def test_bfs_resume_from_legacy_full_checkpoint(small_graph, tmp_path):
         return {r["id"]: (r["level"], r["parent"]) for r in df.collect()}
 
     assert levels(resumed.df) == levels(full.df)
+
+
+def test_msbfs_resume_equals_uninterrupted(small_graph, tmp_path):
+    from linkgraph.kernels import msbfs
+
+    sources = [0, 3]
+    full = msbfs(small_graph, sources)
+
+    ckpt = CheckpointManager(str(tmp_path), "msbfs")
+    msbfs(small_graph, sources, max_iter=2, ckpt=ckpt)
+    assert ckpt.last_complete() == 2
+    spark = small_graph.edges.sparkSession
+    delta2, _, rec2 = ckpt.load(spark, 2)
+    assert rec2["delta_ckpt"] is True
+    # per-level delta: only dist-2 rows are in the iter=2 checkpoint
+    assert {r["dist"] for r in delta2.collect()} == {2}
+    resumed = msbfs(small_graph, sources, ckpt=ckpt)
+
+    def dists(df):
+        return {(r["id"], r["source"]): r["dist"] for r in df.collect()}
+
+    assert dists(resumed.df) == dists(full.df)
