@@ -150,6 +150,20 @@ def q_msbfs_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(g, sources, max_iter=15)
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-core of the symmetrized customer→supplier graph: iterative
+    peeling until fixpoint, output (id, deg) = members + their in-core
+    degree (kernels/kcore.py; Matula & Beck 1983). The oracle unrolls
+    4 peel rounds — measured fixpoint at sf0.01 is 2, and extra rounds
+    are idempotent."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import kcore
+
+    edges = symmetrize(_cust_supp_edges(spark, sf_dir))
+    g = _graph(edges)
+    return kcore(g, k=20).df
+
+
 def q_labelprop_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 3 synchronous label-propagation rounds on the
     customer→supplier graph (SURVEY §2.6: adopt the most frequent
@@ -339,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k": q_pagerank_k,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
+        "kcore": q_kcore,
         "labelprop_k": q_labelprop_k,
         "pagerank_delta_k": q_pagerank_delta_k,
         "pagerank_delta_multi": q_pagerank_delta_multi,
@@ -443,6 +458,30 @@ SELECT l.id,
        END AS BIGINT) AS parent
 FROM lvl l
 """
+
+
+def _kcore_sql(k: int = 20, rounds: int = 4) -> str:
+    """Unrolled iterative peeling on the symmetrized cust→supp graph:
+    each round drops vertices whose remaining degree < k, plus every
+    edge touching them. `rounds` must be ≥ the measured fixpoint round
+    count (2 at sf0.01; extra rounds are no-ops). Final (id, deg) =
+    surviving vertices with their in-core degree."""
+    sql = f"WITH {_SYM_CUST_SUPP}"
+    prev = "sym"
+    for i in range(1, rounds + 1):
+        sql += f""",
+d{i} AS (SELECT src, COUNT(*) AS c FROM {prev} GROUP BY src),
+r{i} AS (SELECT src FROM d{i} WHERE c < {k}),
+e{i} AS (
+  SELECT src, dst FROM {prev}
+  WHERE src NOT IN (SELECT src FROM r{i})
+    AND dst NOT IN (SELECT src FROM r{i})
+)"""
+        prev = f"e{i}"
+    sql += f"""
+SELECT src AS id, COUNT(*) AS deg FROM {prev} GROUP BY src
+"""
+    return sql
 
 
 def _msbfs_harmonic_sql(max_level: int = 15) -> str:
@@ -905,6 +944,7 @@ FROM documents GROUP BY md5(text)
         "dedup_clusters": _dedup_clusters_sql(),
         "bfs_levels": _bfs_sql(),
         "msbfs_harmonic": _msbfs_harmonic_sql(),
+        "kcore": _kcore_sql(20, rounds=4),
         "labelprop_k": _labelprop_k_sql(3),
         "pagerank_delta_k": _PAGERANK_DELTA_SQL,
         "pagerank_delta_multi": _PAGERANK_DELTA_MULTI_SQL,

@@ -29,12 +29,21 @@ def main(argv: list[str]) -> int:
     ap.add_argument(
         "--kernel",
         default="pagerank",
-        choices=["pagerank", "pagerank_delta", "cc", "bfs", "labelprop", "triangles"],
+        choices=[
+            "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
+            "triangles", "msbfs", "harmonic", "kcore",
+        ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
     ap.add_argument("--output", help="write result here (parquet dir or table:<id>)")
     ap.add_argument("--top", type=int, default=20, help="rows to print")
     ap.add_argument("--root", type=int, default=0, help="bfs root")
+    ap.add_argument(
+        "--sources",
+        help="comma-separated source ids for msbfs/harmonic "
+        "(default: the 4 smallest vertex ids)",
+    )
+    ap.add_argument("--k", type=int, default=3, help="k for kcore")
     ap.add_argument("--max-iter", type=int, default=200)
     ap.add_argument("--tol", type=float, default=1e-6)
     args = ap.parse_args(argv)
@@ -94,6 +103,31 @@ def main(argv: list[str]) -> int:
         res = kernels.bfs(graph, root=args.root, ckpt=ckpt)
         out = res.df.orderBy("level", "id")
         summary = {"kernel": "bfs", "levels": res.iterations}
+    elif args.kernel in ("msbfs", "harmonic"):
+        if args.sources:
+            sources = [int(s) for s in args.sources.split(",")]
+        else:
+            sources = [
+                int(r["id"]) for r in graph.vertices.orderBy("id").limit(4).collect()
+            ]
+        if args.kernel == "msbfs":
+            res = kernels.msbfs(graph, sources, max_iter=args.max_iter, ckpt=ckpt)
+            out = res.df.orderBy("source", "dist", "id")
+            summary = {"kernel": "msbfs", "lanes": len(sources), "levels": res.iterations}
+        else:
+            out = kernels.harmonic_centrality(
+                graph, sources, max_iter=args.max_iter, ckpt=ckpt
+            ).orderBy(F.desc("harmonic"), "id")
+            summary = {"kernel": "harmonic", "lanes": len(sources)}
+    elif args.kernel == "kcore":
+        res = kernels.kcore(graph, k=args.k, max_iter=args.max_iter)
+        out = res.df.orderBy(F.desc("deg"), "id")
+        summary = {
+            "kernel": "kcore",
+            "k": args.k,
+            "rounds": res.iterations,
+            "core_size": out.count(),
+        }
     elif args.kernel == "labelprop":
         res = kernels.label_propagation(graph, max_iter=args.max_iter, ckpt=ckpt)
         out = res.df.groupBy("label").agg(F.count("*").alias("size")).orderBy(F.desc("size"))

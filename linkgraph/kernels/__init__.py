@@ -9,6 +9,8 @@ labelprop       community label propagation (most-frequent in-neighbor label)
 triangles       triangle count via degree-ordered edge-intersection join
 msbfs           multi-source BFS (all lanes in one frontier loop) +
                 sampled harmonic centrality rollup
+kcore           k-core membership via iterative peeling (broadcast
+                anti-join removals over the bucketed edge state)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -18,6 +20,7 @@ from linkgraph.kernels.labelprop import label_propagation
 from linkgraph.kernels.triangles import triangle_count
 from linkgraph.kernels.pagerank_delta import pagerank_delta
 from linkgraph.kernels.msbfs import msbfs, harmonic_centrality
+from linkgraph.kernels.kcore import kcore
 
 __all__ = [
     "pagerank",
@@ -28,4 +31,5 @@ __all__ = [
     "triangle_count",
     "msbfs",
     "harmonic_centrality",
+    "kcore",
 ]

@@ -173,3 +173,17 @@ def bfs_levels_numpy(n: int, src: np.ndarray, dst: np.ndarray, root: int) -> dic
                     nxt.append(v)
         frontier = nxt
     return levels
+
+
+def kcore_numpy(n: int, src: np.ndarray, dst: np.ndarray, k: int) -> dict[int, int]:
+    """{id: in-core degree} of the k-core via sequential peeling over
+    the given (assumed symmetric) edge list."""
+    edges = set(zip(src.tolist(), dst.tolist()))
+    while True:
+        deg: dict[int, int] = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        bad = {v for v, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        edges = {(s, d) for s, d in edges if s not in bad and d not in bad}

@@ -296,3 +296,39 @@ def test_harmonic_centrality_path_graph(spark):
     end = round(1 + 1 / 2 + 1 / 3, 9)
     mid = round(1 + 1 + 1 / 2, 9)
     assert got == {0: (end, 3), 1: (mid, 3), 2: (mid, 3), 3: (end, 3)}
+
+
+def test_kcore_matches_numpy_peeling(rmat_graph):
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import kcore
+    from tests.oracles import kcore_numpy
+
+    g, pdf, n = rmat_graph
+    spark = g.edges.sparkSession
+    sym = symmetrize(spark.createDataFrame(pdf, "src long, dst long"))
+    gs = build_graph_from_edges(sym, num_partitions=4)
+    sym_pdf = gs.edges.toPandas()
+    for k in (2, 4):
+        got = {r["id"]: r["deg"] for r in kcore(gs, k).df.collect()}
+        assert got == kcore_numpy(
+            n, sym_pdf["src"].to_numpy(), sym_pdf["dst"].to_numpy(), k
+        )
+    gs.unpersist()
+
+
+def test_kcore_cascade_peels_in_rounds(spark):
+    """Triangle + 2-tail: round 1 peels the leaf, round 2 the now-
+    exposed tail vertex, round 3 is the fixpoint — the cascade (not
+    just the first sweep) must execute."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import kcore
+
+    e = pd.DataFrame({"src": [0, 1, 2, 2, 3], "dst": [1, 2, 0, 3, 4]})
+    g = build_graph_from_edges(
+        symmetrize(spark.createDataFrame(e, "src long, dst long")),
+        num_partitions=2,
+    )
+    r = kcore(g, 2)
+    assert {x["id"]: x["deg"] for x in r.df.collect()} == {0: 2, 1: 2, 2: 2}
+    assert [m["removed"] for m in r.metrics] == [1, 1, 0]
+    g.unpersist()

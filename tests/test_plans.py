@@ -125,3 +125,25 @@ def test_cosine_topk_plan_is_scan_parallel_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan
+
+
+def test_kcore_round_shapes(spark, tiny_graph):
+    """kcore's per-round plan must keep its two scale properties:
+    (1) the degree recount rides the src-partitioned cached edge table
+    with NO exchange between the scan and the aggregate, and (2) the
+    removed-set filter is a broadcast anti-join, never an edge
+    shuffle."""
+    from pyspark.sql import functions as F2
+
+    deg = tiny_graph.edges.groupBy("src").agg(F2.count(F2.lit(1)).alias("deg"))
+    plan = _plan(deg)
+    agg_part = plan.split("InMemoryTableScan")[0]
+    assert "Exchange" not in agg_part
+
+    removed = spark.createDataFrame([(0,)], "src long")
+    nxt = tiny_graph.edges.join(F2.broadcast(removed), "src", "left_anti").join(
+        F2.broadcast(removed.withColumnRenamed("src", "dst")), "dst", "left_anti"
+    )
+    nplan = _plan(nxt)
+    assert "BroadcastExchange" in nplan
+    assert "ShuffledHashJoin" not in nplan and "SortMergeJoin" not in nplan
