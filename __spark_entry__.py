@@ -150,6 +150,20 @@ def q_msbfs_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(g, sources, max_iter=15)
 
 
+def q_graph_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ligra's Radii app: per-sample-source eccentricity + reach size
+    over the symmetrized cust→supp graph (same 4-lane msbfs sweep as
+    msbfs_harmonic, different rollup; max(ecc) lower-bounds the
+    diameter)."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import radii
+
+    edges = symmetrize(_cust_supp_edges(spark, sf_dir))
+    g = _graph(edges)
+    sources = [int(r["id"]) for r in g.vertices.orderBy("id").limit(4).collect()]
+    return radii(g, sources, max_iter=15)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-core of the symmetrized customer→supplier graph: iterative
     peeling until fixpoint, output (id, deg) = members + their in-core
@@ -353,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k": q_pagerank_k,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
+        "graph_radii": q_graph_radii,
         "kcore": q_kcore,
         "labelprop_k": q_labelprop_k,
         "pagerank_delta_k": q_pagerank_delta_k,
@@ -509,6 +524,32 @@ SELECT id,
 FROM d
 WHERE dist > 0
 GROUP BY id
+"""
+
+
+def _graph_radii_sql(max_level: int = 15) -> str:
+    """Same bounded multi-source walk as _msbfs_harmonic_sql, rolled up
+    per source: eccentricity = MAX(min-dist), reached counts (vertex,
+    lane) pairs including the source itself at dist 0."""
+    return f"""
+WITH RECURSIVE {_SYM_CUST_SUPP},
+v AS (SELECT src AS id FROM sym UNION SELECT dst AS id FROM sym),
+-- DISTINCT is load-bearing: under WITH RECURSIVE, DuckDB 1.0 evaluates
+-- sibling CTE UNIONs with ALL semantics, so v carries duplicates here
+srcs AS (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4),
+walk(id, source, dist) AS (
+  SELECT id, id, 0 FROM srcs
+  UNION
+  SELECT s.dst, w.source, w.dist + 1
+  FROM walk w JOIN sym s ON w.id = s.src
+  WHERE w.dist < {max_level}
+),
+d AS (SELECT id, source, MIN(dist) AS dist FROM walk GROUP BY id, source)
+SELECT source,
+       CAST(MAX(dist) AS BIGINT) AS ecc,
+       COUNT(*) AS reached
+FROM d
+GROUP BY source
 """
 
 
@@ -944,6 +985,7 @@ FROM documents GROUP BY md5(text)
         "dedup_clusters": _dedup_clusters_sql(),
         "bfs_levels": _bfs_sql(),
         "msbfs_harmonic": _msbfs_harmonic_sql(),
+        "graph_radii": _graph_radii_sql(),
         "kcore": _kcore_sql(20, rounds=4),
         "labelprop_k": _labelprop_k_sql(3),
         "pagerank_delta_k": _PAGERANK_DELTA_SQL,

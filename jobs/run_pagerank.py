@@ -31,7 +31,7 @@ def main(argv: list[str]) -> int:
         default="pagerank",
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
-            "triangles", "msbfs", "harmonic", "kcore",
+            "triangles", "msbfs", "harmonic", "radii", "kcore",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -103,7 +103,7 @@ def main(argv: list[str]) -> int:
         res = kernels.bfs(graph, root=args.root, ckpt=ckpt)
         out = res.df.orderBy("level", "id")
         summary = {"kernel": "bfs", "levels": res.iterations}
-    elif args.kernel in ("msbfs", "harmonic"):
+    elif args.kernel in ("msbfs", "harmonic", "radii"):
         if args.sources:
             sources = [int(s) for s in args.sources.split(",")]
         else:
@@ -114,6 +114,11 @@ def main(argv: list[str]) -> int:
             res = kernels.msbfs(graph, sources, max_iter=args.max_iter, ckpt=ckpt)
             out = res.df.orderBy("source", "dist", "id")
             summary = {"kernel": "msbfs", "lanes": len(sources), "levels": res.iterations}
+        elif args.kernel == "radii":
+            out = kernels.radii(
+                graph, sources, max_iter=args.max_iter, ckpt=ckpt
+            ).orderBy(F.desc("ecc"), "source")
+            summary = {"kernel": "radii", "lanes": len(sources)}
         else:
             out = kernels.harmonic_centrality(
                 graph, sources, max_iter=args.max_iter, ckpt=ckpt

@@ -19,7 +19,7 @@ from linkgraph.kernels.bfs import bfs
 from linkgraph.kernels.labelprop import label_propagation
 from linkgraph.kernels.triangles import triangle_count
 from linkgraph.kernels.pagerank_delta import pagerank_delta
-from linkgraph.kernels.msbfs import msbfs, harmonic_centrality
+from linkgraph.kernels.msbfs import msbfs, harmonic_centrality, radii
 from linkgraph.kernels.kcore import kcore
 
 __all__ = [
@@ -31,5 +31,6 @@ __all__ = [
     "triangle_count",
     "msbfs",
     "harmonic_centrality",
+    "radii",
     "kcore",
 ]

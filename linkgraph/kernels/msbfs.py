@@ -185,3 +185,21 @@ def harmonic_centrality(
             F.count(F.lit(1)).alias("reached"),
         )
     )
+
+
+def radii(
+    graph: Graph,
+    sources: list[int],
+    max_iter: int = 10_000,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """(source, ecc, reached): per-sample-source eccentricity (max hop
+    distance to any reached vertex) and reach size — Ligra's Radii app
+    (the multi-source sweep that lower-bounds per-vertex eccentricity
+    and graph diameter; max(ecc) over a good sample is the standard
+    diameter estimate). One msbfs run, one groupBy rollup."""
+    res = msbfs(graph, sources, max_iter=max_iter, ckpt=ckpt)
+    return res.df.groupBy("source").agg(
+        F.max("dist").alias("ecc"),
+        F.count(F.lit(1)).alias("reached"),
+    )

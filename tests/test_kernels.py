@@ -332,3 +332,16 @@ def test_kcore_cascade_peels_in_rounds(spark):
     assert {x["id"]: x["deg"] for x in r.df.collect()} == {0: 2, 1: 2, 2: 2}
     assert [m["removed"] for m in r.metrics] == [1, 1, 0]
     g.unpersist()
+
+
+def test_radii_path_graph(spark):
+    """4-path, sources {0, 1}: ecc(0)=3, ecc(1)=2, each reaching all 4
+    vertices (self at dist 0 included in `reached`)."""
+    from linkgraph.kernels import radii
+
+    pdf = pd.DataFrame(
+        {"src": [0, 1, 1, 2, 2, 3], "dst": [1, 0, 2, 1, 3, 2]}
+    )
+    g = _graph(spark, pdf, 4)
+    got = {r["source"]: (r["ecc"], r["reached"]) for r in radii(g, [0, 1]).collect()}
+    assert got == {0: (3, 4), 1: (2, 4)}
