@@ -164,6 +164,22 @@ def q_graph_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radii(g, sources, max_iter=15)
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes betweenness centrality (4 lanes, same
+    source sample as msbfs_harmonic) on the symmetrized cust→supp
+    graph (kernels/betweenness.py). The oracle unrolls the forward
+    σ-accumulating BFS and the backward dependency sweep level by
+    level — empty trailing levels are no-ops, so the unroll bound only
+    needs to be ≥ the real depth (15, matching max_iter)."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import betweenness
+
+    edges = symmetrize(_cust_supp_edges(spark, sf_dir))
+    g = _graph(edges)
+    sources = [int(r["id"]) for r in g.vertices.orderBy("id").limit(4).collect()]
+    return betweenness(g, sources, max_iter=15).df
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-core of the symmetrized customer→supplier graph: iterative
     peeling until fixpoint, output (id, deg) = members + their in-core
@@ -368,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
         "graph_radii": q_graph_radii,
+        "betweenness": q_betweenness,
         "kcore": q_kcore,
         "labelprop_k": q_labelprop_k,
         "pagerank_delta_k": q_pagerank_delta_k,
@@ -525,6 +542,74 @@ FROM d
 WHERE dist > 0
 GROUP BY id
 """
+
+
+def _betweenness_sql(max_level: int = 15) -> str:
+    """Brandes BC fully unrolled (no recursion, so the DuckDB RECURSIVE
+    UNION quirk is moot): forward levels bf0..bfL accumulate σ per
+    (vertex, lane) with a NOT EXISTS per-lane visited check; backward
+    bdL..bd0 accumulate δ(v) = Σ_succ (σv/σw)(1+δw) over same-lane
+    level-(l+1) successors. bc = Σ δ over lanes, endpoints excluded.
+    Levels beyond the real depth are empty CTEs — harmless no-ops.
+
+    Every generated CTE is AS MATERIALIZED: DuckDB 1.0 inlines CTEs
+    per reference, and the bf/bvis chain references each level
+    multiple times — uninlined, the plan (and the parquet-scan fan-in
+    of the sym fragment) grows exponentially with depth and dies with
+    'Too many open files'. Materialization evaluates each level
+    once."""
+    L = max_level
+    sql = f"""
+WITH {_SYM_CUST_SUPP},
+symm AS MATERIALIZED (SELECT src, dst FROM sym),
+v AS (SELECT src AS id FROM symm UNION SELECT dst AS id FROM symm),
+srcs AS (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4),
+bf0 AS MATERIALIZED (SELECT id, id AS source, CAST(1 AS DOUBLE) AS sigma FROM srcs),
+bvis0 AS MATERIALIZED (SELECT id, source, sigma FROM bf0)"""
+    for l in range(1, L + 1):
+        sql += f""",
+bf{l} AS MATERIALIZED (
+  SELECT e.dst AS id, f.source, SUM(f.sigma) AS sigma
+  FROM symm e JOIN bf{l - 1} f ON e.src = f.id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bvis{l - 1} vz WHERE vz.id = e.dst AND vz.source = f.source
+  )
+  GROUP BY e.dst, f.source
+),
+bvis{l} AS MATERIALIZED (
+  SELECT id, source, sigma FROM bvis{l - 1}
+  UNION ALL SELECT id, source, sigma FROM bf{l}
+)"""
+    sql += f""",
+bd{L} AS MATERIALIZED (SELECT id, source, sigma, CAST(0 AS DOUBLE) AS delta FROM bf{L})"""
+    for l in range(L - 1, -1, -1):
+        sql += f""",
+bd{l} AS MATERIALIZED (
+  SELECT low.id, low.source, low.sigma,
+         COALESCE(c.val, CAST(0 AS DOUBLE)) AS delta
+  FROM bf{l} low
+  LEFT JOIN (
+    SELECT e.src AS id, up.source AS source,
+           SUM((low2.sigma / up.sigma) * (CAST(1 AS DOUBLE) + up.delta)) AS val
+    FROM symm e
+    JOIN bf{l} low2 ON e.src = low2.id
+    JOIN bd{l + 1} up ON e.dst = up.id AND up.source = low2.source
+    GROUP BY e.src, up.source
+  ) c ON c.id = low.id AND c.source = low.source
+)"""
+    union = "\n  UNION ALL ".join(
+        f"SELECT id, source, delta FROM bd{l}" for l in range(0, L + 1)
+    )
+    sql += f""",
+alld AS (
+  {union}
+)
+SELECT id, ROUND(SUM(delta), 9) AS bc
+FROM alld
+WHERE id <> source
+GROUP BY id
+"""
+    return sql
 
 
 def _graph_radii_sql(max_level: int = 15) -> str:
@@ -986,6 +1071,7 @@ FROM documents GROUP BY md5(text)
         "bfs_levels": _bfs_sql(),
         "msbfs_harmonic": _msbfs_harmonic_sql(),
         "graph_radii": _graph_radii_sql(),
+        "betweenness": _betweenness_sql(15),
         "kcore": _kcore_sql(20, rounds=4),
         "labelprop_k": _labelprop_k_sql(3),
         "pagerank_delta_k": _PAGERANK_DELTA_SQL,

@@ -31,7 +31,7 @@ def main(argv: list[str]) -> int:
         default="pagerank",
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
-            "triangles", "msbfs", "harmonic", "radii", "kcore",
+            "triangles", "msbfs", "harmonic", "radii", "kcore", "bc",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -103,7 +103,7 @@ def main(argv: list[str]) -> int:
         res = kernels.bfs(graph, root=args.root, ckpt=ckpt)
         out = res.df.orderBy("level", "id")
         summary = {"kernel": "bfs", "levels": res.iterations}
-    elif args.kernel in ("msbfs", "harmonic", "radii"):
+    elif args.kernel in ("msbfs", "harmonic", "radii", "bc"):
         if args.sources:
             sources = [int(s) for s in args.sources.split(",")]
         else:
@@ -119,6 +119,10 @@ def main(argv: list[str]) -> int:
                 graph, sources, max_iter=args.max_iter, ckpt=ckpt
             ).orderBy(F.desc("ecc"), "source")
             summary = {"kernel": "radii", "lanes": len(sources)}
+        elif args.kernel == "bc":
+            res = kernels.betweenness(graph, sources, max_iter=args.max_iter)
+            out = res.df.orderBy(F.desc("bc"), "id")
+            summary = {"kernel": "bc", "lanes": len(sources), "levels": res.iterations}
         else:
             out = kernels.harmonic_centrality(
                 graph, sources, max_iter=args.max_iter, ckpt=ckpt

@@ -11,6 +11,8 @@ msbfs           multi-source BFS (all lanes in one frontier loop) +
                 sampled harmonic centrality rollup
 kcore           k-core membership via iterative peeling (broadcast
                 anti-join removals over the bucketed edge state)
+betweenness     sampled-source Brandes BC (laned forward sigma sweep +
+                level-synchronous backward dependency accumulation)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -21,6 +23,7 @@ from linkgraph.kernels.triangles import triangle_count
 from linkgraph.kernels.pagerank_delta import pagerank_delta
 from linkgraph.kernels.msbfs import msbfs, harmonic_centrality, radii
 from linkgraph.kernels.kcore import kcore
+from linkgraph.kernels.betweenness import betweenness
 
 __all__ = [
     "pagerank",
@@ -33,4 +36,5 @@ __all__ = [
     "harmonic_centrality",
     "radii",
     "kcore",
+    "betweenness",
 ]

@@ -187,3 +187,44 @@ def kcore_numpy(n: int, src: np.ndarray, dst: np.ndarray, k: int) -> dict[int, i
         if not bad:
             return deg
         edges = {(s, d) for s, d in edges if s not in bad and d not in bad}
+
+
+def betweenness_numpy(
+    n: int, src: np.ndarray, dst: np.ndarray, sources: list[int]
+) -> dict[int, float]:
+    """Brandes BC summed over the given source sample (directed-pair
+    dependency sums, endpoints excluded). Returns {id: round(bc, 9)}
+    for every vertex reached by at least one lane other than its own."""
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].append(d)
+    bc: dict[int, float] = {}
+    for s in sources:
+        dist = [-1] * n
+        sigma = [0.0] * n
+        preds: list[list[int]] = [[] for _ in range(n)]
+        dist[s] = 0
+        sigma[s] = 1.0
+        order: list[int] = []
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                order.append(u)
+                for v in adj[u]:
+                    if dist[v] == -1:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+                    if dist[v] == dist[u] + 1:
+                        sigma[v] += sigma[u]
+                        preds[v].append(u)
+            # dedupe nxt preserving first-seen order
+            seen = set()
+            frontier = [v for v in nxt if not (v in seen or seen.add(v))]
+        delta = [0.0] * n
+        for w in reversed(order):
+            for u in preds[w]:
+                delta[u] += (sigma[u] / sigma[w]) * (1.0 + delta[w])
+            if w != s:
+                bc[w] = bc.get(w, 0.0) + delta[w]
+    return {v: round(x, 9) for v, x in bc.items()}

@@ -345,3 +345,24 @@ def test_radii_path_graph(spark):
     g = _graph(spark, pdf, 4)
     got = {r["source"]: (r["ecc"], r["reached"]) for r in radii(g, [0, 1]).collect()}
     assert got == {0: (3, 4), 1: (2, 4)}
+
+
+def test_betweenness_matches_brandes(rmat_graph):
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import betweenness
+    from tests.oracles import betweenness_numpy
+
+    g, pdf, n = rmat_graph
+    spark = g.edges.sparkSession
+    sym = symmetrize(spark.createDataFrame(pdf, "src long, dst long"))
+    gs = build_graph_from_edges(sym, num_partitions=4)
+    sym_pdf = gs.edges.toPandas()
+    sources = [0, 1, 5, 9]
+    got = {r["id"]: r["bc"] for r in betweenness(gs, sources).df.collect()}
+    want = betweenness_numpy(
+        n, sym_pdf["src"].to_numpy(), sym_pdf["dst"].to_numpy(), sources
+    )
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    gs.unpersist()
