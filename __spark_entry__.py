@@ -180,6 +180,33 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness(g, sources, max_iter=15).df
 
 
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (frontier Bellman-Ford, kernels/sssp.py) from the
+    smallest vertex of the symmetrized cust→supp graph; edge weight =
+    (order, lineitem) pair multiplicity as a double, same in both
+    directions — integer-valued, so distances are float-exact vs the
+    oracle. Oracle unrolls full Bellman-Ford rounds; rounds beyond the
+    fixpoint are idempotent."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import sssp
+
+    li = _lineitem(spark, sf_dir)
+    o = _orders(spark, sf_dir)
+    cw = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    weights = cw.union(cw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    edges = symmetrize(_cust_supp_edges(spark, sf_dir))
+    g = _graph(edges)
+    root = int(g.edges.agg(F.min("src")).first()[0])
+    return sssp(g, root, weights=weights, max_iter=30).df
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-core of the symmetrized customer→supplier graph: iterative
     peeling until fixpoint, output (id, deg) = members + their in-core
@@ -385,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msbfs_harmonic": q_msbfs_harmonic,
         "graph_radii": q_graph_radii,
         "betweenness": q_betweenness,
+        "sssp_weighted": q_sssp_weighted,
         "kcore": q_kcore,
         "labelprop_k": q_labelprop_k,
         "pagerank_delta_k": q_pagerank_delta_k,
@@ -490,6 +518,41 @@ SELECT l.id,
        END AS BIGINT) AS parent
 FROM lvl l
 """
+
+
+def _sssp_sql(rounds: int = 12) -> str:
+    """Unrolled classic Bellman-Ford from MIN(src) on the symmetrized
+    weighted cust→supp graph (w = (order, lineitem) pair multiplicity):
+    d_r(v) = MIN(d_{r-1}(v), MIN over in-edges d_{r-1}(u) + w). Rounds
+    past the fixpoint are no-ops; `rounds` must be ≥ the measured
+    fixpoint round count at sf0.01 (kernel iterations + margin). All
+    CTEs MATERIALIZED (DuckDB 1.0 inlines per reference)."""
+    sql = f"""
+WITH cw AS MATERIALIZED (
+  SELECT o_custkey AS src, {SUPP_OFFSET} + l_suppkey AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+symw AS MATERIALIZED (
+  SELECT src, dst, w FROM cw
+  UNION ALL SELECT dst AS src, src AS dst, w FROM cw
+),
+d0 AS MATERIALIZED (
+  SELECT (SELECT MIN(src) FROM symw) AS id, CAST(0 AS DOUBLE) AS dist
+)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+d{r} AS MATERIALIZED (
+  SELECT id, MIN(dv) AS dist FROM (
+    SELECT id, dist AS dv FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + e.w AS dv
+    FROM symw e JOIN d{r - 1} d ON e.src = d.id
+  ) GROUP BY id
+)"""
+    sql += f"\nSELECT id, dist FROM d{rounds}\n"
+    return sql
 
 
 def _kcore_sql(k: int = 20, rounds: int = 4) -> str:
@@ -1072,6 +1135,7 @@ FROM documents GROUP BY md5(text)
         "msbfs_harmonic": _msbfs_harmonic_sql(),
         "graph_radii": _graph_radii_sql(),
         "betweenness": _betweenness_sql(15),
+        "sssp_weighted": _sssp_sql(rounds=12),
         "kcore": _kcore_sql(20, rounds=4),
         "labelprop_k": _labelprop_k_sql(3),
         "pagerank_delta_k": _PAGERANK_DELTA_SQL,

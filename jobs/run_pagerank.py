@@ -31,7 +31,7 @@ def main(argv: list[str]) -> int:
         default="pagerank",
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
-            "triangles", "msbfs", "harmonic", "radii", "kcore", "bc",
+            "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -128,6 +128,12 @@ def main(argv: list[str]) -> int:
                 graph, sources, max_iter=args.max_iter, ckpt=ckpt
             ).orderBy(F.desc("harmonic"), "id")
             summary = {"kernel": "harmonic", "lanes": len(sources)}
+    elif args.kernel == "sssp":
+        # no weight column in the pages/edges inputs -> unit weights
+        # (hop-count distances); library callers pass a weights DF
+        res = kernels.sssp(graph, root=args.root, max_iter=args.max_iter)
+        out = res.df.orderBy("dist", "id")
+        summary = {"kernel": "sssp", "rounds": res.iterations}
     elif args.kernel == "kcore":
         res = kernels.kcore(graph, k=args.k, max_iter=args.max_iter)
         out = res.df.orderBy(F.desc("deg"), "id")

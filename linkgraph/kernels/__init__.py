@@ -13,6 +13,8 @@ kcore           k-core membership via iterative peeling (broadcast
                 anti-join removals over the bucketed edge state)
 betweenness     sampled-source Brandes BC (laned forward sigma sweep +
                 level-synchronous backward dependency accumulation)
+sssp            weighted single-source shortest paths (frontier
+                Bellman-Ford over a weighted edge cache)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -24,6 +26,7 @@ from linkgraph.kernels.pagerank_delta import pagerank_delta
 from linkgraph.kernels.msbfs import msbfs, harmonic_centrality, radii
 from linkgraph.kernels.kcore import kcore
 from linkgraph.kernels.betweenness import betweenness
+from linkgraph.kernels.sssp import sssp
 
 __all__ = [
     "pagerank",
@@ -37,4 +40,5 @@ __all__ = [
     "radii",
     "kcore",
     "betweenness",
+    "sssp",
 ]

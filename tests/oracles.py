@@ -228,3 +228,26 @@ def betweenness_numpy(
             if w != s:
                 bc[w] = bc.get(w, 0.0) + delta[w]
     return {v: round(x, 9) for v, x in bc.items()}
+
+
+def sssp_numpy(
+    n: int, src: np.ndarray, dst: np.ndarray, w: np.ndarray, root: int
+) -> dict[int, float]:
+    """Dijkstra shortest distances from root (non-negative weights)."""
+    import heapq
+
+    adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    for s, d, x in zip(src.tolist(), dst.tolist(), w.tolist()):
+        adj[s].append((d, float(x)))
+    dist = {root: 0.0}
+    pq = [(0.0, root)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, x in adj[u]:
+            nd = du + x
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist

@@ -366,3 +366,40 @@ def test_betweenness_matches_brandes(rmat_graph):
     for v in want:
         assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
     gs.unpersist()
+
+
+def test_sssp_matches_dijkstra(rmat_graph):
+    """Weighted Bellman-Ford vs Dijkstra on rMAT with deterministic
+    integer weights w = 1 + (src+dst) % 5."""
+    from linkgraph.kernels import sssp
+    from tests.oracles import sssp_numpy
+
+    g, pdf, n = rmat_graph
+    spark = g.edges.sparkSession
+    wpdf = g.edges.toPandas()
+    wpdf["w"] = (1 + (wpdf["src"] + wpdf["dst"]) % 5).astype(float)
+    weights = spark.createDataFrame(wpdf, "src long, dst long, w double")
+    res = sssp(g, root=0, weights=weights)
+    got = {r["id"]: r["dist"] for r in res.df.collect()}
+    want = sssp_numpy(
+        n,
+        wpdf["src"].to_numpy(),
+        wpdf["dst"].to_numpy(),
+        wpdf["w"].to_numpy(),
+        0,
+    )
+    assert got == want
+
+
+def test_sssp_unweighted_equals_bfs_levels(rmat_graph):
+    from linkgraph.kernels import sssp
+
+    g, pdf, n = rmat_graph
+    got = {r["id"]: r["dist"] for r in sssp(g, root=0).df.collect()}
+    want = {
+        v: float(l)
+        for v, l in bfs_levels_numpy(
+            n, pdf["src"].to_numpy(), pdf["dst"].to_numpy(), 0
+        ).items()
+    }
+    assert got == want
