@@ -28,9 +28,14 @@ def main(argv: list[str]) -> int:
     src.add_argument("--synth", type=int, help="generate N synthetic pages instead")
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=None)
+    ap.add_argument(
+        "--host-graph",
+        help="also write the host-level rollup (src_host, dst_host, "
+        "weight) to this parquet dir / table:<id>",
+    )
     args = ap.parse_args(argv)
 
-    from linkgraph.build import build_graph_from_pages, write_graph
+    from linkgraph.build import build_graph_from_pages, host_rollup, write_graph
     from linkgraph.session import get_spark
 
     spark = get_spark(app_name="linkgraph-build")
@@ -53,6 +58,13 @@ def main(argv: list[str]) -> int:
     t2 = time.time()
     write_graph(g, args.output, buckets=args.buckets)
     phases["write"] = time.time() - t2
+
+    if args.host_graph:
+        from linkgraph.io import write_table
+
+        t3 = time.time()
+        write_table(host_rollup(g), args.host_graph)
+        phases["host_graph"] = time.time() - t3
 
     print(json.dumps({"n": g.n, "m": g.m, "output": args.output,
                       "phases": {k: round(v, 3) for k, v in phases.items()}}))

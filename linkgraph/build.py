@@ -281,3 +281,40 @@ def read_graph(spark: SparkSession, source: str) -> Graph:
         n=vertices.count(),
         m=edges.count(),
     )
+
+
+def host_rollup(g: Graph, keep_self_loops: bool = False) -> DataFrame:
+    """(src_host, dst_host, weight): the host-level rollup of a
+    page-level Graph whose vertices carry a `url` column — the
+    Common-Crawl-style host graph (each page edge contributes 1 to its
+    host pair; same-host links dropped by default, as in the published
+    host-graph artifacts).
+
+    Scale shape: two shuffle hash joins id→host against the vertex
+    relation (both sides huge at web scale — same strategy as the
+    url→id mapping in build_graph_from_pages), then one groupBy over
+    (src_host, dst_host) with map-side partial aggregation. Host
+    extraction is the JVM-side parse_url — no Python in the path."""
+    if "url" not in g.vertices.columns:
+        raise ValueError(
+            "host_rollup needs a Graph with url-carrying vertices "
+            "(build_graph_from_pages); pure-edge graphs have no urls"
+        )
+    hosts = g.vertices.select(
+        "id", F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    )
+    rolled = (
+        g.edges.join(
+            hosts.select(F.col("id").alias("src"), F.col("host").alias("src_host")),
+            "src",
+        )
+        .join(
+            hosts.select(F.col("id").alias("dst"), F.col("host").alias("dst_host")),
+            "dst",
+        )
+    )
+    if not keep_self_loops:
+        rolled = rolled.where(F.col("src_host") != F.col("dst_host"))
+    return rolled.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("weight")
+    )

@@ -187,3 +187,46 @@ def test_read_pages_dispatch(spark, tmp_path):
     via_table = read_pages(spark, "table:pages_view").orderBy("url").toPandas()
     assert via_path.equals(via_table)
     assert list(via_path["url"]) == ["http://a/", "http://b/"]
+
+
+def test_host_rollup_matches_pandas(spark):
+    """Host graph of the synthetic corpus == pandas groupby over the
+    same url edge list (host parsed from the url), self-host links
+    dropped."""
+    from urllib.parse import urlparse
+
+    from linkgraph.build import build_graph_from_pages, host_rollup
+    from linkgraph.datagen import PagesSpec, generate_pages
+    from linkgraph.extract import edges_from_pages
+
+    pages = spark.createDataFrame(generate_pages(PagesSpec(n_pages=300)))
+    g = build_graph_from_pages(pages, num_partitions=4)
+    got = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in host_rollup(g).collect()
+    }
+    url_edges = edges_from_pages(pages).toPandas()
+    want: dict[tuple[str, str], int] = {}
+    for r in url_edges.itertuples():
+        hs, hd = urlparse(r.src_url).netloc, urlparse(r.dst_url).netloc
+        if hs != hd:
+            want[(hs, hd)] = want.get((hs, hd), 0) + 1
+    assert got == want
+    g.unpersist()
+
+
+def test_host_rollup_refuses_pure_edge_graph(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from linkgraph.build import build_graph_from_edges, host_rollup
+
+    g = build_graph_from_edges(
+        spark.createDataFrame(
+            pd.DataFrame({"src": [0, 1], "dst": [1, 0]}), "src long, dst long"
+        ),
+        num_partitions=2,
+    )
+    with _pytest.raises(ValueError, match="url"):
+        host_rollup(g)
+    g.unpersist()
