@@ -221,6 +221,20 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(g, k=20).df
 
 
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set of the symmetrized cust→supp graph:
+    parallel greedy with deterministic hash priorities — the fixpoint
+    equals sequential greedy in ascending key order (kernels/mis.py).
+    The oracle unrolls 6 rounds (measured fixpoint at sf0.01 is 2;
+    extra rounds are no-ops)."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import mis
+
+    edges = symmetrize(_cust_supp_edges(spark, sf_dir))
+    g = _graph(edges)
+    return mis(g).df
+
+
 def q_labelprop_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 3 synchronous label-propagation rounds on the
     customer→supplier graph (SURVEY §2.6: adopt the most frequent
@@ -414,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "sssp_weighted": q_sssp_weighted,
         "kcore": q_kcore,
+        "mis": q_mis,
         "labelprop_k": q_labelprop_k,
         "pagerank_delta_k": q_pagerank_delta_k,
         "pagerank_delta_multi": q_pagerank_delta_multi,
@@ -576,6 +591,51 @@ e{i} AS (
     sql += f"""
 SELECT src AS id, COUNT(*) AS deg FROM {prev} GROUP BY src
 """
+    return sql
+
+
+def _mis_sql(rounds: int = 6) -> str:
+    """Unrolled parallel-greedy MIS on the symmetrized cust→supp graph
+    with the kernel's deterministic priority key
+    key(v) = ((v*2654435761) % 1000000007) * 2^31 + v (kernels/mis.py).
+    Per round: roots = undecided vertices whose every undecided
+    neighbor has a larger key; roots enter the set, roots+neighbors
+    leave the undecided pool and the live edge set. Rounds past the
+    fixpoint are no-ops. MATERIALIZED per the sssp oracle lesson
+    (DuckDB 1.0 inlines CTEs by reference)."""
+    key = "(({v} * 2654435761) % 1000000007) * 2147483648 + {v}"
+    sql = f"""
+WITH {_SYM_CUST_SUPP},
+u0 AS MATERIALIZED (SELECT src AS id FROM sym UNION SELECT dst AS id FROM sym),
+le0 AS MATERIALIZED (SELECT src, dst FROM sym)"""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        sql += f""",
+mk{i} AS MATERIALIZED (
+  SELECT src, MIN({key.format(v='dst')}) AS nk FROM le{p} GROUP BY src
+),
+r{i} AS MATERIALIZED (
+  SELECT u.id FROM u{p} u LEFT JOIN mk{i} m ON u.id = m.src
+  WHERE m.nk IS NULL OR m.nk > {key.format(v='u.id')}
+),
+rm{i} AS MATERIALIZED (
+  SELECT id FROM r{i}
+  UNION
+  SELECT e.dst AS id FROM le{p} e JOIN r{i} r ON e.src = r.id
+),
+u{i} AS MATERIALIZED (
+  SELECT id FROM u{p} WHERE id NOT IN (SELECT id FROM rm{i})
+),
+le{i} AS MATERIALIZED (
+  SELECT src, dst FROM le{p}
+  WHERE src NOT IN (SELECT id FROM rm{i})
+    AND dst NOT IN (SELECT id FROM rm{i})
+)"""
+    sql += (
+        "\nSELECT id FROM ("
+        + " UNION ALL ".join(f"SELECT id FROM r{i}" for i in range(1, rounds + 1))
+        + ")\n"
+    )
     return sql
 
 
@@ -1137,6 +1197,7 @@ FROM documents GROUP BY md5(text)
         "betweenness": _betweenness_sql(15),
         "sssp_weighted": _sssp_sql(rounds=12),
         "kcore": _kcore_sql(20, rounds=4),
+        "mis": _mis_sql(rounds=6),
         "labelprop_k": _labelprop_k_sql(3),
         "pagerank_delta_k": _PAGERANK_DELTA_SQL,
         "pagerank_delta_multi": _PAGERANK_DELTA_MULTI_SQL,

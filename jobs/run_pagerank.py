@@ -32,6 +32,7 @@ def main(argv: list[str]) -> int:
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
+            "mis",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -134,6 +135,14 @@ def main(argv: list[str]) -> int:
         res = kernels.sssp(graph, root=args.root, max_iter=args.max_iter)
         out = res.df.orderBy("dist", "id")
         summary = {"kernel": "sssp", "rounds": res.iterations}
+    elif args.kernel == "mis":
+        res = kernels.mis(graph, max_iter=args.max_iter)
+        out = res.df.orderBy("id")
+        summary = {
+            "kernel": "mis",
+            "rounds": res.iterations,
+            "set_size": out.count(),
+        }
     elif args.kernel == "kcore":
         res = kernels.kcore(graph, k=args.k, max_iter=args.max_iter)
         out = res.df.orderBy(F.desc("deg"), "id")

@@ -15,6 +15,8 @@ betweenness     sampled-source Brandes BC (laned forward sigma sweep +
                 level-synchronous backward dependency accumulation)
 sssp            weighted single-source shortest paths (frontier
                 Bellman-Ford over a weighted edge cache)
+mis             maximal independent set (deterministic-priority
+                parallel greedy; equals sequential greedy in key order)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -27,6 +29,7 @@ from linkgraph.kernels.msbfs import msbfs, harmonic_centrality, radii
 from linkgraph.kernels.kcore import kcore
 from linkgraph.kernels.betweenness import betweenness
 from linkgraph.kernels.sssp import sssp
+from linkgraph.kernels.mis import mis
 
 __all__ = [
     "pagerank",
@@ -41,4 +44,5 @@ __all__ = [
     "kcore",
     "betweenness",
     "sssp",
+    "mis",
 ]

@@ -251,3 +251,30 @@ def sssp_numpy(
                 dist[v] = nd
                 heapq.heappush(pq, (nd, v))
     return dist
+
+
+def mis_key(v: int) -> int:
+    """The MIS priority key (kernels/mis.py): Knuth multiplicative hash
+    tie-broken by id — must match priority_key() and the DuckDB oracle
+    literally."""
+    return ((v * 2654435761) % 1_000_000_007) * 2_147_483_648 + v
+
+
+def mis_greedy(vertices, src: np.ndarray, dst: np.ndarray) -> set[int]:
+    """Sequential greedy MIS in ascending mis_key order over the given
+    vertex set + (assumed symmetric) edge list — the fixpoint the
+    parallel priority-greedy kernel must reproduce exactly (Blelloch,
+    Fineman & Shun SPAA'12: priority-parallel greedy == sequential
+    greedy)."""
+    nbrs: dict[int, set[int]] = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    chosen: set[int] = set()
+    blocked: set[int] = set()
+    for v in sorted(vertices, key=mis_key):
+        if v in blocked:
+            continue
+        chosen.add(v)
+        blocked |= nbrs.get(v, set())
+    return chosen

@@ -403,3 +403,58 @@ def test_sssp_unweighted_equals_bfs_levels(rmat_graph):
         ).items()
     }
     assert got == want
+
+
+def test_mis_matches_sequential_greedy(rmat_graph):
+    """Parallel priority-greedy MIS == sequential greedy in key order
+    (Blelloch/Fineman/Shun SPAA'12), + independence and maximality
+    checked structurally."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import mis
+    from tests.oracles import mis_greedy
+
+    g, pdf, n = rmat_graph
+    spark = g.edges.sparkSession
+    sym = symmetrize(spark.createDataFrame(pdf, "src long, dst long"))
+    gs = build_graph_from_edges(sym, num_partitions=4)
+    res = mis(gs)
+    got = {r["id"] for r in res.df.collect()}
+    verts = [r["id"] for r in gs.vertices.collect()]
+    sym_pdf = gs.edges.toPandas()
+    edges = set(zip(sym_pdf["src"].tolist(), sym_pdf["dst"].tolist()))
+    assert got == mis_greedy(verts, sym_pdf["src"].to_numpy(), sym_pdf["dst"].to_numpy())
+    # independence: no edge inside the set
+    assert not any((u, v) in edges for u in got for v in got if u != v)
+    # maximality: every non-member has a member neighbor
+    nbr_in_set = {u for (u, v) in edges if v in got}
+    assert all(v in nbr_in_set for v in verts if v not in got)
+    assert res.iterations >= 1
+    gs.unpersist()
+
+
+def test_mis_path_graph_and_isolated(spark):
+    """Path 0-1-2-3-4 (symmetrized) + isolated vertex 9: the greedy
+    key-order fixpoint, with the isolated vertex always a member."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import mis
+    from tests.oracles import mis_greedy
+
+    edges = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4]})
+    sym = symmetrize(spark.createDataFrame(edges, "src long, dst long"))
+    g = build_graph_from_edges(sym, num_partitions=2)
+    # graft an isolated vertex onto the vertex relation
+    from pyspark.sql import functions as F
+
+    g.vertices = g.vertices.union(
+        spark.createDataFrame([(9,)], "id long").select(F.col("id"))
+    )
+    res = mis(g)
+    got = {r["id"] for r in res.df.collect()}
+    want = mis_greedy(
+        [0, 1, 2, 3, 4, 9],
+        np.array([0, 1, 2, 3, 1, 2, 3, 4]),
+        np.array([1, 2, 3, 4, 0, 1, 2, 3]),
+    )
+    assert got == want
+    assert 9 in got
+    g.unpersist()
