@@ -235,6 +235,29 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mis(g).df
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level rollup of a page graph (linkgraph/build.py
+    host_rollup): page urls are synthesized deterministically from the
+    vertex id (host = id % 50), the Spark side extracts the host with
+    the JVM parse_url and aggregates (src_host, dst_host) link weights,
+    dropping same-host links; the oracle constructs the same host
+    strings directly. Exercises the real parse_url + two-join + groupBy
+    rollup path end-to-end."""
+    from linkgraph.build import host_rollup
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    g.vertices = g.vertices.withColumn(
+        "url",
+        F.concat(
+            F.lit("http://host"),
+            (F.col("id") % 50).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("id").cast("string"),
+        ),
+    )
+    return host_rollup(g)
+
+
 def q_labelprop_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 3 synchronous label-propagation rounds on the
     customer→supplier graph (SURVEY §2.6: adopt the most frequent
@@ -429,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "kcore": q_kcore,
         "mis": q_mis,
+        "host_graph": q_host_graph,
         "labelprop_k": q_labelprop_k,
         "pagerank_delta_k": q_pagerank_delta_k,
         "pagerank_delta_multi": q_pagerank_delta_multi,
@@ -592,6 +616,19 @@ e{i} AS (
 SELECT src AS id, COUNT(*) AS deg FROM {prev} GROUP BY src
 """
     return sql
+
+
+_HOST_GRAPH_SQL = f"""
+WITH e AS ({_CUST_SUPP_E}),
+h AS (
+  SELECT 'host' || CAST(src % 50 AS VARCHAR) || '.example.com' AS src_host,
+         'host' || CAST(dst % 50 AS VARCHAR) || '.example.com' AS dst_host
+  FROM e
+)
+SELECT src_host, dst_host, COUNT(*) AS weight
+FROM h WHERE src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
 
 
 def _mis_sql(rounds: int = 6) -> str:
@@ -1198,6 +1235,7 @@ FROM documents GROUP BY md5(text)
         "sssp_weighted": _sssp_sql(rounds=12),
         "kcore": _kcore_sql(20, rounds=4),
         "mis": _mis_sql(rounds=6),
+        "host_graph": _HOST_GRAPH_SQL,
         "labelprop_k": _labelprop_k_sql(3),
         "pagerank_delta_k": _PAGERANK_DELTA_SQL,
         "pagerank_delta_multi": _PAGERANK_DELTA_MULTI_SQL,
