@@ -235,6 +235,20 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mis(g).df
 
 
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated-MIS (Luby) greedy coloring of the symmetrized cust→supp
+    graph: layer c = priority-greedy MIS of the residual
+    (kernels/coloring.py). The oracle replays the layers with a nested
+    unroll — 4 layers × 5 MIS rounds (measured: 2 layers, ≤2 effective
+    rounds each at sf0.01); extra layers/rounds are no-ops."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import coloring
+
+    edges = symmetrize(_cust_supp_edges(spark, sf_dir))
+    g = _graph(edges)
+    return coloring(g).df
+
+
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level rollup of a page graph (linkgraph/build.py
     host_rollup): page urls are synthesized deterministically from the
@@ -452,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "kcore": q_kcore,
         "mis": q_mis,
+        "coloring": q_coloring,
         "host_graph": q_host_graph,
         "labelprop_k": q_labelprop_k,
         "pagerank_delta_k": q_pagerank_delta_k,
@@ -671,6 +686,67 @@ le{i} AS MATERIALIZED (
     sql += (
         "\nSELECT id FROM ("
         + " UNION ALL ".join(f"SELECT id FROM r{i}" for i in range(1, rounds + 1))
+        + ")\n"
+    )
+    return sql
+
+
+def _coloring_sql(layers: int = 4, rounds: int = 5) -> str:
+    """Unrolled iterated-MIS (Luby) coloring on the symmetrized
+    cust→supp graph (kernels/coloring.py): each layer runs `rounds`
+    unrolled greedy-MIS rounds (the _mis_sql recurrence) on the
+    uncolored residual, then the whole layer is peeled off with color =
+    layer index. Layers/rounds past the fixpoint are no-ops."""
+    key = "(({v} * 2654435761) % 1000000007) * 2147483648 + {v}"
+    sql = f"""
+WITH {_SYM_CUST_SUPP},
+cu0 AS MATERIALIZED (SELECT src AS id FROM sym UNION SELECT dst AS id FROM sym),
+ce0 AS MATERIALIZED (SELECT src, dst FROM sym)"""
+    for l in range(layers):
+        sql += f""",
+u{l}_0 AS MATERIALIZED (SELECT id FROM cu{l}),
+e{l}_0 AS MATERIALIZED (SELECT src, dst FROM ce{l})"""
+        for i in range(1, rounds + 1):
+            p = i - 1
+            sql += f""",
+mk{l}_{i} AS MATERIALIZED (
+  SELECT src, MIN({key.format(v='dst')}) AS nk FROM e{l}_{p} GROUP BY src
+),
+r{l}_{i} AS MATERIALIZED (
+  SELECT u.id FROM u{l}_{p} u LEFT JOIN mk{l}_{i} m ON u.id = m.src
+  WHERE m.nk IS NULL OR m.nk > {key.format(v='u.id')}
+),
+rm{l}_{i} AS MATERIALIZED (
+  SELECT id FROM r{l}_{i}
+  UNION
+  SELECT e.dst AS id FROM e{l}_{p} e JOIN r{l}_{i} r ON e.src = r.id
+),
+u{l}_{i} AS MATERIALIZED (
+  SELECT id FROM u{l}_{p} WHERE id NOT IN (SELECT id FROM rm{l}_{i})
+),
+e{l}_{i} AS MATERIALIZED (
+  SELECT src, dst FROM e{l}_{p}
+  WHERE src NOT IN (SELECT id FROM rm{l}_{i})
+    AND dst NOT IN (SELECT id FROM rm{l}_{i})
+)"""
+        roots_union = " UNION ALL ".join(
+            f"SELECT id FROM r{l}_{i}" for i in range(1, rounds + 1)
+        )
+        sql += f""",
+lay{l} AS MATERIALIZED ({roots_union}),
+cu{l + 1} AS MATERIALIZED (
+  SELECT id FROM cu{l} WHERE id NOT IN (SELECT id FROM lay{l})
+),
+ce{l + 1} AS MATERIALIZED (
+  SELECT src, dst FROM ce{l}
+  WHERE src NOT IN (SELECT id FROM lay{l})
+    AND dst NOT IN (SELECT id FROM lay{l})
+)"""
+    sql += (
+        "\nSELECT id, CAST(color AS INTEGER) AS color FROM ("
+        + " UNION ALL ".join(
+            f"SELECT id, {l} AS color FROM lay{l}" for l in range(layers)
+        )
         + ")\n"
     )
     return sql
@@ -1235,6 +1311,7 @@ FROM documents GROUP BY md5(text)
         "sssp_weighted": _sssp_sql(rounds=12),
         "kcore": _kcore_sql(20, rounds=4),
         "mis": _mis_sql(rounds=6),
+        "coloring": _coloring_sql(layers=4, rounds=5),
         "host_graph": _HOST_GRAPH_SQL,
         "labelprop_k": _labelprop_k_sql(3),
         "pagerank_delta_k": _PAGERANK_DELTA_SQL,

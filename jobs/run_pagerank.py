@@ -32,7 +32,7 @@ def main(argv: list[str]) -> int:
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
-            "mis",
+            "mis", "coloring",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -142,6 +142,14 @@ def main(argv: list[str]) -> int:
             "kernel": "mis",
             "rounds": res.iterations,
             "set_size": out.count(),
+        }
+    elif args.kernel == "coloring":
+        res = kernels.coloring(graph, max_iter=args.max_iter)
+        out = res.df.orderBy("color", "id")
+        summary = {
+            "kernel": "coloring",
+            "rounds": res.iterations,
+            "colors_used": res.colors_used,
         }
     elif args.kernel == "kcore":
         res = kernels.kcore(graph, k=args.k, max_iter=args.max_iter)

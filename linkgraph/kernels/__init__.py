@@ -17,6 +17,8 @@ sssp            weighted single-source shortest paths (frontier
                 Bellman-Ford over a weighted edge cache)
 mis             maximal independent set (deterministic-priority
                 parallel greedy; equals sequential greedy in key order)
+coloring        iterated-MIS (Luby) coloring: layer c = priority-greedy
+                MIS of the residual; proper, color(v) ≤ deg(v)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -30,6 +32,7 @@ from linkgraph.kernels.kcore import kcore
 from linkgraph.kernels.betweenness import betweenness
 from linkgraph.kernels.sssp import sssp
 from linkgraph.kernels.mis import mis
+from linkgraph.kernels.coloring import coloring
 
 __all__ = [
     "pagerank",
@@ -45,4 +48,5 @@ __all__ = [
     "betweenness",
     "sssp",
     "mis",
+    "coloring",
 ]

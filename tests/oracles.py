@@ -278,3 +278,30 @@ def mis_greedy(vertices, src: np.ndarray, dst: np.ndarray) -> set[int]:
         chosen.add(v)
         blocked |= nbrs.get(v, set())
     return chosen
+
+
+def coloring_layered(vertices, src: np.ndarray, dst: np.ndarray) -> dict[int, int]:
+    """Sequential replay of iterated-MIS (Luby) coloring: repeatedly
+    take the greedy MIS in ascending mis_key order of the residual,
+    assign it the next color, delete it — the fixpoint the layered
+    coloring kernel (kernels/coloring.py) must reproduce exactly."""
+    nbrs: dict[int, set[int]] = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    remaining = set(vertices)
+    color: dict[int, int] = {}
+    c = 0
+    while remaining:
+        chosen: set[int] = set()
+        blocked: set[int] = set()
+        for v in sorted(remaining, key=mis_key):
+            if v in blocked:
+                continue
+            chosen.add(v)
+            blocked |= nbrs.get(v, set()) & remaining
+        for v in chosen:
+            color[v] = c
+        remaining -= chosen
+        c += 1
+    return color

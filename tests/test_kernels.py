@@ -458,3 +458,55 @@ def test_mis_path_graph_and_isolated(spark):
     assert got == want
     assert 9 in got
     g.unpersist()
+
+
+def test_coloring_matches_sequential_greedy(rmat_graph):
+    """Iterated-MIS (Luby) coloring == sequential layer-by-layer replay
+    of greedy MIS in key order; properness checked structurally."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import coloring
+    from tests.oracles import coloring_layered
+
+    g, pdf, n = rmat_graph
+    spark = g.edges.sparkSession
+    sym = symmetrize(spark.createDataFrame(pdf, "src long, dst long"))
+    gs = build_graph_from_edges(sym, num_partitions=4)
+    res = coloring(gs)
+    got = {r["id"]: r["color"] for r in res.df.collect()}
+    verts = [r["id"] for r in gs.vertices.collect()]
+    sym_pdf = gs.edges.toPandas()
+    want = coloring_layered(verts, sym_pdf["src"].to_numpy(), sym_pdf["dst"].to_numpy())
+    assert got == want
+    # properness: no edge joins two same-colored vertices
+    assert not any(
+        got[u] == got[v]
+        for u, v in zip(sym_pdf["src"].tolist(), sym_pdf["dst"].tolist())
+    )
+    # maximality of each layer bounds colors by Δ+1
+    max_deg = sym_pdf.groupby("src").size().max()
+    assert res.colors_used <= max_deg + 1
+    gs.unpersist()
+
+
+def test_coloring_star_and_triangle(spark):
+    """Star K1,4 colors with 2 colors; a triangle needs exactly 3 —
+    both must equal the sequential layered replay."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import coloring
+    from tests.oracles import coloring_layered
+
+    edges = pd.DataFrame(
+        {"src": [0, 0, 0, 0, 5, 6, 5], "dst": [1, 2, 3, 4, 6, 7, 7]}
+    )
+    sym = symmetrize(spark.createDataFrame(edges, "src long, dst long"))
+    g = build_graph_from_edges(sym, num_partitions=2)
+    res = coloring(g)
+    got = {r["id"]: r["color"] for r in res.df.collect()}
+    sp = sym.toPandas()
+    want = coloring_layered(
+        sorted(got), sp["src"].to_numpy(), sp["dst"].to_numpy()
+    )
+    assert got == want
+    assert len({got[1], got[2], got[3], got[4]}) == 1  # leaves share a color
+    assert len({got[5], got[6], got[7]}) == 3  # triangle: all distinct
+    g.unpersist()
