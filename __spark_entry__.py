@@ -235,6 +235,25 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mis(g).df
 
 
+def q_anf_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF / effective-diameter sketches (Palmer et al. KDD'02,
+    kernels/anf.py) on the symmetrized cust→supp graph: 8 FM registers
+    per vertex, 8 fixed propagation rounds (fixpoint is earlier; extra
+    rounds are no-ops on the monotone bit-or state). Output is the full
+    integer sketch state + the FM R-statistic sum — float-free, so the
+    oracle comparison is bit-exact."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import anf
+    from linkgraph.kernels.anf import _r_col
+
+    edges = symmetrize(_cust_supp_edges(spark, sf_dir))
+    g = _graph(edges)
+    res = anf(g, registers=8, max_iter=8)
+    mcols = [f"m{k}" for k in range(8)]
+    r_sum = sum(_r_col(F.col(c)) for c in mcols)
+    return res.df.select("id", *mcols, r_sum.cast("long").alias("r_sum"))
+
+
 def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterated-MIS (Luby) greedy coloring of the symmetrized cust→supp
     graph: layer c = priority-greedy MIS of the residual
@@ -467,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "mis": q_mis,
         "coloring": q_coloring,
+        "anf_sketch": q_anf_sketch,
         "host_graph": q_host_graph,
         "labelprop_k": q_labelprop_k,
         "pagerank_delta_k": q_pagerank_delta_k,
@@ -749,6 +769,55 @@ ce{l + 1} AS MATERIALIZED (
         )
         + ")\n"
     )
+    return sql
+
+
+def _anf_sketch_sql(rounds: int = 8, registers: int = 8) -> str:
+    """Unrolled FM-sketch propagation (kernels/anf.py) on the
+    symmetrized cust→supp graph — pure int64 bit algebra (hash, lowest
+    set bit, bit_or combine, bit_count R-statistic), so the comparison
+    with Spark is bit-exact. Rounds past the sketch fixpoint are no-ops
+    (bit-or is monotone)."""
+    from linkgraph.kernels.anf import ANF_A, ANF_B, ANF_GUARD, ANF_MASK
+
+    def h(k: int) -> str:
+        return f"(((id * {ANF_A[k]} + {ANF_B[k]}) & {ANF_MASK}) | {ANF_GUARD})"
+
+    ks = range(registers)
+    seed_cols = ",\n         ".join(f"{h(k)} & -{h(k)} AS m{k}" for k in ks)
+    sql = f"""
+WITH {_SYM_CUST_SUPP},
+v AS (SELECT src AS id FROM sym UNION SELECT dst AS id FROM sym),
+s0 AS MATERIALIZED (
+  SELECT id,
+         {seed_cols}
+  FROM v
+)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        gs = ", ".join(f"bit_or(t.m{k}) AS g{k}" for k in ks)
+        merged = ",\n         ".join(
+            f"s.m{k} | COALESCE(g.g{k}, 0) AS m{k}" for k in ks
+        )
+        sql += f""",
+g{r} AS MATERIALIZED (
+  SELECT e.src AS id, {gs}
+  FROM sym e JOIN s{p} t ON e.dst = t.id
+  GROUP BY e.src
+),
+s{r} AS MATERIALIZED (
+  SELECT s.id,
+         {merged}
+  FROM s{p} s LEFT JOIN g{r} g ON s.id = g.id
+)"""
+    r_sum = " + ".join(
+        f"bit_count(((~m{k}) & (m{k} + 1)) - 1)" for k in ks
+    )
+    sql += f"""
+SELECT id, {', '.join(f'm{k}' for k in ks)},
+       CAST({r_sum} AS BIGINT) AS r_sum
+FROM s{rounds}
+"""
     return sql
 
 
@@ -1312,6 +1381,7 @@ FROM documents GROUP BY md5(text)
         "kcore": _kcore_sql(20, rounds=4),
         "mis": _mis_sql(rounds=6),
         "coloring": _coloring_sql(layers=4, rounds=5),
+        "anf_sketch": _anf_sketch_sql(rounds=8, registers=8),
         "host_graph": _HOST_GRAPH_SQL,
         "labelprop_k": _labelprop_k_sql(3),
         "pagerank_delta_k": _PAGERANK_DELTA_SQL,

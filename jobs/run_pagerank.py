@@ -32,7 +32,7 @@ def main(argv: list[str]) -> int:
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
-            "mis", "coloring",
+            "mis", "coloring", "anf",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -142,6 +142,17 @@ def main(argv: list[str]) -> int:
             "kernel": "mis",
             "rounds": res.iterations,
             "set_size": out.count(),
+        }
+    elif args.kernel == "anf":
+        from linkgraph.kernels.anf import effective_diameter
+
+        res = kernels.anf(graph, max_iter=args.max_iter)
+        out = res.df.orderBy("id")
+        summary = {
+            "kernel": "anf",
+            "rounds": res.iterations,
+            "nf": [round(x, 1) for x in res.nf],
+            "effective_diameter_90": effective_diameter(res),
         }
     elif args.kernel == "coloring":
         res = kernels.coloring(graph, max_iter=args.max_iter)

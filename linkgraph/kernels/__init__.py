@@ -19,6 +19,8 @@ mis             maximal independent set (deterministic-priority
                 parallel greedy; equals sequential greedy in key order)
 coloring        iterated-MIS (Luby) coloring: layer c = priority-greedy
                 MIS of the residual; proper, color(v) ≤ deg(v)
+anf             approximate neighborhood function / effective diameter
+                (Palmer et al. KDD'02 FM sketches, bit_or combine)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -33,6 +35,7 @@ from linkgraph.kernels.betweenness import betweenness
 from linkgraph.kernels.sssp import sssp
 from linkgraph.kernels.mis import mis
 from linkgraph.kernels.coloring import coloring
+from linkgraph.kernels.anf import anf, effective_diameter
 
 __all__ = [
     "pagerank",
@@ -49,4 +52,6 @@ __all__ = [
     "sssp",
     "mis",
     "coloring",
+    "anf",
+    "effective_diameter",
 ]

@@ -305,3 +305,43 @@ def coloring_layered(vertices, src: np.ndarray, dst: np.ndarray) -> dict[int, in
         remaining -= chosen
         c += 1
     return color
+
+
+ANF_A = [2654435761, 2246822519, 3266489917, 668265263,
+         374761393, 3779747731, 1300027183, 2043430169]
+ANF_B = [17, 31, 47, 61, 79, 101, 131, 151]
+_ANF_MASK = (1 << 62) - 1
+_ANF_GUARD = 1 << 61
+
+
+def anf_fm_sketches(
+    vertices, src: np.ndarray, dst: np.ndarray,
+    registers: int = 8, rounds: int | None = None,
+) -> tuple[dict[int, list[int]], int]:
+    """Exact replay of the FM sketch propagation in kernels/anf.py:
+    seed = lowest set bit of the multiplicative hash, per-round bit-or
+    over out-neighbors. Returns (final masks per vertex, rounds run to
+    fixpoint or `rounds`)."""
+    adj: dict[int, list[int]] = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(u, []).append(v)
+    masks = {}
+    for v in vertices:
+        ms = []
+        for k in range(registers):
+            h = ((v * ANF_A[k] + ANF_B[k]) & _ANF_MASK) | _ANF_GUARD
+            ms.append(h & -h)
+        masks[v] = ms
+    r = 0
+    while rounds is None or r < rounds:
+        nxt = {v: list(ms) for v, ms in masks.items()}
+        for u, vs in adj.items():
+            for v in vs:
+                for k in range(registers):
+                    nxt[u][k] |= masks[v][k]
+        r += 1
+        changed = nxt != masks
+        masks = nxt
+        if rounds is None and not changed:
+            break
+    return masks, r

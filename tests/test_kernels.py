@@ -510,3 +510,32 @@ def test_coloring_star_and_triangle(spark):
     assert len({got[1], got[2], got[3], got[4]}) == 1  # leaves share a color
     assert len({got[5], got[6], got[7]}) == 3  # triangle: all distinct
     g.unpersist()
+
+
+def test_anf_sketches_match_fm_replay(rmat_graph):
+    """FM sketch propagation is bit-exact vs the python replay, the
+    convergence Observation stops at the true fixpoint, and the float
+    estimate lands within 2x of the exact reach count (K=8 registers)."""
+    from linkgraph.kernels import anf, effective_diameter
+    from tests.oracles import anf_fm_sketches, bfs_levels_numpy
+
+    g, pdf, n = rmat_graph
+    res = anf(g)
+    verts = [r["id"] for r in g.vertices.collect()]
+    want, rounds = anf_fm_sketches(
+        verts, pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+    )
+    got = {
+        r["id"]: [r[f"m{k}"] for k in range(8)] for r in res.df.collect()
+    }
+    assert got == want
+    assert res.iterations == rounds
+    # nf estimates are monotone non-decreasing
+    assert all(a <= b + 1e-9 for a, b in zip(res.nf, res.nf[1:]))
+    # estimate quality: final N(infinity) within 2x of the exact value
+    exact = sum(
+        len(bfs_levels_numpy(n, pdf["src"].to_numpy(), pdf["dst"].to_numpy(), v))
+        for v in verts
+    )
+    assert exact / 2 <= res.nf[-1] <= exact * 2
+    assert 0 <= effective_diameter(res) <= res.iterations
