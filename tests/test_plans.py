@@ -147,3 +147,40 @@ def test_kcore_round_shapes(spark, tiny_graph):
     nplan = _plan(nxt)
     assert "BroadcastExchange" in nplan
     assert "ShuffledHashJoin" not in nplan and "SortMergeJoin" not in nplan
+
+
+def test_mis_min_key_gather_is_exchange_free(spark, tiny_graph):
+    """mis/coloring's per-round min-key gather must ride the
+    src-partitioned cached edge table with no exchange between the
+    scan and the aggregate (the kcore degree-recount property)."""
+    from linkgraph.kernels.mis import priority_key
+
+    mk = tiny_graph.edges.groupBy("src").agg(
+        F.min(priority_key(F.col("dst"))).alias("nk")
+    )
+    plan = _plan(mk)
+    agg_part = plan.split("InMemoryTableScan")[0]
+    assert "Exchange" not in agg_part
+
+
+def test_anf_round_aggregates_map_side(spark, tiny_graph):
+    """One ANF round = one partial+final bit_or aggregation (map-side
+    combined: two HashAggregate levels around a single exchange) and
+    NO per-row python: the plan must stay whole-stage codegen JVM ops
+    with no 'Python' operator nodes."""
+    from linkgraph.kernels.anf import _seed_bit
+
+    state = tiny_graph.vertices.select(
+        "id", _seed_bit(F.col("id"), 0).alias("m0")
+    )
+    gathered = edge_map(
+        tiny_graph,
+        state,
+        aggs=[F.expr("bit_or(m0)").alias("g0")],
+        reverse=True,
+        dense=True,
+        volume=tiny_graph.m,
+    )
+    plan = _plan(gathered)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Python" not in plan and "BatchEvalPython" not in plan
