@@ -146,7 +146,7 @@ def main(argv: list[str]) -> int:
     elif args.kernel == "anf":
         from linkgraph.kernels.anf import effective_diameter
 
-        res = kernels.anf(graph, max_iter=args.max_iter)
+        res = kernels.anf(graph, max_iter=args.max_iter, ckpt=ckpt)
         out = res.df.orderBy("id")
         summary = {
             "kernel": "anf",

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
-from linkgraph.checkpoint import release, sever
+from linkgraph.checkpoint import CheckpointManager, release, sever
 from linkgraph.frontier import edge_map
 
 #: deterministic multiplicative hash family: h_k(v) = (v*A_k + B_k)
@@ -95,9 +95,13 @@ def anf(
     registers: int = 8,
     max_iter: int = 64,
     reverse: bool = False,
+    ckpt: CheckpointManager | None = None,
 ) -> ANFResult:
     """FM-sketch neighborhood function over out-edges (in-edges with
-    reverse=True). Stops at the sketch fixpoint or max_iter."""
+    reverse=True). Stops at the sketch fixpoint or max_iter. With a
+    CheckpointManager, each round's sketch state is durable and the
+    run resumes from the last complete round (the nf history rides
+    the checkpoint record, so resumed curves stay complete)."""
     if not 1 <= registers <= len(ANF_A):
         raise ValueError(f"registers must be in 1..{len(ANF_A)}")
     t0 = time.time()
@@ -105,22 +109,40 @@ def anf(
     mcols = [f"m{k}" for k in ks]
     r_sum = sum(_r_col(F.col(c)) for c in mcols)
     est = F.pow(F.lit(2.0), r_sum / F.lit(float(registers))) / F.lit(FM_PHI)
-    state = graph.vertices.select(
-        "id", *[_seed_bit(F.col("id"), k).alias(f"m{k}") for k in ks]
-    )
-    obs0 = Observation("anf_round_0")
-    state = sever(
-        state.observe(
-            obs0,
-            F.sum(est).alias("nf"),
-            sum(F.sum(F.bit_count(F.col(c))) for c in mcols).alias("bits"),
-        )
-    )
-    nf = [float(obs0.get["nf"] or 0.0)]
-    last_bits = int(obs0.get["bits"] or 0)
-    metrics: list[dict] = [{"iteration": 0, "bits": last_bits, "nf": nf[0]}]
+    state = None
+    start = 1
     iterations = 0
-    for rnd in range(1, max_iter + 1):
+    nf: list[float] = []
+    metrics: list[dict] = []
+    last_bits = 0
+    if ckpt is not None:
+        last = ckpt.last_complete()
+        if last is not None:
+            loaded, _, rec = ckpt.load(graph.edges.sparkSession, last)
+            state = sever(loaded)
+            nf = [float(x) for x in rec.get("nf_history", [])]
+            last_bits = int(rec.get("bits") or 0)
+            iterations = last
+            metrics.append(rec)
+            if rec.get("converged"):
+                return ANFResult(state, nf, last, 0.0, metrics)
+            start = last + 1
+    if state is None:
+        state = graph.vertices.select(
+            "id", *[_seed_bit(F.col("id"), k).alias(f"m{k}") for k in ks]
+        )
+        obs0 = Observation("anf_round_0")
+        state = sever(
+            state.observe(
+                obs0,
+                F.sum(est).alias("nf"),
+                sum(F.sum(F.bit_count(F.col(c))) for c in mcols).alias("bits"),
+            )
+        )
+        nf = [float(obs0.get["nf"] or 0.0)]
+        last_bits = int(obs0.get["bits"] or 0)
+        metrics = [{"iteration": 0, "bits": last_bits, "nf": nf[0]}]
+    for rnd in range(start, max_iter + 1):
         # out-ball growth is M(u) |= OR over u's OUT-neighbors, i.e. a
         # combine keyed by the edge's SOURCE — expressed as an edge_map
         # over the transpose (reverse walk), whose `dst` is our source
@@ -152,13 +174,22 @@ def anf(
         )
         bits = int(obs.get["bits"] or 0)
         nf.append(float(obs.get["nf"] or 0.0))
-        metrics.append(
-            {"iteration": rnd, "bits": bits, "nf": nf[-1], "wall_s": time.time() - t0}
-        )
+        converged = bits == last_bits  # monotone Σ bit_count stalls ⇔ fixpoint
+        rec = {
+            "iteration": rnd,
+            "bits": bits,
+            "nf": nf[-1],
+            "nf_history": nf,
+            "converged": converged,
+            "wall_s": time.time() - t0,
+        }
+        metrics.append(rec)
         release(state)
         state = nxt
         iterations = rnd
-        if bits == last_bits:  # monotone Σ bit_count stalls ⇔ fixpoint
+        if ckpt is not None:
+            ckpt.save(rnd, state, metrics=rec)
+        if converged:
             break
         last_bits = bits
     return ANFResult(

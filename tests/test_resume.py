@@ -205,3 +205,30 @@ def test_msbfs_resume_equals_uninterrupted(small_graph, tmp_path):
         return {(r["id"], r["source"]): r["dist"] for r in df.collect()}
 
     assert dists(resumed.df) == dists(full.df)
+
+
+def test_anf_resume_equals_uninterrupted(small_graph, tmp_path):
+    """ANF sketch state resumed from round 2 must finish bit-identical
+    to an uninterrupted run, with the nf curve history intact."""
+    from linkgraph.kernels import anf
+
+    full = anf(small_graph, max_iter=16)
+
+    ckpt = CheckpointManager(str(tmp_path), "anf")
+    anf(small_graph, max_iter=2, ckpt=ckpt)
+    assert ckpt.last_complete() == 2
+    resumed = anf(small_graph, max_iter=16, ckpt=ckpt)
+
+    cols = [c for c in full.df.columns]
+    got_full = {r["id"]: [r[c] for c in cols if c != "id"] for r in full.df.collect()}
+    got_res = {r["id"]: [r[c] for c in cols if c != "id"] for r in resumed.df.collect()}
+    assert got_full == got_res
+    assert resumed.iterations == full.iterations
+    # nf is a float Observation sum: partition order changes across the
+    # parquet round-trip, so compare to 1e-12 relative (sketches above
+    # are bit-exact; only the estimate's summation order moves)
+    assert resumed.nf == pytest.approx(full.nf, rel=1e-12)
+    # a second resume after convergence is a no-op short-circuit
+    again = anf(small_graph, max_iter=16, ckpt=ckpt)
+    assert again.iterations == full.iterations
+    assert again.nf == pytest.approx(resumed.nf, rel=1e-12)
