@@ -120,6 +120,20 @@ def q_pagerank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_hits_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 3 two-phase HITS rounds (Kleinberg hubs/authorities,
+    L2-normalized, hub gather reads the round's normalized auth) on
+    the customer→supplier graph — beyond-reference link-analysis
+    coverage (SURVEY §2.9); scores rounded to 9 decimals."""
+    from linkgraph.kernels import hits
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    res = hits(g, tol=0.0, max_iter=3)
+    return res.df.select(
+        "id", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth")
+    )
+
+
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS levels + min-parent tree from the smallest vertex of the
     symmetrized customer→supplier graph (SURVEY §2.4/A2, reference
@@ -478,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "cc_components": q_cc_components,
         "pagerank_k": q_pagerank_k,
+        "hits_k": q_hits_k,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
         "graph_radii": q_graph_radii,
@@ -559,6 +574,49 @@ r{i} AS (
 )"""
         prev = f"r{i}"
     sql += f"\nSELECT id, ROUND(rank, 9) AS rank FROM {prev}"
+    return sql
+
+
+def _hits_k_sql(k: int = 3) -> str:
+    """Unrolled k-round two-phase HITS — per round an auth gather +
+    L2 norm, then a hub gather over the NORMALIZED auth + L2 norm.
+    MATERIALIZED per memory-playbook (DuckDB 1.0 inlines CTEs by
+    reference; scalar norm subqueries are fine)."""
+    sql = f"""
+WITH e AS MATERIALIZED ({_CUST_SUPP_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+s0 AS (SELECT id, 1.0 AS hub, 1.0 AS auth FROM v)
+"""
+    prev = "s0"
+    for i in range(1, k + 1):
+        sql += f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(s.hub) AS raw
+  FROM e JOIN {prev} s ON e.src = s.id GROUP BY e.dst
+),
+an{i} AS (SELECT COALESCE(SQRT(SUM(raw * raw)), 0.0) AS nv FROM ar{i}),
+sa{i} AS MATERIALIZED (
+  SELECT s.id, s.hub,
+         CASE WHEN (SELECT nv FROM an{i}) > 0
+              THEN COALESCE(ar.raw, 0.0) / (SELECT nv FROM an{i})
+              ELSE 0.0 END AS auth
+  FROM {prev} s LEFT JOIN ar{i} ar ON s.id = ar.id
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(s.auth) AS raw
+  FROM e JOIN sa{i} s ON e.dst = s.id GROUP BY e.src
+),
+hn{i} AS (SELECT COALESCE(SQRT(SUM(raw * raw)), 0.0) AS nv FROM hr{i}),
+s{i} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN (SELECT nv FROM hn{i}) > 0
+              THEN COALESCE(hr.raw, 0.0) / (SELECT nv FROM hn{i})
+              ELSE 0.0 END AS hub,
+         s.auth
+  FROM sa{i} s LEFT JOIN hr{i} hr ON s.id = hr.id
+)"""
+        prev = f"s{i}"
+    sql += f"\nSELECT id, ROUND(hub, 9) AS hub, ROUND(auth, 9) AS auth FROM {prev}"
     return sql
 
 
@@ -1426,6 +1484,7 @@ SELECT comp, COUNT(*) AS csize FROM (
 ) GROUP BY comp
 """,
         "pagerank_k": _pagerank_k_sql(3),
+        "hits_k": _hits_k_sql(3),
         "event_sessions_graph": """
 WITH t AS (
   SELECT user_id,

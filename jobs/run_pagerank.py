@@ -32,7 +32,7 @@ def main(argv: list[str]) -> int:
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
-            "mis", "coloring", "anf",
+            "mis", "coloring", "anf", "hits",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -153,6 +153,14 @@ def main(argv: list[str]) -> int:
             "rounds": res.iterations,
             "nf": [round(x, 1) for x in res.nf],
             "effective_diameter_90": effective_diameter(res),
+        }
+    elif args.kernel == "hits":
+        res = kernels.hits(graph, max_iter=args.max_iter, ckpt=ckpt)
+        out = res.df.orderBy(F.desc("auth"), "id")
+        summary = {
+            "kernel": "hits",
+            "rounds": res.iterations,
+            "converged": res.converged,
         }
     elif args.kernel == "coloring":
         res = kernels.coloring(graph, max_iter=args.max_iter)

@@ -21,6 +21,8 @@ coloring        iterated-MIS (Luby) coloring: layer c = priority-greedy
                 MIS of the residual; proper, color(v) ≤ deg(v)
 anf             approximate neighborhood function / effective diameter
                 (Palmer et al. KDD'02 FM sketches, bit_or combine)
+hits            Kleinberg hubs & authorities (two-phase L2-normalized
+                power iteration, forward + transpose gathers)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -36,6 +38,7 @@ from linkgraph.kernels.sssp import sssp
 from linkgraph.kernels.mis import mis
 from linkgraph.kernels.coloring import coloring
 from linkgraph.kernels.anf import anf, effective_diameter
+from linkgraph.kernels.hits import hits
 
 __all__ = [
     "pagerank",
@@ -54,4 +57,5 @@ __all__ = [
     "coloring",
     "anf",
     "effective_diameter",
+    "hits",
 ]

@@ -345,3 +345,32 @@ def anf_fm_sketches(
         if rounds is None and not changed:
             break
     return masks, r
+
+
+def hits_numpy(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    tol: float = 1e-6,
+    max_iter: int = 50,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Two-phase L2-normalized HITS — must mirror kernels/hits.py
+    update-for-update (auth first, hub reads the normalized auth)."""
+    hub = np.ones(n)
+    auth = np.ones(n)
+    iterations = 0
+    for _ in range(max_iter):
+        a_raw = np.zeros(n)
+        np.add.at(a_raw, dst, hub[src])
+        an = np.sqrt((a_raw * a_raw).sum())
+        new_auth = a_raw / an if an > 0 else np.zeros(n)
+        h_raw = np.zeros(n)
+        np.add.at(h_raw, src, new_auth[dst])
+        hn = np.sqrt((h_raw * h_raw).sum())
+        new_hub = h_raw / hn if hn > 0 else np.zeros(n)
+        diff = np.abs(new_hub - hub).max() + np.abs(new_auth - auth).max()
+        hub, auth = new_hub, new_auth
+        iterations += 1
+        if diff < tol:
+            break
+    return hub, auth, iterations

@@ -539,3 +539,41 @@ def test_anf_sketches_match_fm_replay(rmat_graph):
     )
     assert exact / 2 <= res.nf[-1] <= exact * 2
     assert 0 <= effective_diameter(res) <= res.iterations
+
+
+def test_hits_matches_numpy(rmat_graph):
+    """hub/auth trajectories equal the NumPy replay at float tolerance,
+    convergence round included; edgeless graph converges to zeros."""
+    from linkgraph.kernels import hits
+    from tests.oracles import hits_numpy
+
+    g, pdf, n = rmat_graph
+    res = hits(g, tol=1e-6, max_iter=30)
+    want_hub, want_auth, rounds = hits_numpy(
+        n, pdf["src"].to_numpy(), pdf["dst"].to_numpy(), tol=1e-6, max_iter=30
+    )
+    got = {r["id"]: (r["hub"], r["auth"]) for r in res.df.collect()}
+    assert res.iterations == rounds
+    for v, (h, a) in got.items():
+        assert h == pytest.approx(want_hub[v], abs=1e-9)
+        assert a == pytest.approx(want_auth[v], abs=1e-9)
+    # L2 norms are 1 after convergence (non-empty edge set)
+    assert sum(h * h for h, _ in got.values()) == pytest.approx(1.0, rel=1e-9)
+    assert sum(a * a for _, a in got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_hits_star_graph(spark):
+    """Star 0->{1,2,3}: vertex 0 is the only hub (score 1), leaves are
+    equal authorities at 1/sqrt(3)."""
+    from linkgraph.kernels import hits
+
+    edges = pd.DataFrame({"src": [0, 0, 0], "dst": [1, 2, 3]})
+    g = _graph(spark, edges, 4)
+    res = hits(g, max_iter=10)
+    got = {r["id"]: (r["hub"], r["auth"]) for r in res.df.collect()}
+    assert got[0][0] == pytest.approx(1.0)
+    assert got[0][1] == pytest.approx(0.0)
+    for v in (1, 2, 3):
+        assert got[v][0] == pytest.approx(0.0)
+        assert got[v][1] == pytest.approx(1.0 / np.sqrt(3.0))
+    g.unpersist()
