@@ -120,6 +120,22 @@ def q_pagerank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_ppr_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 3 personalized-PageRank rounds (seed-restricted
+    teleport; dangling mass returns to the seeds) from the 4 smallest
+    customer vertices of the customer→supplier graph — beyond-
+    reference link-analysis coverage (SURVEY §2.9)."""
+    from linkgraph.kernels import ppr
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    seeds = [
+        int(r["src"])
+        for r in g.edges.select("src").distinct().orderBy("src").limit(4).collect()
+    ]
+    res = ppr(g, seeds, tol=0.0, max_iter=3)
+    return res.df.select("id", F.round("rank", 9).alias("rank"))
+
+
 def q_hits_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 3 two-phase HITS rounds (Kleinberg hubs/authorities,
     L2-normalized, hub gather reads the round's normalized auth) on
@@ -493,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "pagerank_k": q_pagerank_k,
         "hits_k": q_hits_k,
+        "ppr_k": q_ppr_k,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
         "graph_radii": q_graph_radii,
@@ -570,6 +587,43 @@ r{i} AS (
   SELECT r.id, r.out_deg,
          0.15 / (SELECT n FROM nn)
          + 0.85 * (COALESCE(g.gathered, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+  FROM {prev} r LEFT JOIN g{i} g ON r.id = g.id
+)"""
+        prev = f"r{i}"
+    sql += f"\nSELECT id, ROUND(rank, 9) AS rank FROM {prev}"
+    return sql
+
+
+def _ppr_k_sql(k: int = 3, n_seeds: int = 4) -> str:
+    """Unrolled k-round personalized PageRank — pagerank_k's oracle
+    with the uniform teleport replaced by a seed-indicator base column
+    (dangling mass multiplies base, i.e. returns to the seeds)."""
+    sql = f"""
+WITH e AS MATERIALIZED ({_CUST_SUPP_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+seeds AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT {n_seeds}),
+od AS MATERIALIZED (
+  SELECT v.id, COALESCE(d.c, 0) AS out_deg,
+         CASE WHEN s.id IS NOT NULL THEN 1.0 / {n_seeds} ELSE 0.0 END AS base
+  FROM v
+  LEFT JOIN (SELECT src, COUNT(*) AS c FROM e GROUP BY src) d ON v.id = d.src
+  LEFT JOIN seeds s ON v.id = s.id
+),
+r0 AS (SELECT id, out_deg, base, base AS rank FROM od)
+"""
+    prev = "r0"
+    for i in range(1, k + 1):
+        sql += f""",
+g{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(r.rank / r.out_deg) AS gathered
+  FROM e JOIN {prev} r ON e.src = r.id
+  GROUP BY e.dst
+),
+d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev} WHERE out_deg = 0),
+r{i} AS MATERIALIZED (
+  SELECT r.id, r.out_deg, r.base,
+         0.15 * r.base
+         + 0.85 * (COALESCE(g.gathered, 0.0) + (SELECT dm FROM d{i}) * r.base) AS rank
   FROM {prev} r LEFT JOIN g{i} g ON r.id = g.id
 )"""
         prev = f"r{i}"
@@ -1485,6 +1539,7 @@ SELECT comp, COUNT(*) AS csize FROM (
 """,
         "pagerank_k": _pagerank_k_sql(3),
         "hits_k": _hits_k_sql(3),
+        "ppr_k": _ppr_k_sql(3),
         "event_sessions_graph": """
 WITH t AS (
   SELECT user_id,

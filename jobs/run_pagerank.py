@@ -32,7 +32,7 @@ def main(argv: list[str]) -> int:
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
-            "mis", "coloring", "anf", "hits",
+            "mis", "coloring", "anf", "hits", "ppr",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -153,6 +153,21 @@ def main(argv: list[str]) -> int:
             "rounds": res.iterations,
             "nf": [round(x, 1) for x in res.nf],
             "effective_diameter_90": effective_diameter(res),
+        }
+    elif args.kernel == "ppr":
+        if args.sources:
+            sources = [int(s) for s in args.sources.split(",")]
+        else:
+            sources = [
+                int(r["id"]) for r in graph.vertices.orderBy("id").limit(4).collect()
+            ]
+        res = kernels.ppr(graph, sources, max_iter=args.max_iter, ckpt=ckpt)
+        out = res.df.orderBy(F.desc("rank"), "id")
+        summary = {
+            "kernel": "ppr",
+            "seeds": len(sources),
+            "rounds": res.iterations,
+            "converged": res.converged,
         }
     elif args.kernel == "hits":
         res = kernels.hits(graph, max_iter=args.max_iter, ckpt=ckpt)

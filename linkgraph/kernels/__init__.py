@@ -23,6 +23,8 @@ anf             approximate neighborhood function / effective diameter
                 (Palmer et al. KDD'02 FM sketches, bit_or combine)
 hits            Kleinberg hubs & authorities (two-phase L2-normalized
                 power iteration, forward + transpose gathers)
+ppr             personalized PageRank / random walk with restart
+                (seed-restricted teleport, dangling mass to seeds)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -39,6 +41,7 @@ from linkgraph.kernels.mis import mis
 from linkgraph.kernels.coloring import coloring
 from linkgraph.kernels.anf import anf, effective_diameter
 from linkgraph.kernels.hits import hits
+from linkgraph.kernels.ppr import ppr
 
 __all__ = [
     "pagerank",
@@ -58,4 +61,5 @@ __all__ = [
     "anf",
     "effective_diameter",
     "hits",
+    "ppr",
 ]

@@ -374,3 +374,32 @@ def hits_numpy(
         if diff < tol:
             break
     return hub, auth, iterations
+
+
+def ppr_numpy(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    sources: list[int],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+) -> tuple[np.ndarray, int]:
+    """Personalized PageRank replay — must mirror kernels/ppr.py
+    update-for-update (dangling mass teleports to the seeds)."""
+    out_deg = _degrees(n, src, dst)
+    base = np.zeros(n)
+    base[np.asarray(sorted(set(sources)))] = 1.0 / len(set(sources))
+    rank = base.copy()
+    iterations = 0
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, rank[src] / out_deg[src])
+        dm = rank[out_deg == 0].sum()
+        new = (1.0 - damping) * base + damping * (contrib + dm * base)
+        diff = np.abs(new - rank).max()
+        rank = new
+        iterations += 1
+        if diff < tol:
+            break
+    return rank, iterations

@@ -577,3 +577,38 @@ def test_hits_star_graph(spark):
         assert got[v][0] == pytest.approx(0.0)
         assert got[v][1] == pytest.approx(1.0 / np.sqrt(3.0))
     g.unpersist()
+
+
+def test_ppr_matches_numpy(rmat_graph):
+    """Seeded-teleport trajectories equal the NumPy replay; mass stays
+    concentrated near the seeds (seed ranks dominate uniform)."""
+    from linkgraph.kernels import ppr
+    from tests.oracles import ppr_numpy
+
+    g, pdf, n = rmat_graph
+    sources = [0, 1, 2, 3]
+    res = ppr(g, sources, tol=1e-6, max_iter=30)
+    want, rounds = ppr_numpy(
+        n, pdf["src"].to_numpy(), pdf["dst"].to_numpy(), sources,
+        tol=1e-6, max_iter=30,
+    )
+    got = {r["id"]: r["rank"] for r in res.df.collect()}
+    assert res.iterations == rounds
+    for v, r in got.items():
+        assert r == pytest.approx(want[v], abs=1e-12)
+    # restart concentrates mass: every seed outranks the uniform share
+    for s in sources:
+        assert got[s] > 1.0 / n
+
+
+def test_ppr_full_seed_set_equals_pagerank(rmat_graph):
+    """With S = V the recurrence degenerates to global PageRank."""
+    from linkgraph.kernels import ppr
+
+    g, pdf, n = rmat_graph
+    res = ppr(g, list(range(n)), tol=0.0, max_iter=3)
+    pr = pagerank(g, tol=0.0, max_iter=3)
+    got = {r["id"]: r["rank"] for r in res.df.collect()}
+    want = {r["id"]: r["rank"] for r in pr.df.collect()}
+    for v in got:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
