@@ -164,6 +164,45 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", "level", "parent")
 
 
+def _part_succession_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed part-succession graph: part at linenumber k -> part at
+    k+1 within the same order, restricted to l_quantity <= 15 lines.
+    The restriction keeps the graph at web-bow-tie density (one giant
+    SCC + tendrils) instead of a single all-covering SCC."""
+    li = (
+        _lineitem(spark, sf_dir)
+        .where(F.col("l_quantity") <= 15)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o2"),
+        F.col("l_linenumber").alias("ln2"),
+        F.col("l_partkey").alias("p2"),
+    )
+    return (
+        li.join(
+            b,
+            (li["l_orderkey"] == b["o2"])
+            & (b["ln2"] == li["l_linenumber"] + 1),
+        )
+        .where(F.col("l_partkey") != F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (trim + Orzan forward-max
+    coloring + color-constrained backward sweep, kernels/scc.py) of
+    the directed part-succession graph — the bow-tie decomposition of
+    a link graph (SURVEY §2.9). Labels normalized to min member id."""
+    from linkgraph.kernels import scc
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    res = scc(g)
+    return res.df.select("id", "scc")
+
+
 def q_msbfs_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (4 lanes in ONE frontier loop, composite
     (dst, source) combine key) + sampled harmonic centrality rollup
@@ -510,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k": q_pagerank_k,
         "hits_k": q_hits_k,
         "ppr_k": q_ppr_k,
+        "scc": q_scc,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
         "graph_radii": q_graph_radii,
@@ -592,6 +632,37 @@ r{i} AS (
         prev = f"r{i}"
     sql += f"\nSELECT id, ROUND(rank, 9) AS rank FROM {prev}"
     return sql
+
+
+# SCC oracle: transitive closure by recursive CTE (UNION = set
+# semantics keeps it a fixpoint), then scc(v) = min over {v} ∪ {u
+# mutually reachable with v} — the min-member label kernels/scc.py
+# normalizes to. Tractable because the qty<=15 part-succession graph
+# is bow-tie sparse (closure ~1M pairs at sf0.01, measured 0.9s).
+_SCC_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) a
+  JOIN (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+),
+verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+mutual AS (
+  SELECT a.src AS v, a.dst AS u
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT verts.id, LEAST(verts.id, COALESCE(MIN(mutual.u), verts.id)) AS scc
+FROM verts LEFT JOIN mutual ON mutual.v = verts.id
+GROUP BY verts.id
+"""
 
 
 def _ppr_k_sql(k: int = 3, n_seeds: int = 4) -> str:
@@ -1540,6 +1611,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "pagerank_k": _pagerank_k_sql(3),
         "hits_k": _hits_k_sql(3),
         "ppr_k": _ppr_k_sql(3),
+        "scc": _SCC_SQL,
         "event_sessions_graph": """
 WITH t AS (
   SELECT user_id,

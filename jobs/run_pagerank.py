@@ -32,7 +32,7 @@ def main(argv: list[str]) -> int:
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
-            "mis", "coloring", "anf", "hits", "ppr",
+            "mis", "coloring", "anf", "hits", "ppr", "scc",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -176,6 +176,18 @@ def main(argv: list[str]) -> int:
             "kernel": "hits",
             "rounds": res.iterations,
             "converged": res.converged,
+        }
+    elif args.kernel == "scc":
+        res = kernels.scc(graph, ckpt=ckpt)
+        out = (
+            res.df.groupBy("scc")
+            .agg(F.count("*").alias("size"))
+            .orderBy(F.desc("size"), "scc")
+        )
+        summary = {
+            "kernel": "scc",
+            "outer_rounds": res.outer_rounds,
+            "n_scc": out.count(),
         }
     elif args.kernel == "coloring":
         res = kernels.coloring(graph, max_iter=args.max_iter)

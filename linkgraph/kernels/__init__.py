@@ -25,6 +25,8 @@ hits            Kleinberg hubs & authorities (two-phase L2-normalized
                 power iteration, forward + transpose gathers)
 ppr             personalized PageRank / random walk with restart
                 (seed-restricted teleport, dangling mass to seeds)
+scc             strongly connected components (trim + forward-max
+                coloring + color-constrained backward sweep, Orzan)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -42,6 +44,7 @@ from linkgraph.kernels.coloring import coloring
 from linkgraph.kernels.anf import anf, effective_diameter
 from linkgraph.kernels.hits import hits
 from linkgraph.kernels.ppr import ppr
+from linkgraph.kernels.scc import scc
 
 __all__ = [
     "pagerank",
@@ -62,4 +65,5 @@ __all__ = [
     "effective_diameter",
     "hits",
     "ppr",
+    "scc",
 ]

@@ -403,3 +403,60 @@ def ppr_numpy(
         if diff < tol:
             break
     return rank, iterations
+
+
+def scc_tarjan(
+    vertices, src: np.ndarray, dst: np.ndarray
+) -> dict[int, int]:
+    """Strongly connected components by iterative Tarjan; returns
+    {vertex: min member id of its SCC} — the label convention of
+    kernels/scc.py (which normalizes its Orzan coloring output the
+    same way)."""
+    adj: dict[int, list[int]] = {int(v): [] for v in vertices}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+        adj.setdefault(int(d), [])
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = 0
+    for root in adj:
+        if root in index:
+            continue
+        work: list[tuple[int, int]] = [(root, 0)]
+        while work:
+            node, ptr = work.pop()
+            if ptr == 0:
+                index[node] = low[node] = counter
+                counter += 1
+                stack.append(node)
+                on_stack.add(node)
+            descended = False
+            for i in range(ptr, len(adj[node])):
+                w = adj[node][i]
+                if w not in index:
+                    work.append((node, i + 1))
+                    work.append((w, 0))
+                    descended = True
+                    break
+                if w in on_stack:
+                    low[node] = min(low[node], index[w])
+            if descended:
+                continue
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                rep = min(comp)
+                for w in comp:
+                    out[w] = rep
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+    return out

@@ -612,3 +612,48 @@ def test_ppr_full_seed_set_equals_pagerank(rmat_graph):
     want = {r["id"]: r["rank"] for r in pr.df.collect()}
     for v in got:
         assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_scc_matches_tarjan(rmat_graph):
+    """Orzan coloring SCC equals iterative Tarjan on the directed rMAT
+    fixture (min-member labels), and the assignment covers every
+    vertex exactly once."""
+    from linkgraph.kernels import scc
+    from tests.oracles import scc_tarjan
+
+    g, pdf, n = rmat_graph
+    res = scc(g)
+    got = {r["id"]: r["scc"] for r in res.df.collect()}
+    want = scc_tarjan(range(n), pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+    assert got == want
+    assert len(got) == n
+
+
+def test_scc_two_cycles_bridge(spark):
+    """1->2->3->1 bridged to 4->5->6->4: exactly the two 3-cycles plus
+    no cross-SCC merging over the bridge edge."""
+    from linkgraph.kernels import scc
+
+    edges = pd.DataFrame(
+        {"src": [1, 2, 3, 3, 4, 5, 6], "dst": [2, 3, 1, 4, 5, 6, 4]}
+    )
+    g = _graph(spark, edges, 7)
+    res = scc(g)
+    got = {r["id"]: r["scc"] for r in res.df.collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == got[6] == 4
+    assert got[0] == 0  # isolated vertex is its own singleton
+    g.unpersist()
+
+
+def test_scc_dag_all_singletons(spark):
+    """A DAG has only trivial SCCs — everything trims, no coloring SCC
+    survives; the descending path also exercises the outer peel."""
+    from linkgraph.kernels import scc
+
+    edges = pd.DataFrame({"src": [5, 4, 3, 2, 1], "dst": [4, 3, 2, 1, 0]})
+    g = _graph(spark, edges, 6)
+    res = scc(g)
+    got = {r["id"]: r["scc"] for r in res.df.collect()}
+    assert got == {v: v for v in range(6)}
+    g.unpersist()

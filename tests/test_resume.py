@@ -232,3 +232,34 @@ def test_anf_resume_equals_uninterrupted(small_graph, tmp_path):
     again = anf(small_graph, max_iter=16, ckpt=ckpt)
     assert again.iterations == full.iterations
     assert again.nf == pytest.approx(resumed.nf, rel=1e-12)
+
+
+def test_scc_resume_equals_uninterrupted(spark, tmp_path):
+    """SCC checkpoints the ASSIGNED set per outer round; a run killed
+    by the max_outer guard resumes (residual re-derived by anti-join)
+    and equals the uninterrupted result; a converged checkpoint
+    short-circuits the re-run."""
+    from linkgraph.kernels import scc
+
+    # descending path into a 2-cycle: needs >= 2 outer peel rounds
+    edges = pd.DataFrame(
+        {"src": [5, 4, 3, 2, 1, 0, 6], "dst": [4, 3, 2, 1, 0, 6, 0]}
+    )
+    g = build_graph_from_edges(
+        spark.createDataFrame(edges, "src long, dst long"), num_partitions=4
+    )
+    full = scc(g)
+    want = {r["id"]: r["scc"] for r in full.df.collect()}
+
+    ckpt = CheckpointManager(str(tmp_path), "scc")
+    with pytest.raises(RuntimeError, match="outer rounds"):
+        scc(g, max_outer=1, ckpt=ckpt)
+    resumed = scc(g, ckpt=ckpt)
+    got = {r["id"]: r["scc"] for r in resumed.df.collect()}
+    assert got == want
+
+    # converged record short-circuits: no further outer rounds run
+    again = scc(g, ckpt=ckpt)
+    assert {r["id"]: r["scc"] for r in again.df.collect()} == want
+    assert again.metrics[-1]["converged"]
+    g.unpersist()
