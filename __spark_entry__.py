@@ -423,6 +423,48 @@ def q_event_sessions_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trans.groupBy("src_type", "dst_type").agg(F.count("*").alias("cnt"))
 
 
+def q_event_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (linkgraph/streaming.py): watermarked
+    session_window aggregation run as a REAL Structured Streaming
+    query (file source, availableNow drain, memory sink) over the
+    events table; one row per (user, 30-min-gap session). The oracle
+    is the gaps-and-islands batch equivalent — session end = last
+    event + gap, new session iff the gap to the previous event is >=
+    30 minutes (session_window's half-open [start, end) semantics)."""
+    from linkgraph.streaming import sessionize_events
+
+    # file-source streams need a DIRECTORY; the testdata tables are
+    # single files, so stream the parent dir with a glob filter
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = "q_event_sessions_stream_sink"
+    q = (
+        sessionize_events(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # epoch-microsecond longs: exact integers on both engines (Spark
+    # pandas conversion yields ns-unit timestamps, DuckDB us-unit —
+    # same values, different dtype; longs sidestep the unit mismatch)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -564,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_delta_k": q_pagerank_delta_k,
         "pagerank_delta_multi": q_pagerank_delta_multi,
         "event_sessions_graph": q_event_sessions_graph,
+        "event_sessions_stream": q_event_sessions_stream,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -1622,5 +1665,31 @@ WITH t AS (
 SELECT src_type, dst_type, COUNT(*) AS cnt
 FROM t WHERE src_type IS NOT NULL
 GROUP BY src_type, dst_type
+""",
+        # gaps-and-islands twin of Spark's session_window: new session
+        # iff gap to previous event >= 30 min (half-open [start, end)),
+        # session end = last event + gap
+        "event_sessions_stream": """
+WITH t AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM s
+GROUP BY user_id, sid
 """,
     }

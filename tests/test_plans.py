@@ -184,3 +184,39 @@ def test_anf_round_aggregates_map_side(spark, tiny_graph):
     plan = _plan(gathered)
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_scc_sweep_accept_is_equi_join_not_nested_loop(spark, tiny_graph):
+    """scc's backward sweep filters candidates by color equality AFTER
+    an equi-join on dst; Catalyst must plan a hash/broadcast equi-join
+    (the color predicate is a post-join filter), never fall to a
+    nested-loop/cartesian — that would be an n^2 sweep at scale. Also
+    pins that the cond() anti-join (exclude_dst) sits BELOW the
+    message aggregation, so already-marked targets do no agg work."""
+    frontier = spark.createDataFrame([(0, 0)], "id long, scc long")
+    marked = frontier
+    cand = edge_map(
+        tiny_graph,
+        frontier,
+        aggs=[F.count("*").alias("_msgs")],
+        reverse=True,
+        volume=0,
+        exclude_dst=marked,
+        group_extra=["scc"],
+    ).select("dst", "scc")
+    colors = spark.createDataFrame([(0, 0), (1, 0)], "id long, color long")
+    accept = (
+        cand.join(colors.withColumnRenamed("id", "dst"), "dst")
+        .where(F.col("color") == F.col("scc"))
+        .select(F.col("dst").alias("id"), "scc")
+    )
+    plan = _plan(accept)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # anti-join (cond) below the aggregate: the first HashAggregate
+    # from the top must appear before any anti-join text ends, i.e.
+    # the anti join string occurs after the aggregate in top-down
+    # plan order (children print below parents)
+    agg_pos = plan.find("HashAggregate")
+    anti_pos = plan.find("LeftAnti")
+    assert agg_pos != -1 and anti_pos != -1 and agg_pos < anti_pos

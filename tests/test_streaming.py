@@ -1,0 +1,142 @@
+"""Structured Streaming paths vs their batch twins: the availableNow
+drain of each streaming query must equal the equivalent batch
+computation exactly (same extractor, same aggregation semantics)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.datagen import PagesSpec, generate_pages
+from linkgraph.extract import extract_pages
+from linkgraph.streaming import (
+    PAGES_SCHEMA,
+    page_stream_to_edges,
+    read_page_stream,
+    running_out_degrees,
+    sessionize_events,
+    stream_pages_to_edges,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    """Two parquet files of deterministic synthetic pages — two
+    micro-batches worth of 'arriving' crawl data."""
+    root = tmp_path_factory.mktemp("pages_stream")
+    pdf = generate_pages(PagesSpec(n_pages=120))
+    a = spark.createDataFrame(pdf.iloc[:60], schema=PAGES_SCHEMA)
+    b = spark.createDataFrame(pdf.iloc[60:], schema=PAGES_SCHEMA)
+    a.coalesce(1).write.mode("overwrite").parquet(str(root / "batch_a"))
+    b.coalesce(1).write.mode("append").parquet(str(root / "batch_a"))
+    yield str(root / "batch_a")
+
+
+def test_stream_edges_equal_batch_extract(spark, pages_dir, tmp_path):
+    """Draining the page stream writes exactly the edge rows the batch
+    extractor derives (same Arrow UDF, byte-identical text path)."""
+    sink = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_pages_to_edges(spark, pages_dir, sink, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["src_url"], r["dst_url"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = extract_pages(spark.read.parquet(pages_dir))
+    want = {
+        (r["url"], r["dst_url"])
+        for r in batch.select(
+            "url", F.explode("hrefs").alias("dst_url")
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_running_out_degrees_equal_batch_group_count(spark, pages_dir):
+    """The stateful running-degree operator's final state equals the
+    batch out-degree groupBy over the same edges."""
+    stream = page_stream_to_edges(read_page_stream(spark, pages_dir))
+    q = (
+        running_out_degrees(stream)
+        .writeStream.format("memory")
+        .queryName("deg_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode may emit a row per microbatch; the LAST emit per key
+    # is the running total — with availableNow over one directory all
+    # data lands in one batch, but take max defensively (monotone)
+    got = {
+        r["src_url"]: r["out_deg"]
+        for r in spark.sql(
+            "SELECT src_url, MAX(out_deg) AS out_deg FROM deg_stream "
+            "GROUP BY src_url"
+        ).collect()
+    }
+    batch = extract_pages(spark.read.parquet(pages_dir))
+    want = {
+        r["src_url"]: r["out_deg"]
+        for r in batch.select(
+            F.col("url").alias("src_url"), F.explode("hrefs")
+        )
+        .groupBy("src_url")
+        .agg(F.count("*").alias("out_deg"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_sessionize_events_equals_batch_session_window(spark, tmp_path):
+    """Watermarked streaming sessionization equals the batch
+    session_window aggregation on a bounded input (every session
+    finalizes once the stream drains)."""
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:10:00",  # same session (gap 30m)
+                    "2024-01-01 01:30:00",  # new session
+                    "2024-01-01 00:05:00",  # user 2
+                ]
+            ),
+            "user_id": [1, 1, 1, 2],
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    src = str(tmp_path / "events")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double"
+    ).parquet(src)
+    q = (
+        sessionize_events(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in sessionize_events(spark.read.parquet(src)).collect()
+    }
+    assert got == want
+    assert len(got) == 3  # two sessions for user 1, one for user 2
