@@ -203,6 +203,18 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", "scc")
 
 
+def q_bowtie_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition (kernels/bowtie.py) of the part-
+    succession graph: per-vertex CORE / IN / OUT / OTHER, core = the
+    largest SCC (tie-break size DESC, label ASC), IN/OUT = backward/
+    forward reachability sweeps from the whole core at once."""
+    from linkgraph.kernels import bowtie
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    res = bowtie(g)
+    return res.df.select("id", "cls")
+
+
 def q_msbfs_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (4 lanes in ONE frontier loop, composite
     (dst, source) combine key) + sampled harmonic centrality rollup
@@ -592,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_k": q_hits_k,
         "ppr_k": q_ppr_k,
         "scc": q_scc,
+        "bowtie_classes": q_bowtie_classes,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
         "graph_radii": q_graph_radii,
@@ -705,6 +718,52 @@ mutual AS (
 SELECT verts.id, LEAST(verts.id, COALESCE(MIN(mutual.u), verts.id)) AS scc
 FROM verts LEFT JOIN mutual ON mutual.v = verts.id
 GROUP BY verts.id
+"""
+
+
+# Bow-tie oracle: same closure as _SCC_SQL, then core = largest SCC
+# (size DESC, label ASC), IN = reaches core, OUT = reached from core,
+# CASE order mirrors kernels/bowtie.py (CORE, IN, OUT, OTHER).
+_BOWTIE_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) a
+  JOIN (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+),
+verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+mutual AS (
+  SELECT a.src AS v, a.dst AS u
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+),
+sccm AS MATERIALIZED (
+  SELECT verts.id, LEAST(verts.id, COALESCE(MIN(mutual.u), verts.id)) AS scc
+  FROM verts LEFT JOIN mutual ON mutual.v = verts.id
+  GROUP BY verts.id
+),
+core_pick AS (
+  SELECT scc FROM (SELECT scc, COUNT(*) AS n FROM sccm GROUP BY scc)
+  ORDER BY n DESC, scc ASC LIMIT 1
+),
+core AS (SELECT id FROM sccm WHERE scc = (SELECT scc FROM core_pick)),
+fwd AS (SELECT DISTINCT r.dst AS id FROM reach r JOIN core c ON r.src = c.id),
+bwd AS (SELECT DISTINCT r.src AS id FROM reach r JOIN core c ON r.dst = c.id)
+SELECT s.id,
+       CASE WHEN s.scc = (SELECT scc FROM core_pick) THEN 'CORE'
+            WHEN b.id IS NOT NULL THEN 'IN'
+            WHEN f.id IS NOT NULL THEN 'OUT'
+            ELSE 'OTHER' END AS cls
+FROM sccm s
+LEFT JOIN fwd f ON s.id = f.id
+LEFT JOIN bwd b ON s.id = b.id
 """
 
 
@@ -1655,6 +1714,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "hits_k": _hits_k_sql(3),
         "ppr_k": _ppr_k_sql(3),
         "scc": _SCC_SQL,
+        "bowtie_classes": _BOWTIE_SQL,
         "event_sessions_graph": """
 WITH t AS (
   SELECT user_id,

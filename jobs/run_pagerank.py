@@ -32,7 +32,7 @@ def main(argv: list[str]) -> int:
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
-            "mis", "coloring", "anf", "hits", "ppr", "scc",
+            "mis", "coloring", "anf", "hits", "ppr", "scc", "bowtie",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -188,6 +188,18 @@ def main(argv: list[str]) -> int:
             "kernel": "scc",
             "outer_rounds": res.outer_rounds,
             "n_scc": out.count(),
+        }
+    elif args.kernel == "bowtie":
+        res = kernels.bowtie(graph)
+        out = (
+            res.df.groupBy("cls")
+            .agg(F.count("*").alias("size"))
+            .orderBy(F.desc("size"), "cls")
+        )
+        summary = {
+            "kernel": "bowtie",
+            "core_label": res.core_label,
+            "core_size": res.core_size,
         }
     elif args.kernel == "coloring":
         res = kernels.coloring(graph, max_iter=args.max_iter)

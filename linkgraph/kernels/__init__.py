@@ -27,6 +27,8 @@ ppr             personalized PageRank / random walk with restart
                 (seed-restricted teleport, dangling mass to seeds)
 scc             strongly connected components (trim + forward-max
                 coloring + color-constrained backward sweep, Orzan)
+bowtie          Broder bow-tie decomposition (CORE/IN/OUT/OTHER from
+                the largest SCC + two multi-root reachability sweeps)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -45,6 +47,7 @@ from linkgraph.kernels.anf import anf, effective_diameter
 from linkgraph.kernels.hits import hits
 from linkgraph.kernels.ppr import ppr
 from linkgraph.kernels.scc import scc
+from linkgraph.kernels.bowtie import bowtie
 
 __all__ = [
     "pagerank",
@@ -66,4 +69,5 @@ __all__ = [
     "hits",
     "ppr",
     "scc",
+    "bowtie",
 ]

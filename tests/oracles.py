@@ -460,3 +460,49 @@ def scc_tarjan(
                 parent = work[-1][0]
                 low[parent] = min(low[parent], low[node])
     return out
+
+
+def bowtie_classes(
+    vertices, src: np.ndarray, dst: np.ndarray
+) -> dict[int, str]:
+    """Bow-tie replay: largest SCC by (size DESC, min-member label
+    ASC) is CORE; BFS reach sets give IN (reaches core) and OUT
+    (reached from core); rest OTHER — mirrors kernels/bowtie.py."""
+    from collections import defaultdict, deque
+
+    scc = scc_tarjan(vertices, src, dst)
+    sizes: dict[int, int] = defaultdict(int)
+    for rep in scc.values():
+        sizes[rep] += 1
+    core_label = min(sizes, key=lambda r: (-sizes[r], r))
+    core = {v for v, rep in scc.items() if rep == core_label}
+
+    fadj: dict[int, list[int]] = defaultdict(list)
+    badj: dict[int, list[int]] = defaultdict(list)
+    for s, d in zip(src, dst):
+        fadj[int(s)].append(int(d))
+        badj[int(d)].append(int(s))
+
+    def reach(adj) -> set[int]:
+        seen = set(core)
+        q = deque(core)
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    q.append(w)
+        return seen
+
+    fwd, bwd = reach(fadj), reach(badj)
+    out: dict[int, str] = {}
+    for v in scc:
+        if v in core:
+            out[v] = "CORE"
+        elif v in bwd:
+            out[v] = "IN"
+        elif v in fwd:
+            out[v] = "OUT"
+        else:
+            out[v] = "OTHER"
+    return out

@@ -657,3 +657,41 @@ def test_scc_dag_all_singletons(spark):
     got = {r["id"]: r["scc"] for r in res.df.collect()}
     assert got == {v: v for v in range(6)}
     g.unpersist()
+
+
+def test_bowtie_matches_replay(rmat_graph):
+    """Bow-tie classes equal the Tarjan+BFS replay on the rMAT
+    fixture, and core metadata agrees."""
+    from linkgraph.kernels import bowtie
+    from tests.oracles import bowtie_classes, scc_tarjan
+
+    g, pdf, n = rmat_graph
+    res = bowtie(g)
+    got = {r["id"]: r["cls"] for r in res.df.collect()}
+    want = bowtie_classes(range(n), pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+    assert got == want
+    scc = scc_tarjan(range(n), pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+    assert res.core_size == sum(1 for rep in scc.values() if rep == res.core_label)
+
+
+def test_bowtie_textbook_shape(spark):
+    """IN chain -> 3-cycle CORE -> OUT chain, plus a disconnected
+    island: the four classes land exactly where Broder drew them."""
+    from linkgraph.kernels import bowtie
+
+    edges = pd.DataFrame(
+        {
+            # 0 -> 1 -> (2,3,4 cycle) -> 5 -> 6 ; island 7->8
+            "src": [0, 1, 2, 3, 4, 4, 5, 7],
+            "dst": [1, 2, 3, 4, 2, 5, 6, 8],
+        }
+    )
+    g = _graph(spark, edges, 9)
+    res = bowtie(g)
+    got = {r["id"]: r["cls"] for r in res.df.collect()}
+    assert {v: got[v] for v in (2, 3, 4)} == {2: "CORE", 3: "CORE", 4: "CORE"}
+    assert got[0] == got[1] == "IN"
+    assert got[5] == got[6] == "OUT"
+    assert got[7] == got[8] == "OTHER"
+    assert res.core_label == 2 and res.core_size == 3
+    g.unpersist()
