@@ -215,6 +215,19 @@ def q_bowtie_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", "cls")
 
 
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts + Watts-Strogatz local clustering
+    coefficient (kernels/clustering.py) over the symmetrized co-part
+    graph — the per-vertex refinement of `triangle_count`; coeff
+    rounded to 9 decimals for order-insensitive comparison."""
+    from linkgraph.kernels import local_clustering
+
+    g = _graph(_copart_edges(spark, sf_dir))
+    res = local_clustering(g)
+    return res.df.select("id", "tri", F.round("coeff", 9).alias("coeff"))
+
+
 def q_msbfs_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (4 lanes in ONE frontier loop, composite
     (dst, source) combine key) + sampled harmonic centrality rollup
@@ -605,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_k": q_ppr_k,
         "scc": q_scc,
         "bowtie_classes": q_bowtie_classes,
+        "clustering_coeff": q_clustering_coeff,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
         "graph_radii": q_graph_radii,
@@ -764,6 +778,30 @@ SELECT s.id,
 FROM sccm s
 LEFT JOIN fwd f ON s.id = f.id
 LEFT JOIN bwd b ON s.id = b.id
+"""
+
+
+
+# Per-vertex clustering oracle: T(v) = ordered neighbor pairs of v
+# that close (3-way self-join grouped by the wedge center), then the
+# same 2T/(d(d-1)) expression as kernels/clustering.py, rounded at 9.
+_CLUSTERING_SQL = f"""
+WITH e0 AS ({_COPART_E}),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src),
+tri AS (
+  SELECT e1.src AS id, COUNT(*) AS t
+  FROM sym e1
+  JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN sym e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+  GROUP BY e1.src
+)
+SELECT deg.id,
+       COALESCE(tri.t, CAST(0 AS BIGINT)) AS tri,
+       CASE WHEN deg.d >= 2
+            THEN ROUND(2.0 * COALESCE(tri.t, 0) / (deg.d * (deg.d - 1)), 9)
+            ELSE 0.0 END AS coeff
+FROM deg LEFT JOIN tri ON deg.id = tri.id
 """
 
 
@@ -1715,6 +1753,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "ppr_k": _ppr_k_sql(3),
         "scc": _SCC_SQL,
         "bowtie_classes": _BOWTIE_SQL,
+        "clustering_coeff": _CLUSTERING_SQL,
         "event_sessions_graph": """
 WITH t AS (
   SELECT user_id,

@@ -33,6 +33,7 @@ def main(argv: list[str]) -> int:
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "ppr", "scc", "bowtie",
+            "clustering",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -200,6 +201,15 @@ def main(argv: list[str]) -> int:
             "kernel": "bowtie",
             "core_label": res.core_label,
             "core_size": res.core_size,
+        }
+    elif args.kernel == "clustering":
+        res = kernels.local_clustering(graph)
+        out = res.df.orderBy(F.desc("coeff"), "id")
+        summary = {
+            "kernel": "clustering",
+            "triangles": res.triangles,
+            "avg_coeff": round(res.avg_coeff, 6),
+            "global_coeff": round(res.global_coeff, 6),
         }
     elif args.kernel == "coloring":
         res = kernels.coloring(graph, max_iter=args.max_iter)

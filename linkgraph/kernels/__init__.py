@@ -29,6 +29,8 @@ scc             strongly connected components (trim + forward-max
                 coloring + color-constrained backward sweep, Orzan)
 bowtie          Broder bow-tie decomposition (CORE/IN/OUT/OTHER from
                 the largest SCC + two multi-root reachability sweeps)
+local_clustering per-vertex triangle counts + Watts-Strogatz local
+                clustering coefficient (degree-ordered orientation)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -48,6 +50,7 @@ from linkgraph.kernels.hits import hits
 from linkgraph.kernels.ppr import ppr
 from linkgraph.kernels.scc import scc
 from linkgraph.kernels.bowtie import bowtie
+from linkgraph.kernels.clustering import local_clustering
 
 __all__ = [
     "pagerank",
@@ -70,4 +73,5 @@ __all__ = [
     "ppr",
     "scc",
     "bowtie",
+    "local_clustering",
 ]

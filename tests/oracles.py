@@ -506,3 +506,24 @@ def bowtie_classes(
         else:
             out[v] = "OTHER"
     return out
+
+
+def clustering_replay(src: np.ndarray, dst: np.ndarray) -> dict[int, tuple[int, float]]:
+    """Brute-force local clustering: symmetrize + drop self-loops,
+    T(v) = adjacent neighbor pairs, C(v) = 2T/(d(d-1)) — mirrors
+    kernels/clustering.py."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    nbr: dict[int, set] = defaultdict(set)
+    for s, d in zip(src, dst):
+        s, d = int(s), int(d)
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    out: dict[int, tuple[int, float]] = {}
+    for v, ns in nbr.items():
+        t = sum(1 for a, b in combinations(sorted(ns), 2) if b in nbr[a])
+        d = len(ns)
+        out[v] = (t, 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0)
+    return out

@@ -695,3 +695,50 @@ def test_bowtie_textbook_shape(spark):
     assert got[7] == got[8] == "OTHER"
     assert res.core_label == 2 and res.core_size == 3
     g.unpersist()
+
+
+def test_clustering_matches_replay(rmat_graph):
+    """Per-vertex (tri, coeff) equals the brute-force neighbor-pair
+    replay on the rMAT fixture; rollups are consistent with the rows."""
+    import math
+
+    from linkgraph.kernels import local_clustering
+    from tests.oracles import clustering_replay
+
+    g, pdf, n = rmat_graph
+    res = local_clustering(g)
+    got = {r["id"]: (r["tri"], r["coeff"]) for r in res.df.collect()}
+    want = clustering_replay(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == want[v][0]
+        assert math.isclose(got[v][1], want[v][1], rel_tol=1e-12)
+    assert res.triangles * 3 == sum(t for t, _ in want.values())
+    assert math.isclose(
+        res.avg_coeff,
+        sum(c for _, c in want.values()) / len(want),
+        rel_tol=1e-12,
+    )
+
+
+def test_clustering_closed_forms(spark):
+    """Triangle graph: every coeff 1.0; star: hub and leaves 0.0 with
+    zero triangles; global transitivity matches by hand."""
+    from linkgraph.kernels import local_clustering
+
+    tri = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]})
+    g = _graph(spark, tri, 3)
+    res = local_clustering(g)
+    assert {r["id"]: (r["tri"], r["coeff"]) for r in res.df.collect()} == {
+        0: (1, 1.0), 1: (1, 1.0), 2: (1, 1.0)
+    }
+    assert res.triangles == 1 and res.global_coeff == 1.0
+    g.unpersist()
+
+    star = pd.DataFrame({"src": [0, 0, 0, 0], "dst": [1, 2, 3, 4]})
+    g = _graph(spark, star, 5)
+    res = local_clustering(g)
+    got = {r["id"]: (r["tri"], r["coeff"]) for r in res.df.collect()}
+    assert got == {v: (0, 0.0) for v in range(5)}
+    assert res.triangles == 0 and res.global_coeff == 0.0
+    g.unpersist()
