@@ -228,6 +228,20 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", "tri", F.round("coeff", 9).alias("coeff"))
 
 
+
+def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors + Adamic-Adar link prediction
+    (kernels/linkpred.py) over the symmetrized part-succession graph:
+    every non-adjacent pair with >= 1 shared neighbor, center-degree
+    skew cap 64 (non-binding at sf0.01, max deg 11 — exercised in the
+    plan, mirrored in the oracle); aa rounded to 9 decimals."""
+    from linkgraph.kernels import link_prediction
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    res = link_prediction(g, max_center_deg=64, min_cn=1)
+    return res.df.select("u", "w", "cn", F.round("aa", 9).alias("aa"))
+
+
 def q_msbfs_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (4 lanes in ONE frontier loop, composite
     (dst, source) combine key) + sampled harmonic centrality rollup
@@ -619,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "bowtie_classes": q_bowtie_classes,
         "clustering_coeff": q_clustering_coeff,
+        "link_pred": q_link_pred,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
         "graph_radii": q_graph_radii,
@@ -802,6 +817,41 @@ SELECT deg.id,
             THEN ROUND(2.0 * COALESCE(tri.t, 0) / (deg.d * (deg.d - 1)), 9)
             ELSE 0.0 END AS coeff
 FROM deg LEFT JOIN tri ON deg.id = tri.id
+"""
+
+
+
+# Link-prediction oracle: wedge self-join on the center (cap 64
+# mirrored), CN = COUNT, AA = SUM(1/ln(center deg)), anti-join vs the
+# symmetric edge set — mirrors kernels/linkpred.py, ROUND(9).
+_LINK_PRED_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) a
+  JOIN (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey
+),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS v, COUNT(*) AS vdeg FROM sym GROUP BY src),
+centers AS (
+  SELECT s.src AS v, s.dst AS nbr, d.vdeg
+  FROM sym s JOIN deg d ON s.src = d.v
+  WHERE d.vdeg <= 64
+),
+pairs AS (
+  SELECT e1.nbr AS u, e2.nbr AS w,
+         COUNT(*) AS cn,
+         SUM(1.0 / LN(e1.vdeg)) AS aa
+  FROM centers e1 JOIN centers e2 ON e1.v = e2.v AND e1.nbr < e2.nbr
+  GROUP BY e1.nbr, e2.nbr
+)
+SELECT p.u, p.w, p.cn, ROUND(p.aa, 9) AS aa
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = p.u AND s.dst = p.w)
+  AND p.cn >= 1
 """
 
 
@@ -1754,6 +1804,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "scc": _SCC_SQL,
         "bowtie_classes": _BOWTIE_SQL,
         "clustering_coeff": _CLUSTERING_SQL,
+        "link_pred": _LINK_PRED_SQL,
         "event_sessions_graph": """
 WITH t AS (
   SELECT user_id,

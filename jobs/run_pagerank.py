@@ -33,7 +33,7 @@ def main(argv: list[str]) -> int:
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "ppr", "scc", "bowtie",
-            "clustering",
+            "clustering", "linkpred",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -211,6 +211,10 @@ def main(argv: list[str]) -> int:
             "avg_coeff": round(res.avg_coeff, 6),
             "global_coeff": round(res.global_coeff, 6),
         }
+    elif args.kernel == "linkpred":
+        res = kernels.link_prediction(graph, max_center_deg=10_000)
+        out = res.df.orderBy(F.desc("aa"), "u", "w")
+        summary = {"kernel": "linkpred", "pairs": out.count()}
     elif args.kernel == "coloring":
         res = kernels.coloring(graph, max_iter=args.max_iter)
         out = res.df.orderBy("color", "id")

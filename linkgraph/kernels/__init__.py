@@ -31,6 +31,8 @@ bowtie          Broder bow-tie decomposition (CORE/IN/OUT/OTHER from
                 the largest SCC + two multi-root reachability sweeps)
 local_clustering per-vertex triangle counts + Watts-Strogatz local
                 clustering coefficient (degree-ordered orientation)
+link_prediction common-neighbors + Adamic-Adar scores for non-adjacent
+                pairs (wedge self-join, center-degree skew guard)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -51,6 +53,7 @@ from linkgraph.kernels.ppr import ppr
 from linkgraph.kernels.scc import scc
 from linkgraph.kernels.bowtie import bowtie
 from linkgraph.kernels.clustering import local_clustering
+from linkgraph.kernels.linkpred import link_prediction
 
 __all__ = [
     "pagerank",
@@ -74,4 +77,5 @@ __all__ = [
     "scc",
     "bowtie",
     "local_clustering",
+    "link_prediction",
 ]

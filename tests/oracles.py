@@ -527,3 +527,33 @@ def clustering_replay(src: np.ndarray, dst: np.ndarray) -> dict[int, tuple[int, 
         d = len(ns)
         out[v] = (t, 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0)
     return out
+
+
+def linkpred_replay(
+    src: np.ndarray, dst: np.ndarray, min_cn: int = 1,
+    max_center_deg: int | None = None,
+) -> dict[tuple[int, int], tuple[int, float]]:
+    """Brute-force CN/Adamic-Adar over non-adjacent pairs — mirrors
+    kernels/linkpred.py (u < w; centers above the degree cap dropped)."""
+    import math
+    from collections import defaultdict
+    from itertools import combinations
+
+    nbr: dict[int, set] = defaultdict(set)
+    for s, d in zip(src, dst):
+        s, d = int(s), int(d)
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    out: dict[tuple[int, int], tuple[int, float]] = {}
+    for v, ns in nbr.items():
+        if max_center_deg is not None and len(ns) > max_center_deg:
+            continue
+        for a, b in combinations(sorted(ns), 2):
+            cn, aa = out.get((a, b), (0, 0.0))
+            out[(a, b)] = (cn + 1, aa + 1.0 / math.log(len(ns)))
+    return {
+        p: s
+        for p, s in out.items()
+        if s[0] >= min_cn and p[1] not in nbr[p[0]]
+    }

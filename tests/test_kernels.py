@@ -742,3 +742,50 @@ def test_clustering_closed_forms(spark):
     assert got == {v: (0, 0.0) for v in range(5)}
     assert res.triangles == 0 and res.global_coeff == 0.0
     g.unpersist()
+
+
+def test_linkpred_matches_replay(rmat_graph):
+    """CN/AA scores equal the brute-force replay on the rMAT fixture,
+    with and without the center-degree skew cap."""
+    import math
+
+    from linkgraph.kernels import link_prediction
+    from tests.oracles import linkpred_replay
+
+    g, pdf, n = rmat_graph
+    src, dst = pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+    for cap in (None, 8):
+        res = link_prediction(g, max_center_deg=cap, min_cn=1)
+        got = {(r["u"], r["w"]): (r["cn"], r["aa"]) for r in res.df.collect()}
+        want = linkpred_replay(src, dst, min_cn=1, max_center_deg=cap)
+        assert set(got) == set(want)
+        for p in want:
+            assert got[p][0] == want[p][0]
+            assert math.isclose(got[p][1], want[p][1], rel_tol=1e-9)
+
+
+def test_linkpred_closed_forms(spark):
+    """Path 0-1-2: (0,2) has cn=1, aa=1/ln 2; square 0-1-2-3: the two
+    diagonals score cn=2, aa=2/ln 2; adjacent pairs never appear."""
+    import math
+
+    from linkgraph.kernels import link_prediction
+
+    path = pd.DataFrame({"src": [0, 1], "dst": [1, 2]})
+    g = _graph(spark, path, 3)
+    got = {(r["u"], r["w"]): (r["cn"], r["aa"])
+           for r in link_prediction(g).df.collect()}
+    assert set(got) == {(0, 2)}
+    assert got[(0, 2)][0] == 1
+    assert math.isclose(got[(0, 2)][1], 1.0 / math.log(2), rel_tol=1e-12)
+    g.unpersist()
+
+    square = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0]})
+    g = _graph(spark, square, 4)
+    got = {(r["u"], r["w"]): (r["cn"], r["aa"])
+           for r in link_prediction(g, min_cn=2).df.collect()}
+    assert set(got) == {(0, 2), (1, 3)}
+    for p in got:
+        assert got[p][0] == 2
+        assert math.isclose(got[p][1], 2.0 / math.log(2), rel_tol=1e-12)
+    g.unpersist()
