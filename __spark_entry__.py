@@ -242,6 +242,21 @@ def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("u", "w", "cn", F.round("aa", 9).alias("aa"))
 
 
+
+def q_densest_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bahmani parallel-peeling densest subgraph (kernels/densest.py,
+    eps=0.1) over the symmetrized part-succession graph: per-vertex
+    peel round (disjoint tags; the argmax-density round's survivors are
+    the 2(1+eps)-approx densest core — best round pinned by pytest,
+    peel trajectory pinned here). 8 rounds measured at sf0.01; the
+    oracle unrolls 10 (post-fixpoint rounds are empty no-ops)."""
+    from linkgraph.kernels import densest_subgraph
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    res = densest_subgraph(g, epsilon=0.1)
+    return res.df.select("id", "peel")
+
+
 def q_msbfs_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (4 lanes in ONE frontier loop, composite
     (dst, source) combine key) + sampled harmonic centrality rollup
@@ -634,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_classes": q_bowtie_classes,
         "clustering_coeff": q_clustering_coeff,
         "link_pred": q_link_pred,
+        "densest_core": q_densest_core,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
         "graph_radii": q_graph_radii,
@@ -853,6 +869,52 @@ FROM pairs p
 WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = p.u AND s.dst = p.w)
   AND p.cn >= 1
 """
+
+
+
+def _densest_sql(rounds: int = 10) -> str:
+    """Unrolled Bahmani peeling on the symmetrized part-succession
+    graph (eps = 0.1, threshold 1.1*m2/n — the kernel's exact
+    expression): per round, degrees of the alive set (deg-0 via LEFT
+    JOIN, as in the kernel), removal at deg <= threshold, edges/alive
+    shrink by NOT IN. `rounds` must be >= the measured fixpoint (8 at
+    sf0.01); extra rounds are empty no-ops (DuckDB float x/0 -> NULL,
+    so the empty-round threshold never errors). MATERIALIZED per the
+    betweenness oracle lesson."""
+    sql = """WITH e0x AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) a
+  JOIN (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey
+),
+e1s AS MATERIALIZED (SELECT src, dst FROM e0x UNION SELECT dst AS src, src AS dst FROM e0x),
+a1 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e1s)"""
+    prev_e, prev_a = "e1s", "a1"
+    peels = []
+    for r in range(1, rounds + 1):
+        sql += f""",
+d{r} AS MATERIALIZED (
+  SELECT a.id, COALESCE(g.c, CAST(0 AS BIGINT)) AS deg
+  FROM {prev_a} a LEFT JOIN (SELECT src, COUNT(*) AS c FROM {prev_e} GROUP BY src) g
+    ON a.id = g.src
+),
+s{r} AS (SELECT COUNT(*) AS n, SUM(deg) AS m2 FROM d{r}),
+p{r} AS MATERIALIZED (
+  SELECT id FROM d{r} WHERE deg <= (SELECT 1.1 * m2 / n FROM s{r})
+),
+a{r + 1} AS MATERIALIZED (
+  SELECT id FROM {prev_a} WHERE id NOT IN (SELECT id FROM p{r})
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT src, dst FROM {prev_e}
+  WHERE src NOT IN (SELECT id FROM p{r}) AND dst NOT IN (SELECT id FROM p{r})
+)"""
+        peels.append(f"SELECT id, CAST({r} AS BIGINT) AS peel FROM p{r}")
+        prev_e, prev_a = f"e{r + 1}", f"a{r + 1}"
+    return sql + "\n" + "\nUNION ALL\n".join(peels)
 
 
 def _ppr_k_sql(k: int = 3, n_seeds: int = 4) -> str:
@@ -1805,6 +1867,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "bowtie_classes": _BOWTIE_SQL,
         "clustering_coeff": _CLUSTERING_SQL,
         "link_pred": _LINK_PRED_SQL,
+        "densest_core": _densest_sql(10),
         "event_sessions_graph": """
 WITH t AS (
   SELECT user_id,

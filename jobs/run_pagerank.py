@@ -33,7 +33,7 @@ def main(argv: list[str]) -> int:
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "ppr", "scc", "bowtie",
-            "clustering", "linkpred",
+            "clustering", "linkpred", "densest",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -215,6 +215,16 @@ def main(argv: list[str]) -> int:
         res = kernels.link_prediction(graph, max_center_deg=10_000)
         out = res.df.orderBy(F.desc("aa"), "u", "w")
         summary = {"kernel": "linkpred", "pairs": out.count()}
+    elif args.kernel == "densest":
+        res = kernels.densest_subgraph(graph)
+        out = res.members().orderBy("id")
+        summary = {
+            "kernel": "densest",
+            "best_round": res.best_round,
+            "best_density": round(res.best_density, 6),
+            "iterations": res.iterations,
+            "core_size": out.count(),
+        }
     elif args.kernel == "coloring":
         res = kernels.coloring(graph, max_iter=args.max_iter)
         out = res.df.orderBy("color", "id")

@@ -33,6 +33,8 @@ local_clustering per-vertex triangle counts + Watts-Strogatz local
                 clustering coefficient (degree-ordered orientation)
 link_prediction common-neighbors + Adamic-Adar scores for non-adjacent
                 pairs (wedge self-join, center-degree skew guard)
+densest_subgraph 2(1+eps)-approx densest subgraph by parallel peeling
+                (Bahmani et al. VLDB'12; peel-round tags, argmax round)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -54,6 +56,7 @@ from linkgraph.kernels.scc import scc
 from linkgraph.kernels.bowtie import bowtie
 from linkgraph.kernels.clustering import local_clustering
 from linkgraph.kernels.linkpred import link_prediction
+from linkgraph.kernels.densest import densest_subgraph
 
 __all__ = [
     "pagerank",
@@ -78,4 +81,5 @@ __all__ = [
     "bowtie",
     "local_clustering",
     "link_prediction",
+    "densest_subgraph",
 ]

@@ -557,3 +557,37 @@ def linkpred_replay(
         for p, s in out.items()
         if s[0] >= min_cn and p[1] not in nbr[p[0]]
     }
+
+
+def densest_replay(
+    src: np.ndarray, dst: np.ndarray, eps: float = 0.1
+) -> tuple[dict[int, int], int, float, list[float]]:
+    """Bahmani peeling replay: per-vertex peel round, argmax round
+    (earliest tie), its density, per-round densities — mirrors
+    kernels/densest.py."""
+    from collections import defaultdict
+
+    nbr: dict[int, set] = defaultdict(set)
+    for s, d in zip(src, dst):
+        s, d = int(s), int(d)
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    alive = set(nbr)
+    peel: dict[int, int] = {}
+    densities: list[float] = []
+    best, best_r, r = -1.0, 0, 0
+    while alive:
+        r += 1
+        degs = {v: len(nbr[v] & alive) for v in alive}
+        m2, n = sum(degs.values()), len(alive)
+        rho = m2 / (2.0 * n)
+        densities.append(rho)
+        if rho > best:
+            best, best_r = rho, r
+        thr = (1.0 + eps) * m2 / n
+        rm = {v for v in alive if degs[v] <= thr}
+        for v in rm:
+            peel[v] = r
+        alive -= rm
+    return peel, best_r, best, densities

@@ -789,3 +789,44 @@ def test_linkpred_closed_forms(spark):
         assert got[p][0] == 2
         assert math.isclose(got[p][1], 2.0 / math.log(2), rel_tol=1e-12)
     g.unpersist()
+
+
+def test_densest_matches_replay(rmat_graph):
+    """Peel rounds, best round, and densities equal the Bahmani replay
+    on the rMAT fixture."""
+    import math
+
+    from linkgraph.kernels import densest_subgraph
+    from tests.oracles import densest_replay
+
+    g, pdf, n = rmat_graph
+    res = densest_subgraph(g, epsilon=0.1)
+    peel, best_r, best, densities = densest_replay(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), eps=0.1
+    )
+    assert {r["id"]: r["peel"] for r in res.df.collect()} == peel
+    assert res.best_round == best_r
+    assert math.isclose(res.best_density, best, rel_tol=1e-12)
+    assert len(res.densities) == len(densities)
+    for a, b in zip(res.densities, densities):
+        assert math.isclose(a, b, rel_tol=1e-12)
+    members = {r["id"] for r in res.members().collect()}
+    assert members == {v for v, p in peel.items() if p >= best_r}
+
+
+def test_densest_clique_plus_tail(spark):
+    """K5 with a pendant chain: the chain peels first, the clique is
+    the winning subgraph with density (5 choose 2)/5 = 2.0."""
+    from itertools import combinations
+
+    from linkgraph.kernels import densest_subgraph
+
+    edges = [(a, b) for a, b in combinations(range(5), 2)]
+    edges += [(4, 5), (5, 6), (6, 7)]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    g = _graph(spark, pdf, 8)
+    res = densest_subgraph(g, epsilon=0.1)
+    members = {r["id"] for r in res.members().collect()}
+    assert members == {0, 1, 2, 3, 4}
+    assert res.best_density == 2.0
+    g.unpersist()
