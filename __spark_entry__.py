@@ -257,6 +257,19 @@ def q_densest_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", "peel")
 
 
+
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row web-graph characterization (kernels/graphstats.py) of
+    the directed part-succession graph: reciprocity, Newman degree
+    assortativity, degree moments — all doubles derive from exact
+    int64 aggregates via single fixed-order expressions, so no
+    rounding is needed on either side."""
+    from linkgraph.kernels import graph_stats
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    return graph_stats(g).df
+
+
 def q_msbfs_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (4 lanes in ONE frontier loop, composite
     (dst, source) combine key) + sampled harmonic centrality rollup
@@ -650,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "link_pred": q_link_pred,
         "densest_core": q_densest_core,
+        "graph_stats": q_graph_stats,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
         "graph_radii": q_graph_radii,
@@ -915,6 +929,50 @@ e{r + 1} AS MATERIALIZED (
         peels.append(f"SELECT id, CAST({r} AS BIGINT) AS peel FROM p{r}")
         prev_e, prev_a = f"e{r + 1}", f"a{r + 1}"
     return sql + "\n" + "\nUNION ALL\n".join(peels)
+
+
+
+# Whole-graph stats oracle — same exact-integer aggregates and the
+# identical final expressions as kernels/graphstats.py (Newman r over
+# symmetric rows); divisions are DOUBLE on both sides.
+_GRAPH_STATS_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) a
+  JOIN (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey
+),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY src),
+joined AS (
+  SELECT d1.deg AS j, d2.deg AS k
+  FROM sym s JOIN deg d1 ON s.src = d1.v JOIN deg d2 ON s.dst = d2.v
+),
+base AS (
+  SELECT COUNT(*) AS bigm,
+         CAST(SUM(j * k) AS BIGINT) AS sjk,
+         CAST(SUM(j) AS BIGINT) AS sj,
+         CAST(SUM(j * j) AS BIGINT) AS sjj,
+         MAX(j) AS max_deg
+  FROM joined
+),
+nm AS (SELECT COUNT(*) AS n FROM deg),
+mm AS (SELECT COUNT(*) AS m FROM e0),
+rr AS (
+  SELECT COUNT(*) AS recip_edges
+  FROM e0 a JOIN e0 b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT n, m, recip_edges,
+       CAST(recip_edges AS DOUBLE) / m AS reciprocity,
+       max_deg,
+       CAST(bigm AS DOUBLE) / n AS avg_deg,
+       CAST(bigm * sjk - sj * sj AS DOUBLE)
+         / (bigm * sjj - sj * sj) AS assortativity
+FROM base, nm, mm, rr
+"""
 
 
 def _ppr_k_sql(k: int = 3, n_seeds: int = 4) -> str:
@@ -1868,6 +1926,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "clustering_coeff": _CLUSTERING_SQL,
         "link_pred": _LINK_PRED_SQL,
         "densest_core": _densest_sql(10),
+        "graph_stats": _GRAPH_STATS_SQL,
         "event_sessions_graph": """
 WITH t AS (
   SELECT user_id,

@@ -33,7 +33,7 @@ def main(argv: list[str]) -> int:
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "ppr", "scc", "bowtie",
-            "clustering", "linkpred", "densest",
+            "clustering", "linkpred", "densest", "stats",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -225,6 +225,10 @@ def main(argv: list[str]) -> int:
             "iterations": res.iterations,
             "core_size": out.count(),
         }
+    elif args.kernel == "stats":
+        res = kernels.graph_stats(graph)
+        out = res.df
+        summary = {"kernel": "stats"}
     elif args.kernel == "coloring":
         res = kernels.coloring(graph, max_iter=args.max_iter)
         out = res.df.orderBy("color", "id")

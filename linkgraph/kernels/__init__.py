@@ -35,6 +35,8 @@ link_prediction common-neighbors + Adamic-Adar scores for non-adjacent
                 pairs (wedge self-join, center-degree skew guard)
 densest_subgraph 2(1+eps)-approx densest subgraph by parallel peeling
                 (Bahmani et al. VLDB'12; peel-round tags, argmax round)
+graph_stats     one-row web-graph characterization: reciprocity,
+                Newman degree assortativity, degree moments
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -57,6 +59,7 @@ from linkgraph.kernels.bowtie import bowtie
 from linkgraph.kernels.clustering import local_clustering
 from linkgraph.kernels.linkpred import link_prediction
 from linkgraph.kernels.densest import densest_subgraph
+from linkgraph.kernels.graphstats import graph_stats
 
 __all__ = [
     "pagerank",
@@ -82,4 +85,5 @@ __all__ = [
     "local_clustering",
     "link_prediction",
     "densest_subgraph",
+    "graph_stats",
 ]

@@ -591,3 +591,31 @@ def densest_replay(
             peel[v] = r
         alive -= rm
     return peel, best_r, best, densities
+
+
+def graphstats_replay(src: np.ndarray, dst: np.ndarray) -> dict:
+    """Brute-force n/m/reciprocity/max/avg degree/assortativity —
+    mirrors kernels/graphstats.py (Newman r over symmetric edge rows)."""
+    from collections import defaultdict
+
+    e = {(int(s), int(d)) for s, d in zip(src, dst) if s != d}
+    nbr: dict[int, set] = defaultdict(set)
+    for s, d in e:
+        nbr[s].add(d)
+        nbr[d].add(s)
+    recip = sum(1 for s, d in e if (d, s) in e)
+    deg = {v: len(ns) for v, ns in nbr.items()}
+    rows = [(deg[s], deg[d]) for s in nbr for d in nbr[s]]
+    bigm = len(rows)
+    sjk = sum(j * k for j, k in rows)
+    sj = sum(j for j, _ in rows)
+    sjj = sum(j * j for j, _ in rows)
+    return {
+        "n": len(nbr),
+        "m": len(e),
+        "recip_edges": recip,
+        "reciprocity": recip / len(e),
+        "max_deg": max(deg.values()),
+        "avg_deg": bigm / len(nbr),
+        "assortativity": (bigm * sjk - sj * sj) / (bigm * sjj - sj * sj),
+    }

@@ -830,3 +830,41 @@ def test_densest_clique_plus_tail(spark):
     assert members == {0, 1, 2, 3, 4}
     assert res.best_density == 2.0
     g.unpersist()
+
+
+def test_graphstats_matches_replay(rmat_graph):
+    """One-row stats equal the brute-force replay on the rMAT fixture."""
+    import math
+
+    from linkgraph.kernels import graph_stats
+    from tests.oracles import graphstats_replay
+
+    g, pdf, n = rmat_graph
+    row = graph_stats(g).df.first().asDict()
+    want = graphstats_replay(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+    for k in ("n", "m", "recip_edges", "max_deg"):
+        assert row[k] == want[k], k
+    for k in ("reciprocity", "avg_deg", "assortativity"):
+        assert math.isclose(row[k], want[k], rel_tol=1e-12), k
+
+
+def test_graphstats_closed_forms(spark):
+    """Directed 2-cycle: reciprocity 1; star: assortativity -1 (perfect
+    disassortativity), reciprocity 0."""
+    from linkgraph.kernels import graph_stats
+
+    two = pd.DataFrame({"src": [0, 1], "dst": [1, 0]})
+    g = _graph(spark, two, 2)
+    row = graph_stats(g).df.first().asDict()
+    assert row["m"] == 2 and row["recip_edges"] == 2 and row["reciprocity"] == 1.0
+    # 1-regular graph: zero degree variance -> assortativity undefined
+    assert row["assortativity"] is None
+    g.unpersist()
+
+    star = pd.DataFrame({"src": [0, 0, 0, 0], "dst": [1, 2, 3, 4]})
+    g = _graph(spark, star, 5)
+    row = graph_stats(g).df.first().asDict()
+    assert row["reciprocity"] == 0.0
+    assert row["assortativity"] == -1.0
+    assert row["max_deg"] == 4 and row["n"] == 5 and row["m"] == 4
+    g.unpersist()
