@@ -270,6 +270,19 @@ def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_stats(g).df
 
 
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-truss of the co-part graph (kernels/truss.py): canonical
+    (u < w) surviving edges with their in-truss triangle support.
+    Peeling fixpoint measured at 8 rounds at sf0.01; the oracle unrolls
+    10 (post-fixpoint rounds are no-ops)."""
+    from linkgraph.kernels import ktruss
+
+    g = _graph(_copart_edges(spark, sf_dir))
+    res = ktruss(g, k=10)
+    return res.df.select("u", "w", "support")
+
+
 def q_msbfs_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (4 lanes in ONE frontier loop, composite
     (dst, source) combine key) + sampled harmonic centrality rollup
@@ -664,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred": q_link_pred,
         "densest_core": q_densest_core,
         "graph_stats": q_graph_stats,
+        "ktruss_10": q_ktruss,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
         "graph_radii": q_graph_radii,
@@ -972,6 +986,39 @@ SELECT n, m, recip_edges,
        CAST(bigm * sjk - sj * sj AS DOUBLE)
          / (bigm * sjj - sj * sj) AS assortativity
 FROM base, nm, mm, rr
+"""
+
+
+
+def _ktruss_sql(k: int = 10, rounds: int = 10) -> str:
+    """Unrolled k-truss peeling on the canonical co-part edge list:
+    per round, triangles via the wedge-center 3-way self-join (each
+    triangle credits its closing edge once per opposite center — the
+    support table), then edges below k-2 drop. `rounds` must be >= the
+    measured fixpoint (8 at sf0.01 for k=10); extra rounds are no-ops.
+    The final row set re-reads the LAST round's support, which at the
+    fixpoint is the in-truss support (kernels/truss.py returns exactly
+    that). MATERIALIZED per the betweenness oracle lesson."""
+    sql = f"""WITH ec0 AS MATERIALIZED (SELECT src AS u, dst AS w FROM ({_COPART_E}))"""
+    prev = "ec0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+sy{r} AS MATERIALIZED (SELECT u AS src, w AS dst FROM {prev} UNION ALL SELECT w, u FROM {prev}),
+tr{r} AS (
+  SELECT a.dst AS v, b.dst AS w
+  FROM sy{r} a JOIN sy{r} b ON a.src = b.src AND a.dst < b.dst
+  JOIN sy{r} c ON c.src = a.dst AND c.dst = b.dst
+),
+su{r} AS MATERIALIZED (SELECT v AS u, w, COUNT(*) AS support FROM tr{r} GROUP BY v, w),
+ec{r} AS MATERIALIZED (
+  SELECT e.u, e.w FROM {prev} e LEFT JOIN su{r} s ON e.u = s.u AND e.w = s.w
+  WHERE COALESCE(s.support, 0) >= {k - 2}
+)"""
+        prev = f"ec{r}"
+    return sql + f"""
+SELECT e.u, e.w, COALESCE(s.support, CAST(0 AS BIGINT)) AS support
+FROM ec{rounds - 1} e LEFT JOIN su{rounds} s ON e.u = s.u AND e.w = s.w
+WHERE COALESCE(s.support, 0) >= {k - 2}
 """
 
 
@@ -1927,6 +1974,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "link_pred": _LINK_PRED_SQL,
         "densest_core": _densest_sql(10),
         "graph_stats": _GRAPH_STATS_SQL,
+        "ktruss_10": _ktruss_sql(10, 10),
         "event_sessions_graph": """
 WITH t AS (
   SELECT user_id,

@@ -33,7 +33,7 @@ def main(argv: list[str]) -> int:
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "ppr", "scc", "bowtie",
-            "clustering", "linkpred", "densest", "stats",
+            "clustering", "linkpred", "densest", "stats", "truss",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -45,7 +45,7 @@ def main(argv: list[str]) -> int:
         help="comma-separated source ids for msbfs/harmonic "
         "(default: the 4 smallest vertex ids)",
     )
-    ap.add_argument("--k", type=int, default=3, help="k for kcore")
+    ap.add_argument("--k", type=int, default=3, help="k for kcore/truss")
     ap.add_argument("--max-iter", type=int, default=200)
     ap.add_argument("--tol", type=float, default=1e-6)
     args = ap.parse_args(argv)
@@ -229,6 +229,15 @@ def main(argv: list[str]) -> int:
         res = kernels.graph_stats(graph)
         out = res.df
         summary = {"kernel": "stats"}
+    elif args.kernel == "truss":
+        res = kernels.ktruss(graph, k=args.k)
+        out = res.df.orderBy(F.desc("support"), "u", "w")
+        summary = {
+            "kernel": "truss",
+            "k": args.k,
+            "edges": out.count(),
+            "iterations": res.iterations,
+        }
     elif args.kernel == "coloring":
         res = kernels.coloring(graph, max_iter=args.max_iter)
         out = res.df.orderBy("color", "id")

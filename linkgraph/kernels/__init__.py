@@ -37,6 +37,8 @@ densest_subgraph 2(1+eps)-approx densest subgraph by parallel peeling
                 (Bahmani et al. VLDB'12; peel-round tags, argmax round)
 graph_stats     one-row web-graph characterization: reciprocity,
                 Newman degree assortativity, degree moments
+ktruss          k-truss decomposition (edge-support peeling over the
+                degree-ordered triangle enumeration, Cohen 2008)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -60,6 +62,7 @@ from linkgraph.kernels.clustering import local_clustering
 from linkgraph.kernels.linkpred import link_prediction
 from linkgraph.kernels.densest import densest_subgraph
 from linkgraph.kernels.graphstats import graph_stats
+from linkgraph.kernels.truss import ktruss
 
 __all__ = [
     "pagerank",
@@ -86,4 +89,5 @@ __all__ = [
     "link_prediction",
     "densest_subgraph",
     "graph_stats",
+    "ktruss",
 ]

@@ -619,3 +619,26 @@ def graphstats_replay(src: np.ndarray, dst: np.ndarray) -> dict:
         "avg_deg": bigm / len(nbr),
         "assortativity": (bigm * sjk - sj * sj) / (bigm * sjj - sj * sj),
     }
+
+
+def ktruss_replay(
+    src: np.ndarray, dst: np.ndarray, k: int
+) -> dict[tuple[int, int], int]:
+    """Edge-support peeling replay: canonical (u<w) k-truss edges with
+    their in-truss support — mirrors kernels/truss.py."""
+    from collections import defaultdict
+
+    E = {tuple(sorted((int(s), int(d)))) for s, d in zip(src, dst) if s != d}
+    nbr: dict[int, set] = defaultdict(set)
+    for u, v in E:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    while True:
+        sup = {(u, v): len(nbr[u] & nbr[v]) for u, v in E}
+        rm = [e for e in E if sup[e] < k - 2]
+        if not rm:
+            return sup
+        for u, v in rm:
+            E.discard((u, v))
+            nbr[u].discard(v)
+            nbr[v].discard(u)

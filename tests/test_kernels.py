@@ -868,3 +868,41 @@ def test_graphstats_closed_forms(spark):
     assert row["assortativity"] == -1.0
     assert row["max_deg"] == 4 and row["n"] == 5 and row["m"] == 4
     g.unpersist()
+
+
+def test_ktruss_matches_replay(rmat_graph):
+    """k-truss edges + in-truss supports equal the peeling replay on
+    the rMAT fixture for several k."""
+    from linkgraph.kernels import ktruss
+    from tests.oracles import ktruss_replay
+
+    g, pdf, n = rmat_graph
+    src, dst = pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+    for k in (3, 4, 5):
+        res = ktruss(g, k=k)
+        got = {(r["u"], r["w"]): r["support"] for r in res.df.collect()}
+        assert got == ktruss_replay(src, dst, k=k), f"k={k}"
+
+
+def test_ktruss_closed_forms(spark):
+    """K4 with a pendant triangle: 4-truss = exactly the K4 (every K4
+    edge has support 2); 3-truss keeps both triangles but not the
+    bridge; 5-truss is empty."""
+    from linkgraph.kernels import ktruss
+
+    # K4 on 0..3, triangle on 4..6, bridge 3-4
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (4, 5), (4, 6), (5, 6), (3, 4)]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    g = _graph(spark, pdf, 7)
+
+    res4 = ktruss(g, k=4)
+    got4 = {(r["u"], r["w"]): r["support"] for r in res4.df.collect()}
+    assert got4 == {(0, 1): 2, (0, 2): 2, (0, 3): 2,
+                    (1, 2): 2, (1, 3): 2, (2, 3): 2}
+
+    res3 = ktruss(g, k=3)
+    assert {(r["u"], r["w"]) for r in res3.df.collect()} == set(edges) - {(3, 4)}
+
+    assert ktruss(g, k=5).df.count() == 0
+    g.unpersist()
