@@ -283,6 +283,22 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("u", "w", "support")
 
 
+
+def q_ego_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 ego network (kernels/egonet.py, direction=both) of the
+    part-succession graph's 4 smallest vertices: ball membership with
+    min hop distances (multi-seed bounded frontier BFS)."""
+    from linkgraph.kernels import ego_net
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    verts = g.edges.select(F.least("src", "dst").alias("id")).union(
+        g.edges.select(F.greatest("src", "dst").alias("id"))
+    )
+    seeds = [int(r["id"]) for r in verts.distinct().orderBy("id").limit(4).collect()]
+    res = ego_net(g, seeds, radius=2, direction="both")
+    return res.vertices.select("id", "dist")
+
+
 def q_msbfs_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (4 lanes in ONE frontier loop, composite
     (dst, source) combine key) + sampled harmonic centrality rollup
@@ -678,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_core": q_densest_core,
         "graph_stats": q_graph_stats,
         "ktruss_10": q_ktruss,
+        "ego_net_2": q_ego_net,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
         "graph_radii": q_graph_radii,
@@ -1019,6 +1036,39 @@ ec{r} AS MATERIALIZED (
 SELECT e.u, e.w, COALESCE(s.support, CAST(0 AS BIGINT)) AS support
 FROM ec{rounds - 1} e LEFT JOIN su{rounds} s ON e.u = s.u AND e.w = s.w
 WHERE COALESCE(s.support, 0) >= {k - 2}
+"""
+
+
+
+# Ego-net oracle: 2 unrolled symmetric hops from MIN(vertex id) with
+# NOT IN visitedness — mirrors kernels/egonet.py direction=both.
+_EGO_NET_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) a
+  JOIN (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey
+),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+h0 AS (
+  SELECT id FROM (SELECT src AS id FROM e0 UNION SELECT dst FROM e0)
+  ORDER BY id LIMIT 4
+),
+h1 AS (
+  SELECT DISTINCT s.dst AS id FROM sym s JOIN h0 ON s.src = h0.id
+  WHERE s.dst NOT IN (SELECT id FROM h0)
+),
+h2 AS (
+  SELECT DISTINCT s.dst AS id FROM sym s JOIN h1 ON s.src = h1.id
+  WHERE s.dst NOT IN (SELECT id FROM h0)
+    AND s.dst NOT IN (SELECT id FROM h1)
+)
+SELECT id, CAST(0 AS BIGINT) AS dist FROM h0
+UNION ALL SELECT id, CAST(1 AS BIGINT) FROM h1
+UNION ALL SELECT id, CAST(2 AS BIGINT) FROM h2
 """
 
 
@@ -1975,6 +2025,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "densest_core": _densest_sql(10),
         "graph_stats": _GRAPH_STATS_SQL,
         "ktruss_10": _ktruss_sql(10, 10),
+        "ego_net_2": _EGO_NET_SQL,
         "event_sessions_graph": """
 WITH t AS (
   SELECT user_id,

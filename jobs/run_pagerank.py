@@ -33,13 +33,14 @@ def main(argv: list[str]) -> int:
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "ppr", "scc", "bowtie",
-            "clustering", "linkpred", "densest", "stats", "truss",
+            "clustering", "linkpred", "densest", "stats", "truss", "ego",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
     ap.add_argument("--output", help="write result here (parquet dir or table:<id>)")
     ap.add_argument("--top", type=int, default=20, help="rows to print")
-    ap.add_argument("--root", type=int, default=0, help="bfs root")
+    ap.add_argument("--root", type=int, default=0, help="bfs root / ego seed")
+    ap.add_argument("--radius", type=int, default=2, help="ego-net radius")
     ap.add_argument(
         "--sources",
         help="comma-separated source ids for msbfs/harmonic "
@@ -237,6 +238,16 @@ def main(argv: list[str]) -> int:
             "k": args.k,
             "edges": out.count(),
             "iterations": res.iterations,
+        }
+    elif args.kernel == "ego":
+        res = kernels.ego_net(graph, [args.root], radius=args.radius)
+        out = res.vertices.orderBy("dist", "id")
+        summary = {
+            "kernel": "ego",
+            "seed": args.root,
+            "radius": args.radius,
+            "ball": out.count(),
+            "induced_edges": res.edges.count(),
         }
     elif args.kernel == "coloring":
         res = kernels.coloring(graph, max_iter=args.max_iter)

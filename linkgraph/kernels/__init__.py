@@ -39,6 +39,8 @@ graph_stats     one-row web-graph characterization: reciprocity,
                 Newman degree assortativity, degree moments
 ktruss          k-truss decomposition (edge-support peeling over the
                 degree-ordered triangle enumeration, Cohen 2008)
+ego_net         radius-k ego network + induced subgraph extraction
+                (bounded frontier BFS, out/in/both walks)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -63,6 +65,7 @@ from linkgraph.kernels.linkpred import link_prediction
 from linkgraph.kernels.densest import densest_subgraph
 from linkgraph.kernels.graphstats import graph_stats
 from linkgraph.kernels.truss import ktruss
+from linkgraph.kernels.egonet import ego_net
 
 __all__ = [
     "pagerank",
@@ -90,4 +93,5 @@ __all__ = [
     "densest_subgraph",
     "graph_stats",
     "ktruss",
+    "ego_net",
 ]

@@ -642,3 +642,36 @@ def ktruss_replay(
             E.discard((u, v))
             nbr[u].discard(v)
             nbr[v].discard(u)
+
+
+def egonet_replay(
+    src: np.ndarray, dst: np.ndarray, seeds, radius: int, direction: str
+) -> tuple[dict[int, int], set]:
+    """BFS-ball + induced-edge replay — mirrors kernels/egonet.py."""
+    from collections import defaultdict, deque
+
+    fadj, badj = defaultdict(set), defaultdict(set)
+    edges = set()
+    for s, d in zip(src, dst):
+        s, d = int(s), int(d)
+        edges.add((s, d))
+        fadj[s].add(d)
+        badj[d].add(s)
+    dist = {int(v): 0 for v in seeds}
+    q = deque(dist)
+    while q:
+        v = q.popleft()
+        if dist[v] >= radius:
+            continue
+        nxt = set()
+        if direction in ("out", "both"):
+            nxt |= fadj[v]
+        if direction in ("in", "both"):
+            nxt |= badj[v]
+        for w in nxt:
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+    ball = set(dist)
+    induced = {(s, d) for s, d in edges if s in ball and d in ball}
+    return dist, induced

@@ -906,3 +906,40 @@ def test_ktruss_closed_forms(spark):
 
     assert ktruss(g, k=5).df.count() == 0
     g.unpersist()
+
+
+def test_egonet_matches_replay(rmat_graph):
+    """Ball distances + induced edges equal the BFS replay on the rMAT
+    fixture for all three directions and radii 1/2."""
+    from linkgraph.kernels import ego_net
+    from tests.oracles import egonet_replay
+
+    g, pdf, n = rmat_graph
+    src, dst = pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+    seeds = [0, 5]
+    for direction in ("out", "in", "both"):
+        for radius in (1, 2):
+            res = ego_net(g, seeds, radius=radius, direction=direction)
+            got_d = {r["id"]: r["dist"] for r in res.vertices.collect()}
+            got_e = {(r["src"], r["dst"]) for r in res.edges.collect()}
+            want_d, want_e = egonet_replay(src, dst, seeds, radius, direction)
+            assert got_d == want_d, (direction, radius)
+            assert got_e == want_e, (direction, radius)
+
+
+def test_egonet_radius_zero_and_direction(spark):
+    """radius 0 = just the seeds (plus any seed-to-seed edges); a
+    directed path distinguishes out from in."""
+    from linkgraph.kernels import ego_net
+
+    path = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    g = _graph(spark, path, 4)
+    r0 = ego_net(g, [1, 2], radius=0)
+    assert {r["id"]: r["dist"] for r in r0.vertices.collect()} == {1: 0, 2: 0}
+    assert {(r["src"], r["dst"]) for r in r0.edges.collect()} == {(1, 2)}
+
+    out1 = ego_net(g, [1], radius=1, direction="out")
+    assert {r["id"] for r in out1.vertices.collect()} == {1, 2}
+    in1 = ego_net(g, [1], radius=1, direction="in")
+    assert {r["id"] for r in in1.vertices.collect()} == {0, 1}
+    g.unpersist()
