@@ -150,6 +150,21 @@ def q_hits_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salsa_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 3 two-phase SALSA rounds (Lempel-Moran TOIT'01:
+    degree-normalized gathers, L1-normalized — the random-walk cousin
+    of HITS) on the customer→supplier graph — beyond-reference
+    link-analysis coverage (SURVEY §2.9); scores rounded to 9
+    decimals."""
+    from linkgraph.kernels import salsa
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    res = salsa(g, tol=0.0, max_iter=3)
+    return res.df.select(
+        "id", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth")
+    )
+
+
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS levels + min-parent tree from the smallest vertex of the
     symmetrized customer→supplier graph (SURVEY §2.4/A2, reference
@@ -686,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "pagerank_k": q_pagerank_k,
         "hits_k": q_hits_k,
+        "salsa_k": q_salsa_k,
         "ppr_k": q_ppr_k,
         "scc": q_scc,
         "bowtie_classes": q_bowtie_classes,
@@ -1139,6 +1155,53 @@ hr{i} AS MATERIALIZED (
   FROM e JOIN sa{i} s ON e.dst = s.id GROUP BY e.src
 ),
 hn{i} AS (SELECT COALESCE(SQRT(SUM(raw * raw)), 0.0) AS nv FROM hr{i}),
+s{i} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN (SELECT nv FROM hn{i}) > 0
+              THEN COALESCE(hr.raw, 0.0) / (SELECT nv FROM hn{i})
+              ELSE 0.0 END AS hub,
+         s.auth
+  FROM sa{i} s LEFT JOIN hr{i} hr ON s.id = hr.id
+)"""
+        prev = f"s{i}"
+    sql += f"\nSELECT id, ROUND(hub, 9) AS hub, ROUND(auth, 9) AS auth FROM {prev}"
+    return sql
+
+
+def _salsa_k_sql(k: int = 3) -> str:
+    """Unrolled k-round two-phase SALSA — per round a degree-weighted
+    auth gather + L1 norm, then a degree-weighted hub gather over the
+    NORMALIZED auth + L1 norm. MATERIALIZED per memory-playbook
+    (DuckDB 1.0 inlines CTEs by reference)."""
+    sql = f"""
+WITH e AS MATERIALIZED ({_CUST_SUPP_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+od AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+idg AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS d FROM e GROUP BY dst),
+s0 AS (SELECT id, 1.0 AS hub, 1.0 AS auth FROM v)
+"""
+    prev = "s0"
+    for i in range(1, k + 1):
+        sql += f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(s.hub / od.d) AS raw
+  FROM e JOIN {prev} s ON e.src = s.id JOIN od ON e.src = od.id
+  GROUP BY e.dst
+),
+an{i} AS (SELECT COALESCE(SUM(raw), 0.0) AS nv FROM ar{i}),
+sa{i} AS MATERIALIZED (
+  SELECT s.id, s.hub,
+         CASE WHEN (SELECT nv FROM an{i}) > 0
+              THEN COALESCE(ar.raw, 0.0) / (SELECT nv FROM an{i})
+              ELSE 0.0 END AS auth
+  FROM {prev} s LEFT JOIN ar{i} ar ON s.id = ar.id
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(s.auth / idg.d) AS raw
+  FROM e JOIN sa{i} s ON e.dst = s.id JOIN idg ON e.dst = idg.id
+  GROUP BY e.src
+),
+hn{i} AS (SELECT COALESCE(SUM(raw), 0.0) AS nv FROM hr{i}),
 s{i} AS MATERIALIZED (
   SELECT s.id,
          CASE WHEN (SELECT nv FROM hn{i}) > 0
@@ -2017,6 +2080,7 @@ SELECT comp, COUNT(*) AS csize FROM (
 """,
         "pagerank_k": _pagerank_k_sql(3),
         "hits_k": _hits_k_sql(3),
+        "salsa_k": _salsa_k_sql(3),
         "ppr_k": _ppr_k_sql(3),
         "scc": _SCC_SQL,
         "bowtie_classes": _BOWTIE_SQL,

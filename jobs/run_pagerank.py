@@ -32,7 +32,7 @@ def main(argv: list[str]) -> int:
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
-            "mis", "coloring", "anf", "hits", "ppr", "scc", "bowtie",
+            "mis", "coloring", "anf", "hits", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
         ],
     )
@@ -176,6 +176,14 @@ def main(argv: list[str]) -> int:
         out = res.df.orderBy(F.desc("auth"), "id")
         summary = {
             "kernel": "hits",
+            "rounds": res.iterations,
+            "converged": res.converged,
+        }
+    elif args.kernel == "salsa":
+        res = kernels.salsa(graph, max_iter=args.max_iter, ckpt=ckpt)
+        out = res.df.orderBy(F.desc("auth"), "id")
+        summary = {
+            "kernel": "salsa",
             "rounds": res.iterations,
             "converged": res.converged,
         }

@@ -23,6 +23,8 @@ anf             approximate neighborhood function / effective diameter
                 (Palmer et al. KDD'02 FM sketches, bit_or combine)
 hits            Kleinberg hubs & authorities (two-phase L2-normalized
                 power iteration, forward + transpose gathers)
+salsa           Lempel-Moran SALSA (degree-normalized two-step random
+                walks, L1-normalized — the who-to-follow kernel)
 ppr             personalized PageRank / random walk with restart
                 (seed-restricted teleport, dangling mass to seeds)
 scc             strongly connected components (trim + forward-max
@@ -57,6 +59,7 @@ from linkgraph.kernels.mis import mis
 from linkgraph.kernels.coloring import coloring
 from linkgraph.kernels.anf import anf, effective_diameter
 from linkgraph.kernels.hits import hits
+from linkgraph.kernels.salsa import salsa
 from linkgraph.kernels.ppr import ppr
 from linkgraph.kernels.scc import scc
 from linkgraph.kernels.bowtie import bowtie
@@ -85,6 +88,7 @@ __all__ = [
     "anf",
     "effective_diameter",
     "hits",
+    "salsa",
     "ppr",
     "scc",
     "bowtie",

@@ -376,6 +376,40 @@ def hits_numpy(
     return hub, auth, iterations
 
 
+def salsa_numpy(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    tol: float = 1e-6,
+    max_iter: int = 50,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Two-phase L1-normalized SALSA — must mirror kernels/salsa.py
+    update-for-update (degree-weighted gathers; auth first, hub reads
+    the normalized auth)."""
+    out_deg = np.zeros(n, dtype=np.int64)
+    in_deg = np.zeros(n, dtype=np.int64)
+    np.add.at(out_deg, src, 1)
+    np.add.at(in_deg, dst, 1)
+    hub = np.ones(n)
+    auth = np.ones(n)
+    iterations = 0
+    for _ in range(max_iter):
+        a_raw = np.zeros(n)
+        np.add.at(a_raw, dst, hub[src] / out_deg[src])
+        an = a_raw.sum()
+        new_auth = a_raw / an if an > 0 else np.zeros(n)
+        h_raw = np.zeros(n)
+        np.add.at(h_raw, src, new_auth[dst] / in_deg[dst])
+        hn = h_raw.sum()
+        new_hub = h_raw / hn if hn > 0 else np.zeros(n)
+        diff = np.abs(new_hub - hub).max() + np.abs(new_auth - auth).max()
+        hub, auth = new_hub, new_auth
+        iterations += 1
+        if diff < tol:
+            break
+    return hub, auth, iterations
+
+
 def ppr_numpy(
     n: int,
     src: np.ndarray,

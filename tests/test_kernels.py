@@ -579,6 +579,55 @@ def test_hits_star_graph(spark):
     g.unpersist()
 
 
+def test_salsa_matches_numpy(rmat_graph):
+    """hub/auth trajectories equal the NumPy replay at float tolerance,
+    convergence round included; scores are L1 distributions."""
+    from linkgraph.kernels import salsa
+    from tests.oracles import salsa_numpy
+
+    g, pdf, n = rmat_graph
+    res = salsa(g, tol=1e-6, max_iter=30)
+    want_hub, want_auth, rounds = salsa_numpy(
+        n, pdf["src"].to_numpy(), pdf["dst"].to_numpy(), tol=1e-6, max_iter=30
+    )
+    got = {r["id"]: (r["hub"], r["auth"]) for r in res.df.collect()}
+    assert res.iterations == rounds
+    for v, (h, a) in got.items():
+        assert h == pytest.approx(want_hub[v], abs=1e-9)
+        assert a == pytest.approx(want_auth[v], abs=1e-9)
+    # L1-normalized probability vectors
+    assert sum(h for h, _ in got.values()) == pytest.approx(1.0, rel=1e-9)
+    assert sum(a for _, a in got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_salsa_closed_forms(spark):
+    """Star 0->{1,2,3}: hub(0)=1, leaves auth 1/3 each. Connected
+    co-citation chain {0,3}->{1,2}: the authority fixpoint is the
+    classic indeg/m distribution (Lempel-Moran Prop. 2)."""
+    from linkgraph.kernels import salsa
+
+    edges = pd.DataFrame({"src": [0, 0, 0], "dst": [1, 2, 3]})
+    g = _graph(spark, edges, 4)
+    res = salsa(g, max_iter=10)
+    got = {r["id"]: (r["hub"], r["auth"]) for r in res.df.collect()}
+    assert got[0] == (pytest.approx(1.0), pytest.approx(0.0))
+    for v in (1, 2, 3):
+        assert got[v][0] == pytest.approx(0.0)
+        assert got[v][1] == pytest.approx(1.0 / 3.0)
+    g.unpersist()
+
+    edges = pd.DataFrame({"src": [0, 0, 3, 3], "dst": [1, 2, 1, 2]})
+    g = _graph(spark, edges, 4)
+    res = salsa(g, max_iter=20)
+    got = {r["id"]: (r["hub"], r["auth"]) for r in res.df.collect()}
+    # auth(v) = indeg(v)/m = 2/4; hub(u) = outdeg(u)/m = 2/4
+    for v in (1, 2):
+        assert got[v][1] == pytest.approx(0.5, abs=1e-9)
+    for u in (0, 3):
+        assert got[u][0] == pytest.approx(0.5, abs=1e-9)
+    g.unpersist()
+
+
 def test_ppr_matches_numpy(rmat_graph):
     """Seeded-teleport trajectories equal the NumPy replay; mass stays
     concentrated near the seeds (seed ranks dominate uniform)."""
