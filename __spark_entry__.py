@@ -482,6 +482,18 @@ def q_labelprop_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", "label")
 
 
+def q_modularity_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed Leicht-Newman modularity of the 3-round labelprop
+    partition of the customer→supplier graph (kernels/modularity.py,
+    SURVEY §2.9) — exact-int64 score path, bit-identical to the
+    oracle with no rounding."""
+    from linkgraph.kernels import label_propagation, modularity
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    labels = label_propagation(g, max_iter=3).df
+    return modularity(g, labels.select("id", "label"))
+
+
 def q_pagerank_delta_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank-delta, faithful to the reference INCLUDING quirk 1
     (src/algos.rs:203: the additive first-round activity test leaves
@@ -702,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k": q_pagerank_k,
         "hits_k": q_hits_k,
         "salsa_k": q_salsa_k,
+        "modularity_lp": q_modularity_lp,
         "ppr_k": q_ppr_k,
         "scc": q_scc,
         "bowtie_classes": q_bowtie_classes,
@@ -1596,10 +1609,11 @@ GROUP BY source
 """
 
 
-def _labelprop_k_sql(k: int = 3) -> str:
-    """Unrolled k synchronous rounds: each vertex adopts the most
-    frequent label among its in-neighbors (ties -> smallest label);
-    no-in-neighbor vertices keep theirs (SURVEY §2.6)."""
+def _labelprop_chain(k: int) -> tuple[str, str]:
+    """The unrolled k-round labelprop CTE chain (each vertex adopts
+    the most frequent in-neighbor label, ties -> smallest; SURVEY
+    §2.6). Returns (with_body, final_cte_name) — shared by the
+    labelprop_k and modularity_lp oracles."""
     sql = f"""
 WITH e AS ({_CUST_SUPP_E}),
 v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
@@ -1625,8 +1639,46 @@ l{i} AS (
   FROM {prev} l LEFT JOIN w{i} w ON l.id = w.dst
 )"""
         prev = f"l{i}"
-    sql += f"\nSELECT id, label FROM {prev}"
-    return sql
+    return sql, prev
+
+
+def _labelprop_k_sql(k: int = 3) -> str:
+    body, last = _labelprop_chain(k)
+    return f"{body}\nSELECT id, label FROM {last}"
+
+
+def _modularity_sql(k: int = 3) -> str:
+    """Directed Leicht-Newman modularity of the k-round labelprop
+    partition (kernels/modularity.py): q derived from exact integer
+    aggregates through the SAME fixed-order expression as Spark
+    ((num AS DOUBLE / m) / m) — bit-identical, no rounding."""
+    body, last = _labelprop_chain(k)
+    return f"""{body},
+el AS (
+  SELECT ls.label AS slabel, ld.label AS dlabel
+  FROM e JOIN {last} ls ON e.src = ls.id JOIN {last} ld ON e.dst = ld.id
+),
+ot AS (
+  SELECT slabel AS label, COUNT(*) AS out_tot,
+         SUM(CASE WHEN slabel = dlabel THEN 1 ELSE 0 END) AS intra
+  FROM el GROUP BY slabel
+),
+it AS (SELECT dlabel AS label, COUNT(*) AS in_tot FROM el GROUP BY dlabel),
+st AS (
+  SELECT COALESCE(ot.intra, 0) AS intra,
+         COALESCE(ot.out_tot, 0) AS out_tot,
+         COALESCE(it.in_tot, 0) AS in_tot
+  FROM ot FULL OUTER JOIN it ON ot.label = it.label
+)
+SELECT
+  CAST(CAST(SUM(out_tot) * SUM(intra) - SUM(out_tot * in_tot) AS DOUBLE)
+       / CAST(SUM(out_tot) AS BIGINT) / CAST(SUM(out_tot) AS BIGINT)
+       AS DOUBLE) AS q,
+  COUNT(*) AS communities,
+  CAST(SUM(intra) AS BIGINT) AS intra_edges,
+  CAST(SUM(out_tot) AS BIGINT) AS m
+FROM st
+"""
 
 
 # PageRank-delta with the reference's quirk 1 (src/algos.rs:203): the
@@ -2081,6 +2133,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "pagerank_k": _pagerank_k_sql(3),
         "hits_k": _hits_k_sql(3),
         "salsa_k": _salsa_k_sql(3),
+        "modularity_lp": _modularity_sql(3),
         "ppr_k": _ppr_k_sql(3),
         "scc": _SCC_SQL,
         "bowtie_classes": _BOWTIE_SQL,

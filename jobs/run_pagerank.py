@@ -34,6 +34,7 @@ def main(argv: list[str]) -> int:
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
+            "modularity",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -178,6 +179,14 @@ def main(argv: list[str]) -> int:
             "kernel": "hits",
             "rounds": res.iterations,
             "converged": res.converged,
+        }
+    elif args.kernel == "modularity":
+        lp = kernels.label_propagation(graph, max_iter=args.max_iter, ckpt=ckpt)
+        out = kernels.modularity(graph, lp.df.select("id", "label"))
+        summary = {
+            "kernel": "modularity",
+            "lp_rounds": lp.iterations,
+            "q": out.first()["q"],
         }
     elif args.kernel == "salsa":
         res = kernels.salsa(graph, max_iter=args.max_iter, ckpt=ckpt)

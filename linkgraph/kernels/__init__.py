@@ -25,6 +25,8 @@ hits            Kleinberg hubs & authorities (two-phase L2-normalized
                 power iteration, forward + transpose gathers)
 salsa           Lempel-Moran SALSA (degree-normalized two-step random
                 walks, L1-normalized — the who-to-follow kernel)
+modularity      directed Leicht-Newman modularity Q of a partition
+                (exact-int64 score path + double path for m > 3e9)
 ppr             personalized PageRank / random walk with restart
                 (seed-restricted teleport, dangling mass to seeds)
 scc             strongly connected components (trim + forward-max
@@ -60,6 +62,7 @@ from linkgraph.kernels.coloring import coloring
 from linkgraph.kernels.anf import anf, effective_diameter
 from linkgraph.kernels.hits import hits
 from linkgraph.kernels.salsa import salsa
+from linkgraph.kernels.modularity import community_stats, modularity
 from linkgraph.kernels.ppr import ppr
 from linkgraph.kernels.scc import scc
 from linkgraph.kernels.bowtie import bowtie
@@ -89,6 +92,8 @@ __all__ = [
     "effective_diameter",
     "hits",
     "salsa",
+    "modularity",
+    "community_stats",
     "ppr",
     "scc",
     "bowtie",

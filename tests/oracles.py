@@ -410,6 +410,30 @@ def salsa_numpy(
     return hub, auth, iterations
 
 
+def modularity_numpy(
+    src: np.ndarray, dst: np.ndarray, labels: dict[int, int]
+) -> float:
+    """Directed Leicht-Newman modularity replay — must mirror
+    kernels/modularity.py: Q = Σ_c e_c/m − Σ_c out_c·in_c/m²."""
+    m = len(src)
+    if m == 0:
+        return 0.0
+    intra: dict[int, int] = {}
+    out_c: dict[int, int] = {}
+    in_c: dict[int, int] = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        cu, cv = labels[u], labels[v]
+        out_c[cu] = out_c.get(cu, 0) + 1
+        in_c[cv] = in_c.get(cv, 0) + 1
+        if cu == cv:
+            intra[cu] = intra.get(cu, 0) + 1
+    e_sum = sum(intra.values())
+    null_sum = sum(
+        out_c.get(c, 0) * in_c.get(c, 0) for c in set(out_c) | set(in_c)
+    )
+    return e_sum / m - null_sum / m / m
+
+
 def ppr_numpy(
     n: int,
     src: np.ndarray,

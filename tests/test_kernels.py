@@ -628,6 +628,48 @@ def test_salsa_closed_forms(spark):
     g.unpersist()
 
 
+def test_modularity_matches_numpy(rmat_graph):
+    """Exact and float paths both equal the brute-force replay for the
+    labelprop-3 partition of the rMAT graph."""
+    from linkgraph.kernels import label_propagation, modularity
+    from tests.oracles import modularity_numpy
+
+    g, pdf, n = rmat_graph
+    labels_df = label_propagation(g, max_iter=3).df
+    labels = {r["id"]: r["label"] for r in labels_df.collect()}
+    want = modularity_numpy(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), labels
+    )
+    row = modularity(g, labels_df).first()
+    assert row["q"] == pytest.approx(want, abs=1e-12)
+    assert row["m"] == len(pdf)
+    row_f = modularity(g, labels_df, exact=False).first()
+    assert row_f["q"] == pytest.approx(want, abs=1e-12)
+
+
+def test_modularity_closed_forms(spark):
+    """Two disjoint directed 3-cycles, perfect partition: Q = 1/2.
+    All-in-one partition: Q = 0 (the textbook identities)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.kernels import modularity
+
+    edges = pd.DataFrame(
+        {"src": [0, 1, 2, 3, 4, 5], "dst": [1, 2, 0, 4, 5, 3]}
+    )
+    g = _graph(spark, edges, 6)
+    perfect = g.vertices.select(
+        "id", (F.col("id") / 3).cast("long").alias("label")
+    )
+    row = modularity(g, perfect).first()
+    assert row["q"] == pytest.approx(0.5)
+    assert row["communities"] == 2
+    assert row["intra_edges"] == 6
+    one = g.vertices.select("id", F.lit(0).cast("long").alias("label"))
+    assert modularity(g, one).first()["q"] == pytest.approx(0.0)
+    g.unpersist()
+
+
 def test_ppr_matches_numpy(rmat_graph):
     """Seeded-teleport trajectories equal the NumPy replay; mass stays
     concentrated near the seeds (seed ranks dominate uniform)."""
