@@ -482,6 +482,19 @@ def q_labelprop_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", "label")
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus (kernels/walks.py, SURVEY §2.9):
+    2 walks per vertex, 4 steps, seed 7 on the directed
+    part-succession graph — successors picked by the portable
+    Lehmer-mix argmin, so the corpus is bit-reproducible and the
+    oracle replays it exactly (all-int64 rows, no rounding)."""
+    from linkgraph.kernels import random_walks
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    res = random_walks(g, length=4, walks_per_vertex=2, seed=7)
+    return res.df.select("start", "walk", "step", "vertex")
+
+
 def q_modularity_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed Leicht-Newman modularity of the 3-round labelprop
     partition of the customer→supplier graph (kernels/modularity.py,
@@ -715,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_k": q_hits_k,
         "salsa_k": q_salsa_k,
         "modularity_lp": q_modularity_lp,
+        "random_walks": q_random_walks,
         "ppr_k": q_ppr_k,
         "scc": q_scc,
         "bowtie_classes": q_bowtie_classes,
@@ -806,6 +820,61 @@ r{i} AS (
 )"""
         prev = f"r{i}"
     sql += f"\nSELECT id, ROUND(rank, 9) AS rank FROM {prev}"
+    return sql
+
+
+_PART_SUCC_E = """
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) a
+  JOIN (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= 15) b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey
+"""
+
+
+def _random_walks_sql(length: int = 4, w: int = 2, seed: int = 7) -> str:
+    """Unrolled deterministic walks on the part-succession graph: per
+    step a ROW_NUMBER argmin over the SAME Lehmer mix as
+    kernels/walks.py (constants imported — change both or neither)."""
+    from linkgraph.kernels.walks import (
+        MIX_MASK,
+        MIX_MULT,
+        MIX_PRIME,
+        MIX_STEP,
+        MIX_START,
+        MIX_WALK,
+    )
+
+    seed = int(seed) % MIX_PRIME
+    sql = f"""
+WITH e AS MATERIALIZED ({_PART_SUCC_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+p0 AS (SELECT id AS start, r AS walk, id AS vertex
+       FROM v CROSS JOIN range({w}) t(r))
+"""
+    for t in range(1, length + 1):
+        h = (
+            f"(((((p.start % {MIX_MASK}) * {MIX_START} + p.walk * {MIX_WALK}"
+            f" + {t} * {MIX_STEP} + (e.dst % {MIX_MASK}) + {seed})"
+            f" % {MIX_PRIME}) * {MIX_MULT}) % {MIX_PRIME})"
+        )
+        sql += f""",
+p{t} AS MATERIALIZED (
+  SELECT start, walk, vertex FROM (
+    SELECT p.start, p.walk, e.dst AS vertex,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.start, p.walk ORDER BY {h}, e.dst
+           ) AS rn
+    FROM p{t - 1} p JOIN e ON p.vertex = e.src
+  ) WHERE rn = 1
+)"""
+    parts = [
+        f"SELECT start, walk, CAST({t} AS BIGINT) AS step, vertex FROM p{t}"
+        for t in range(0, length + 1)
+    ]
+    sql += "\n" + "\nUNION ALL\n".join(parts)
     return sql
 
 
@@ -2134,6 +2203,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "hits_k": _hits_k_sql(3),
         "salsa_k": _salsa_k_sql(3),
         "modularity_lp": _modularity_sql(3),
+        "random_walks": _random_walks_sql(4, 2, 7),
         "ppr_k": _ppr_k_sql(3),
         "scc": _SCC_SQL,
         "bowtie_classes": _BOWTIE_SQL,

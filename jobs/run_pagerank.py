@@ -34,7 +34,7 @@ def main(argv: list[str]) -> int:
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
-            "modularity",
+            "modularity", "walks",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -42,6 +42,9 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--top", type=int, default=20, help="rows to print")
     ap.add_argument("--root", type=int, default=0, help="bfs root / ego seed")
     ap.add_argument("--radius", type=int, default=2, help="ego-net radius")
+    ap.add_argument("--walk-length", type=int, default=10, help="walks: steps per walk")
+    ap.add_argument("--walks-per-vertex", type=int, default=1, help="walks: lanes per start")
+    ap.add_argument("--seed", type=int, default=0, help="walks: corpus seed")
     ap.add_argument(
         "--sources",
         help="comma-separated source ids for msbfs/harmonic "
@@ -179,6 +182,19 @@ def main(argv: list[str]) -> int:
             "kernel": "hits",
             "rounds": res.iterations,
             "converged": res.converged,
+        }
+    elif args.kernel == "walks":
+        res = kernels.random_walks(
+            graph,
+            length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex,
+            seed=args.seed,
+        )
+        out = res.df.orderBy("start", "walk", "step")
+        summary = {
+            "kernel": "walks",
+            "steps": res.steps,
+            "corpus_rows": out.count(),
         }
     elif args.kernel == "modularity":
         lp = kernels.label_propagation(graph, max_iter=args.max_iter, ckpt=ckpt)

@@ -27,6 +27,8 @@ salsa           Lempel-Moran SALSA (degree-normalized two-step random
                 walks, L1-normalized — the who-to-follow kernel)
 modularity      directed Leicht-Newman modularity Q of a partition
                 (exact-int64 score path + double path for m > 3e9)
+random_walks    deterministic DeepWalk corpus (hash-argmin successor,
+                bit-reproducible — skip-gram training-data op)
 ppr             personalized PageRank / random walk with restart
                 (seed-restricted teleport, dangling mass to seeds)
 scc             strongly connected components (trim + forward-max
@@ -63,6 +65,7 @@ from linkgraph.kernels.anf import anf, effective_diameter
 from linkgraph.kernels.hits import hits
 from linkgraph.kernels.salsa import salsa
 from linkgraph.kernels.modularity import community_stats, modularity
+from linkgraph.kernels.walks import random_walks
 from linkgraph.kernels.ppr import ppr
 from linkgraph.kernels.scc import scc
 from linkgraph.kernels.bowtie import bowtie
@@ -94,6 +97,7 @@ __all__ = [
     "salsa",
     "modularity",
     "community_stats",
+    "random_walks",
     "ppr",
     "scc",
     "bowtie",

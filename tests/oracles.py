@@ -434,6 +434,40 @@ def modularity_numpy(
     return e_sum / m - null_sum / m / m
 
 
+def random_walks_replay(
+    src: np.ndarray,
+    dst: np.ndarray,
+    starts: list[int],
+    length: int,
+    walks_per_vertex: int = 1,
+    seed: int = 0,
+) -> set[tuple[int, int, int, int]]:
+    """Sequential replay of kernels/walks.py's deterministic walks —
+    same mix constants, same (hash, dst) argmin successor rule."""
+    mask, p, mult = 1048576, 2147483647, 2654435761
+    seed = int(seed) % p
+
+    def mix(s: int, r: int, t: int, d: int) -> int:
+        x = (s % mask) * 2097169 + r * 131071 + t * 8191 + (d % mask) + seed
+        return ((x % p) * mult) % p
+
+    adj: dict[int, list[int]] = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(u, []).append(v)
+    rows: set[tuple[int, int, int, int]] = set()
+    for s in starts:
+        for r in range(walks_per_vertex):
+            v = s
+            rows.add((s, r, 0, s))
+            for t in range(1, length + 1):
+                nbrs = adj.get(v)
+                if not nbrs:
+                    break
+                v = min(nbrs, key=lambda d: (mix(s, r, t, d), d))
+                rows.add((s, r, t, v))
+    return rows
+
+
 def ppr_numpy(
     n: int,
     src: np.ndarray,

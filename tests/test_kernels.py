@@ -628,6 +628,63 @@ def test_salsa_closed_forms(spark):
     g.unpersist()
 
 
+def test_random_walks_match_replay(rmat_graph):
+    """The distributed walk corpus equals the sequential replay
+    exactly (same mix hash, same argmin rule), and is deterministic
+    across runs; a different seed reshuffles successors."""
+    from linkgraph.kernels import random_walks
+    from tests.oracles import random_walks_replay
+
+    g, pdf, n = rmat_graph
+    starts = [r["id"] for r in g.vertices.collect()]
+    res = random_walks(g, length=5, walks_per_vertex=2, seed=7)
+    got = {
+        (r["start"], r["walk"], r["step"], r["vertex"])
+        for r in res.df.collect()
+    }
+    want = random_walks_replay(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), starts,
+        length=5, walks_per_vertex=2, seed=7,
+    )
+    assert got == want
+    # deterministic re-run
+    res2 = random_walks(g, length=5, walks_per_vertex=2, seed=7)
+    assert {
+        (r["start"], r["walk"], r["step"], r["vertex"])
+        for r in res2.df.collect()
+    } == got
+    # another seed changes at least one successor on this graph
+    res3 = random_walks(g, length=5, walks_per_vertex=2, seed=8)
+    got3 = {
+        (r["start"], r["walk"], r["step"], r["vertex"])
+        for r in res3.df.collect()
+    }
+    assert got3 == random_walks_replay(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), starts,
+        length=5, walks_per_vertex=2, seed=8,
+    )
+    assert got3 != got
+
+
+def test_random_walks_path_and_deadend(spark):
+    """On the directed path 0→1→2→3 every walk marches straight and
+    stops at the sink; start-3 walks are a single step-0 row."""
+    from linkgraph.kernels import random_walks
+
+    edges = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    g = _graph(spark, edges, 4)
+    res = random_walks(g, length=10, walks_per_vertex=1, seed=0)
+    rows = {
+        (r["start"], r["step"]): r["vertex"] for r in res.df.collect()
+    }
+    # walk from 0 visits 0,1,2,3 then stops (sink), never length 10
+    for t, v in enumerate([0, 1, 2, 3]):
+        assert rows[(0, t)] == v
+    assert (0, 4) not in rows
+    assert rows[(3, 0)] == 3 and (3, 1) not in rows
+    g.unpersist()
+
+
 def test_modularity_matches_numpy(rmat_graph):
     """Exact and float paths both equal the brute-force replay for the
     labelprop-3 partition of the rMAT graph."""
