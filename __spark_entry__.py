@@ -495,6 +495,19 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("start", "walk", "step", "vertex")
 
 
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GraphSAGE 2-hop fanout sampling
+    (kernels/sampling.py, SURVEY §2.9): seeds = part-succession
+    vertices ≡ 0 (mod 97), fanouts [3, 2], seed 7 — hash-ranked
+    without-replacement edge blocks (all-int64 rows, no rounding)."""
+    from linkgraph.kernels import neighbor_sample
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    seeds = g.vertices.where(F.col("id") % 97 == 0)
+    res = neighbor_sample(g, seeds, fanouts=[3, 2], seed=7)
+    return res.df.select("layer", "src", "dst")
+
+
 def q_modularity_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed Leicht-Newman modularity of the 3-round labelprop
     partition of the customer→supplier graph (kernels/modularity.py,
@@ -729,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_k": q_salsa_k,
         "modularity_lp": q_modularity_lp,
         "random_walks": q_random_walks,
+        "neighbor_sample": q_neighbor_sample,
         "ppr_k": q_ppr_k,
         "scc": q_scc,
         "bowtie_classes": q_bowtie_classes,
@@ -873,6 +887,48 @@ p{t} AS MATERIALIZED (
     parts = [
         f"SELECT start, walk, CAST({t} AS BIGINT) AS step, vertex FROM p{t}"
         for t in range(0, length + 1)
+    ]
+    sql += "\n" + "\nUNION ALL\n".join(parts)
+    return sql
+
+
+def _neighbor_sample_sql(fanouts: list[int] | None = None, seed: int = 7) -> str:
+    """Unrolled GraphSAGE layers on the part-succession graph: per
+    layer a ROW_NUMBER rank filter over the SAME Lehmer mix as
+    kernels/sampling.py (constants imported; walk lane = 0, step =
+    layer — mirrors sampling.py's mix_expr call)."""
+    from linkgraph.kernels.walks import (
+        MIX_MASK,
+        MIX_MULT,
+        MIX_PRIME,
+        MIX_STEP,
+        MIX_START,
+    )
+
+    fanouts = fanouts or [3, 2]
+    seed = int(seed) % MIX_PRIME
+    sql = f"""
+WITH e AS MATERIALIZED ({_PART_SUCC_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+f0 AS (SELECT id FROM v WHERE id % 97 = 0)
+"""
+    for layer, fanout in enumerate(fanouts, start=1):
+        h = (
+            f"(((((e.src % {MIX_MASK}) * {MIX_START} + {layer} * {MIX_STEP}"
+            f" + (e.dst % {MIX_MASK}) + {seed})"
+            f" % {MIX_PRIME}) * {MIX_MULT}) % {MIX_PRIME})"
+        )
+        sql += f""",
+b{layer} AS MATERIALIZED (
+  SELECT CAST({layer} AS BIGINT) AS layer, src, dst FROM (
+    SELECT e.src, e.dst,
+           ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY {h}, e.dst) AS rn
+    FROM f{layer - 1} f JOIN e ON f.id = e.src
+  ) WHERE rn <= {fanout}
+),
+f{layer} AS (SELECT DISTINCT dst AS id FROM b{layer})"""
+    parts = [
+        f"SELECT layer, src, dst FROM b{i}" for i in range(1, len(fanouts) + 1)
     ]
     sql += "\n" + "\nUNION ALL\n".join(parts)
     return sql
@@ -2204,6 +2260,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "salsa_k": _salsa_k_sql(3),
         "modularity_lp": _modularity_sql(3),
         "random_walks": _random_walks_sql(4, 2, 7),
+        "neighbor_sample": _neighbor_sample_sql([3, 2], 7),
         "ppr_k": _ppr_k_sql(3),
         "scc": _SCC_SQL,
         "bowtie_classes": _BOWTIE_SQL,

@@ -34,7 +34,7 @@ def main(argv: list[str]) -> int:
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
-            "modularity", "walks",
+            "modularity", "walks", "sample",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -44,7 +44,11 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--radius", type=int, default=2, help="ego-net radius")
     ap.add_argument("--walk-length", type=int, default=10, help="walks: steps per walk")
     ap.add_argument("--walks-per-vertex", type=int, default=1, help="walks: lanes per start")
-    ap.add_argument("--seed", type=int, default=0, help="walks: corpus seed")
+    ap.add_argument("--seed", type=int, default=0, help="walks/sample: corpus seed")
+    ap.add_argument(
+        "--fanouts", default="10,5",
+        help="sample: comma-separated per-layer fanouts (seeds via --sources)",
+    )
     ap.add_argument(
         "--sources",
         help="comma-separated source ids for msbfs/harmonic "
@@ -195,6 +199,21 @@ def main(argv: list[str]) -> int:
             "kernel": "walks",
             "steps": res.steps,
             "corpus_rows": out.count(),
+        }
+    elif args.kernel == "sample":
+        if args.sources:
+            seeds = [int(s) for s in args.sources.split(",")]
+        else:
+            seeds = [
+                int(r["id"]) for r in graph.vertices.orderBy("id").limit(4).collect()
+            ]
+        fanouts = [int(f) for f in args.fanouts.split(",")]
+        res = kernels.neighbor_sample(graph, seeds, fanouts, seed=args.seed)
+        out = res.df.orderBy("layer", "src", "dst")
+        summary = {
+            "kernel": "sample",
+            "layers": res.layers,
+            "sampled_edges": out.count(),
         }
     elif args.kernel == "modularity":
         lp = kernels.label_propagation(graph, max_iter=args.max_iter, ckpt=ckpt)

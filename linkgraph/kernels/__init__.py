@@ -29,6 +29,8 @@ modularity      directed Leicht-Newman modularity Q of a partition
                 (exact-int64 score path + double path for m > 3e9)
 random_walks    deterministic DeepWalk corpus (hash-argmin successor,
                 bit-reproducible — skip-gram training-data op)
+neighbor_sample deterministic GraphSAGE k-hop fanout sampling
+                (hash-ranked without-replacement edge blocks)
 ppr             personalized PageRank / random walk with restart
                 (seed-restricted teleport, dangling mass to seeds)
 scc             strongly connected components (trim + forward-max
@@ -66,6 +68,7 @@ from linkgraph.kernels.hits import hits
 from linkgraph.kernels.salsa import salsa
 from linkgraph.kernels.modularity import community_stats, modularity
 from linkgraph.kernels.walks import random_walks
+from linkgraph.kernels.sampling import neighbor_sample
 from linkgraph.kernels.ppr import ppr
 from linkgraph.kernels.scc import scc
 from linkgraph.kernels.bowtie import bowtie
@@ -98,6 +101,7 @@ __all__ = [
     "modularity",
     "community_stats",
     "random_walks",
+    "neighbor_sample",
     "ppr",
     "scc",
     "bowtie",

@@ -468,6 +468,44 @@ def random_walks_replay(
     return rows
 
 
+def neighbor_sample_replay(
+    src: np.ndarray,
+    dst: np.ndarray,
+    seeds: list[int],
+    fanouts: list[int],
+    seed: int = 0,
+) -> set[tuple[int, int, int]]:
+    """Sequential replay of kernels/sampling.py: layer l keeps the
+    fanout[l] out-neighbors minimizing (mix(src, layer, dst), dst);
+    next frontier = distinct sampled dsts."""
+    mask, p, mult = 1048576, 2147483647, 2654435761
+    seed = int(seed) % p
+
+    def mix(s: int, layer: int, d: int) -> int:
+        x = (s % mask) * 2097169 + layer * 8191 + (d % mask) + seed
+        return ((x % p) * mult) % p
+
+    # the Graph dedups edges (build_graph_from_edges) — mirror that
+    adj: dict[int, set[int]] = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(u, set()).add(v)
+    rows: set[tuple[int, int, int]] = set()
+    frontier = set(seeds)
+    for layer, fanout in enumerate(fanouts, start=1):
+        nxt: set[int] = set()
+        for s in frontier:
+            kept = sorted(adj.get(s, []), key=lambda d: (mix(s, layer, d), d))[
+                :fanout
+            ]
+            for d in kept:
+                rows.add((layer, s, d))
+                nxt.add(d)
+        if not nxt:
+            break
+        frontier = nxt
+    return rows
+
+
 def ppr_numpy(
     n: int,
     src: np.ndarray,

@@ -685,6 +685,53 @@ def test_random_walks_path_and_deadend(spark):
     g.unpersist()
 
 
+def test_neighbor_sample_matches_replay(rmat_graph):
+    """The distributed edge blocks equal the sequential replay; a
+    vertex with out-degree <= fanout keeps all its edges; per-layer
+    kept-count respects the fanout cap."""
+    from linkgraph.kernels import neighbor_sample
+    from tests.oracles import neighbor_sample_replay
+
+    g, pdf, n = rmat_graph
+    seeds = [0, 1, 2, 3, 5, 8, 13, 21]
+    res = neighbor_sample(g, seeds, fanouts=[3, 2], seed=7)
+    got = {(r["layer"], r["src"], r["dst"]) for r in res.df.collect()}
+    want = neighbor_sample_replay(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), seeds, [3, 2], seed=7
+    )
+    assert got == want
+    # fanout cap per (layer, src)
+    import collections
+
+    per = collections.Counter((l, s) for l, s, _ in got)
+    for (l, _), c in per.items():
+        assert c <= (3 if l == 1 else 2)
+    # determinism
+    res2 = neighbor_sample(g, seeds, fanouts=[3, 2], seed=7)
+    assert {(r["layer"], r["src"], r["dst"]) for r in res2.df.collect()} == got
+
+
+def test_neighbor_sample_small_degree_keeps_all(spark):
+    """Star 0->{1,2,3} with fanout 5 keeps every edge; fanout 2 keeps
+    exactly the two hash-smallest leaves; layer 2 from the sampled
+    leaves is empty (sinks)."""
+    from linkgraph.kernels import neighbor_sample
+    from tests.oracles import neighbor_sample_replay
+
+    edges = pd.DataFrame({"src": [0, 0, 0], "dst": [1, 2, 3]})
+    g = _graph(spark, edges, 4)
+    res = neighbor_sample(g, [0], fanouts=[5, 5], seed=0)
+    got = {(r["layer"], r["src"], r["dst"]) for r in res.df.collect()}
+    assert got == {(1, 0, 1), (1, 0, 2), (1, 0, 3)}
+    res2 = neighbor_sample(g, [0], fanouts=[2], seed=0)
+    got2 = {(r["layer"], r["src"], r["dst"]) for r in res2.df.collect()}
+    assert len(got2) == 2
+    assert got2 == neighbor_sample_replay(
+        edges["src"].to_numpy(), edges["dst"].to_numpy(), [0], [2], seed=0
+    )
+    g.unpersist()
+
+
 def test_modularity_matches_numpy(rmat_graph):
     """Exact and float paths both equal the brute-force replay for the
     labelprop-3 partition of the rMAT graph."""
