@@ -508,6 +508,18 @@ def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("layer", "src", "dst")
 
 
+def q_condensation_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC condensation DAG of the part-succession graph layered by
+    longest path (kernels/condense.py, SURVEY §2.9): per component
+    (scc, level, size) — the web-hierarchy depth view (all-int64
+    rows, no rounding)."""
+    from linkgraph.kernels import condensation
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    res = condensation(g)
+    return res.df.select("scc", "level", "size")
+
+
 def q_modularity_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed Leicht-Newman modularity of the 3-round labelprop
     partition of the customer→supplier graph (kernels/modularity.py,
@@ -743,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_lp": q_modularity_lp,
         "random_walks": q_random_walks,
         "neighbor_sample": q_neighbor_sample,
+        "condensation_levels": q_condensation_levels,
         "ppr_k": q_ppr_k,
         "scc": q_scc,
         "bowtie_classes": q_bowtie_classes,
@@ -932,6 +945,46 @@ f{layer} AS (SELECT DISTINCT dst AS id FROM b{layer})"""
     ]
     sql += "\n" + "\nUNION ALL\n".join(parts)
     return sql
+
+
+# Condensation oracle: the _SCC_SQL closure labels, condensed edge
+# set, then longest-path levels by a recursive walk seeded at the
+# source components (UNION = set semantics keeps it a fixpoint; MAX(d)
+# per component = longest path, finite because the condensation is a
+# DAG). Sizes ride the comps CTE.
+_CONDENSE_SQL = f"""
+WITH RECURSIVE e AS MATERIALIZED ({_PART_SUCC_E}),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+),
+verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+mutual AS (
+  SELECT a.src AS v, a.dst AS u
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+),
+lab AS MATERIALIZED (
+  SELECT verts.id, LEAST(verts.id, COALESCE(MIN(mutual.u), verts.id)) AS scc
+  FROM verts LEFT JOIN mutual ON mutual.v = verts.id
+  GROUP BY verts.id
+),
+cond AS MATERIALIZED (
+  SELECT DISTINCT ls.scc AS csrc, ld.scc AS cdst
+  FROM e JOIN lab ls ON e.src = ls.id JOIN lab ld ON e.dst = ld.id
+  WHERE ls.scc <> ld.scc
+),
+comps AS MATERIALIZED (SELECT scc, COUNT(*) AS size FROM lab GROUP BY scc),
+walk(c, d) AS (
+  SELECT scc, 0 FROM comps WHERE scc NOT IN (SELECT cdst FROM cond)
+  UNION
+  SELECT cond.cdst, w.d + 1 FROM walk w JOIN cond ON w.c = cond.csrc
+)
+SELECT comps.scc, CAST(MAX(w.d) AS BIGINT) AS level,
+       CAST(comps.size AS BIGINT) AS size
+FROM comps JOIN walk w ON comps.scc = w.c
+GROUP BY comps.scc, comps.size
+"""
 
 
 # SCC oracle: transitive closure by recursive CTE (UNION = set
@@ -2261,6 +2314,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "modularity_lp": _modularity_sql(3),
         "random_walks": _random_walks_sql(4, 2, 7),
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),
+        "condensation_levels": _CONDENSE_SQL,
         "ppr_k": _ppr_k_sql(3),
         "scc": _SCC_SQL,
         "bowtie_classes": _BOWTIE_SQL,

@@ -34,7 +34,7 @@ def main(argv: list[str]) -> int:
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
-            "modularity", "walks", "sample",
+            "modularity", "walks", "sample", "condense",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -214,6 +214,15 @@ def main(argv: list[str]) -> int:
             "kernel": "sample",
             "layers": res.layers,
             "sampled_edges": out.count(),
+        }
+    elif args.kernel == "condense":
+        res = kernels.condensation(graph)
+        out = res.df.orderBy(F.desc("level"), F.desc("size"), "scc")
+        summary = {
+            "kernel": "condense",
+            "components": out.count(),
+            "dag_depth": res.depth,
+            "rounds": res.rounds,
         }
     elif args.kernel == "modularity":
         lp = kernels.label_propagation(graph, max_iter=args.max_iter, ckpt=ckpt)

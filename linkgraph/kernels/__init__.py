@@ -31,6 +31,8 @@ random_walks    deterministic DeepWalk corpus (hash-argmin successor,
                 bit-reproducible — skip-gram training-data op)
 neighbor_sample deterministic GraphSAGE k-hop fanout sampling
                 (hash-ranked without-replacement edge blocks)
+condensation    SCC condensation DAG + longest-path topo levels
+                (the web hierarchy view; Kahn layering by relaxation)
 ppr             personalized PageRank / random walk with restart
                 (seed-restricted teleport, dangling mass to seeds)
 scc             strongly connected components (trim + forward-max
@@ -69,6 +71,7 @@ from linkgraph.kernels.salsa import salsa
 from linkgraph.kernels.modularity import community_stats, modularity
 from linkgraph.kernels.walks import random_walks
 from linkgraph.kernels.sampling import neighbor_sample
+from linkgraph.kernels.condense import condensation
 from linkgraph.kernels.ppr import ppr
 from linkgraph.kernels.scc import scc
 from linkgraph.kernels.bowtie import bowtie
@@ -102,6 +105,7 @@ __all__ = [
     "community_stats",
     "random_walks",
     "neighbor_sample",
+    "condensation",
     "ppr",
     "scc",
     "bowtie",

@@ -535,6 +535,43 @@ def ppr_numpy(
     return rank, iterations
 
 
+def condensation_replay(
+    vertices, src: np.ndarray, dst: np.ndarray
+) -> dict[int, tuple[int, int]]:
+    """Sequential replay of kernels/condense.py: Tarjan labels,
+    condensed DAG, longest-path level per component (memoized DP).
+    Returns {scc_label: (level, size)}."""
+    labels = scc_tarjan(vertices, src, dst)
+    comps: dict[int, int] = {}
+    for v, c in labels.items():
+        comps[c] = comps.get(c, 0) + 1
+    preds: dict[int, set[int]] = {c: set() for c in comps}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        cs, cd = labels[s], labels[d]
+        if cs != cd:
+            preds[cd].add(cs)
+    level: dict[int, int] = {}
+
+    def resolve(c: int) -> int:
+        stack = [c]
+        while stack:
+            cur = stack[-1]
+            if cur in level:
+                stack.pop()
+                continue
+            pending = [p for p in preds[cur] if p not in level]
+            if pending:
+                stack.extend(pending)
+            else:
+                level[cur] = (
+                    1 + max(level[p] for p in preds[cur]) if preds[cur] else 0
+                )
+                stack.pop()
+        return level[c]
+
+    return {c: (resolve(c), comps[c]) for c in comps}
+
+
 def scc_tarjan(
     vertices, src: np.ndarray, dst: np.ndarray
 ) -> dict[int, int]:

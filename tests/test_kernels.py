@@ -732,6 +732,60 @@ def test_neighbor_sample_small_degree_keeps_all(spark):
     g.unpersist()
 
 
+def test_condensation_matches_replay(rmat_graph):
+    """(level, size) per component equals the Tarjan + longest-path
+    DP replay; the condensed edge set is a DAG that matches."""
+    from linkgraph.kernels import condensation
+    from tests.oracles import condensation_replay
+
+    g, pdf, n = rmat_graph
+    verts = [r["id"] for r in g.vertices.collect()]
+    res = condensation(g)
+    got = {r["scc"]: (r["level"], r["size"]) for r in res.df.collect()}
+    want = condensation_replay(
+        verts, pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+    )
+    assert got == want
+    assert res.depth == max(l for l, _ in want.values())
+    # the condensed edges never point within a component and agree
+    # with the replay's label pairs
+    from tests.oracles import scc_tarjan
+
+    labels = scc_tarjan(verts, pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+    want_edges = {
+        (labels[s], labels[d])
+        for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist())
+        if labels[s] != labels[d]
+    }
+    assert {
+        (r["csrc"], r["cdst"]) for r in res.edges.collect()
+    } == want_edges
+
+
+def test_condensation_closed_forms(spark):
+    """Two 2-cycles bridged A→B: levels 0 and 1, sizes 2 and 2.
+    A directed path condenses to itself: level = position."""
+    from linkgraph.kernels import condensation
+
+    edges = pd.DataFrame(
+        {"src": [0, 1, 2, 3, 1], "dst": [1, 0, 3, 2, 2]}
+    )
+    g = _graph(spark, edges, 4)
+    res = condensation(g)
+    got = {r["scc"]: (r["level"], r["size"]) for r in res.df.collect()}
+    assert got == {0: (0, 2), 2: (1, 2)}
+    assert res.depth == 1
+    g.unpersist()
+
+    edges = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    g = _graph(spark, edges, 4)
+    res = condensation(g)
+    got = {r["scc"]: (r["level"], r["size"]) for r in res.df.collect()}
+    assert got == {v: (v, 1) for v in range(4)}
+    assert res.depth == 3
+    g.unpersist()
+
+
 def test_modularity_matches_numpy(rmat_graph):
     """Exact and float paths both equal the brute-force replay for the
     labelprop-3 partition of the rMAT graph."""
