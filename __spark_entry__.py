@@ -298,6 +298,20 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("u", "w", "support")
 
 
+def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal matching of the co-part graph (kernels/matching.py):
+    parallel greedy with deterministic edge priorities — the fixpoint
+    equals sequential greedy in ascending (h, u, v) key order. The
+    co-part edges are already canonical (src < dst) so the kernel's
+    canonicalization is a no-op. Measured fixpoint at sf0.01 is 9
+    rounds; the oracle unrolls 12 (post-fixpoint rounds are no-ops)."""
+    from linkgraph.kernels import maximal_matching
+
+    g = _graph(_copart_edges(spark, sf_dir))
+    res = maximal_matching(g)
+    return res.df.select("u", "v")
+
+
 
 def q_ego_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius-2 ego network (kernels/egonet.py, direction=both) of the
@@ -764,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_core": q_densest_core,
         "graph_stats": q_graph_stats,
         "ktruss_10": q_ktruss,
+        "maximal_matching": q_maximal_matching,
         "ego_net_2": q_ego_net,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
@@ -1245,6 +1260,54 @@ FROM ec{rounds - 1} e LEFT JOIN su{rounds} s ON e.u = s.u AND e.w = s.w
 WHERE COALESCE(s.support, 0) >= {k - 2}
 """
 
+
+def _matching_sql(rounds: int = 12) -> str:
+    """Unrolled parallel-greedy maximal matching on the canonical
+    co-part edges with the kernel's deterministic edge priority
+    h(u,v) = ((u%M)*2654435761%M + (v%M)*2246822519%M) % M,
+    M = 1e9+7, tie-broken by (u, v) (kernels/matching.py). Per round:
+    an edge matches iff it is the (h,u,v)-smallest live edge at BOTH
+    endpoints (ROW_NUMBER window per endpoint); matched vertices'
+    edges leave the live set. Rounds past the measured fixpoint
+    (9 at sf0.01) are no-ops. MATERIALIZED per the sssp oracle lesson
+    (DuckDB 1.0 inlines CTEs by reference)."""
+    h = (
+        "((u % 1000000007) * 2654435761 % 1000000007"
+        " + (v % 1000000007) * 2246822519 % 1000000007) % 1000000007"
+    )
+    sql = f"""
+WITH ec0 AS MATERIALIZED (
+  SELECT {h} AS h, u, v
+  FROM (SELECT src AS u, dst AS v FROM ({_COPART_E}))
+)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+mn{r} AS MATERIALIZED (
+  SELECT vid, h, u, v FROM (
+    SELECT vid, h, u, v,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY h, u, v) AS rn
+    FROM (SELECT u AS vid, h, u, v FROM ec{p}
+          UNION ALL SELECT v, h, u, v FROM ec{p})
+  ) WHERE rn = 1
+),
+m{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM ec{p} e
+  JOIN mn{r} a ON a.vid = e.u AND a.h = e.h AND a.u = e.u AND a.v = e.v
+  JOIN mn{r} b ON b.vid = e.v AND b.h = e.h AND b.u = e.u AND b.v = e.v
+),
+mv{r} AS MATERIALIZED (SELECT u AS id FROM m{r} UNION SELECT v FROM m{r}),
+ec{r} AS MATERIALIZED (
+  SELECT h, u, v FROM ec{p}
+  WHERE u NOT IN (SELECT id FROM mv{r})
+    AND v NOT IN (SELECT id FROM mv{r})
+)"""
+    sql += (
+        "\nSELECT u, v FROM ("
+        + " UNION ALL ".join(f"SELECT u, v FROM m{r}" for r in range(1, rounds + 1))
+        + ")\n"
+    )
+    return sql
 
 
 # Ego-net oracle: 2 unrolled symmetric hops from MIN(vertex id) with
@@ -2323,6 +2386,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "densest_core": _densest_sql(10),
         "graph_stats": _GRAPH_STATS_SQL,
         "ktruss_10": _ktruss_sql(10, 10),
+        "maximal_matching": _matching_sql(rounds=12),
         "ego_net_2": _EGO_NET_SQL,
         "event_sessions_graph": """
 WITH t AS (

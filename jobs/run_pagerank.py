@@ -34,7 +34,7 @@ def main(argv: list[str]) -> int:
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
-            "modularity", "walks", "sample", "condense",
+            "modularity", "walks", "sample", "condense", "matching",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -152,6 +152,14 @@ def main(argv: list[str]) -> int:
             "kernel": "mis",
             "rounds": res.iterations,
             "set_size": out.count(),
+        }
+    elif args.kernel == "matching":
+        res = kernels.maximal_matching(graph, max_iter=args.max_iter)
+        out = res.df.orderBy("u", "v")
+        summary = {
+            "kernel": "matching",
+            "rounds": res.iterations,
+            "matched_edges": out.count(),
         }
     elif args.kernel == "anf":
         from linkgraph.kernels.anf import effective_diameter

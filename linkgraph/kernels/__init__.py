@@ -51,6 +51,8 @@ ktruss          k-truss decomposition (edge-support peeling over the
                 degree-ordered triangle enumeration, Cohen 2008)
 ego_net         radius-k ego network + induced subgraph extraction
                 (bounded frontier BFS, out/in/both walks)
+maximal_matching parallel greedy maximal matching with deterministic
+                edge priorities (equals sequential greedy in key order)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -81,6 +83,7 @@ from linkgraph.kernels.densest import densest_subgraph
 from linkgraph.kernels.graphstats import graph_stats
 from linkgraph.kernels.truss import ktruss
 from linkgraph.kernels.egonet import ego_net
+from linkgraph.kernels.matching import maximal_matching
 
 __all__ = [
     "pagerank",
@@ -115,4 +118,5 @@ __all__ = [
     "graph_stats",
     "ktruss",
     "ego_net",
+    "maximal_matching",
 ]

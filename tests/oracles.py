@@ -842,3 +842,33 @@ def egonet_replay(
     ball = set(dist)
     induced = {(s, d) for s, d in edges if s in ball and d in ball}
     return dist, induced
+
+
+def matching_key(u: int, v: int) -> tuple[int, int, int]:
+    """The matching edge-priority key (kernels/matching.py): a
+    two-multiplier hash folded into [0, 1e9+7), tie-broken by (u, v) —
+    must match edge_priority() and the DuckDB oracle literally."""
+    h = (
+        (u % 1_000_000_007) * 2654435761 % 1_000_000_007
+        + (v % 1_000_000_007) * 2246822519 % 1_000_000_007
+    ) % 1_000_000_007
+    return (h, u, v)
+
+
+def matching_greedy(src: np.ndarray, dst: np.ndarray) -> set[tuple[int, int]]:
+    """Sequential greedy maximal matching in ascending matching_key
+    order over canonical (u < v) edges — the fixpoint the parallel
+    priority-greedy kernel (kernels/matching.py) must reproduce
+    exactly (SPAA'12 priority-greedy == greedy, on the line graph)."""
+    canon = sorted(
+        {(min(u, v), max(u, v)) for u, v in zip(src.tolist(), dst.tolist()) if u != v},
+        key=lambda e: matching_key(*e),
+    )
+    used: set[int] = set()
+    out: set[tuple[int, int]] = set()
+    for u, v in canon:
+        if u not in used and v not in used:
+            out.add((u, v))
+            used.add(u)
+            used.add(v)
+    return out

@@ -1192,3 +1192,64 @@ def test_egonet_radius_zero_and_direction(spark):
     in1 = ego_net(g, [1], radius=1, direction="in")
     assert {r["id"] for r in in1.vertices.collect()} == {0, 1}
     g.unpersist()
+
+
+def test_matching_matches_sequential_greedy(rmat_graph):
+    """Parallel priority-greedy maximal matching == sequential greedy
+    in ascending edge-key order (SPAA'12 on the line graph), plus
+    validity (vertex-disjoint) and maximality checked structurally."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import maximal_matching
+    from tests.oracles import matching_greedy
+
+    g, pdf, n = rmat_graph
+    spark = g.edges.sparkSession
+    sym = symmetrize(spark.createDataFrame(pdf, "src long, dst long"))
+    gs = build_graph_from_edges(sym, num_partitions=4)
+    res = maximal_matching(gs)
+    got = {(r["u"], r["v"]) for r in res.df.collect()}
+    assert got == matching_greedy(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+    # validity: matched edges are vertex-disjoint
+    ends = [x for e in got for x in e]
+    assert len(ends) == len(set(ends))
+    # maximality: every live canonical edge has a matched endpoint
+    matched_vs = set(ends)
+    sym_pdf = gs.edges.toPandas()
+    canon = {
+        (min(u, v), max(u, v))
+        for u, v in zip(sym_pdf["src"].tolist(), sym_pdf["dst"].tolist())
+        if u != v
+    }
+    assert all(u in matched_vs or v in matched_vs for u, v in canon)
+    assert res.iterations >= 1
+    gs.unpersist()
+
+
+def test_matching_path_and_empty(spark):
+    """Path 0-1-2-3-4: replay fixpoint (2 disjoint edges); an edgeless
+    graph returns an empty (u, v) frame without iterating forever."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import maximal_matching
+    from tests.oracles import matching_greedy
+
+    edges = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4]})
+    sym = symmetrize(spark.createDataFrame(edges, "src long, dst long"))
+    g = build_graph_from_edges(sym, num_partitions=2)
+    res = maximal_matching(g)
+    got = {(r["u"], r["v"]) for r in res.df.collect()}
+    want = matching_greedy(edges["src"].to_numpy(), edges["dst"].to_numpy())
+    assert got == want
+    assert len(got) == 2  # a path P5 has a perfect-but-one matching
+    g.unpersist()
+
+    # empty graph: vertices only, no edges
+    import pyspark.sql.functions as F  # noqa: F401
+
+    g2 = build_graph_from_edges(
+        spark.createDataFrame([], "src long, dst long"), n=3, num_partitions=1
+    )
+    res2 = maximal_matching(g2)
+    assert res2.df.columns == ["u", "v"]
+    assert res2.df.count() == 0
+    assert res2.iterations <= 1
+    g2.unpersist()
