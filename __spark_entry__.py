@@ -298,6 +298,31 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("u", "w", "support")
 
 
+def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest (kernels/msf.py) of the co-part
+    graph weighted by line-pair co-occurrence count — the
+    single-linkage backbone of the co-occurrence similarity graph.
+    The MSF is unique under the strict (w, u, v) order, so the oracle
+    (unrolled Borůvka rounds with a recursive-CTE contraction closure)
+    must agree edge-for-edge; weights are int64 end-to-end, no float
+    tolerance. Measured fixpoint at sf0.01 is 2 rounds; the oracle
+    unrolls 4 (post-fixpoint rounds are no-ops)."""
+    from linkgraph.kernels import minimum_spanning_forest
+
+    li = _lineitem(spark, sf_dir).select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", "src")
+    b = li.withColumnRenamed("l_partkey", "dst")
+    wdf = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    g = _graph(wdf.select("src", "dst"))
+    res = minimum_spanning_forest(g, weights=wdf)
+    return res.df.select("u", "v", "w")
+
+
 def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal matching of the co-part graph (kernels/matching.py):
     parallel greedy with deterministic edge priorities — the fixpoint
@@ -779,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": q_graph_stats,
         "ktruss_10": q_ktruss,
         "maximal_matching": q_maximal_matching,
+        "msf_boruvka": q_msf,
         "ego_net_2": q_ego_net,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
@@ -1259,6 +1285,64 @@ SELECT e.u, e.w, COALESCE(s.support, CAST(0 AS BIGINT)) AS support
 FROM ec{rounds - 1} e LEFT JOIN su{rounds} s ON e.u = s.u AND e.w = s.w
 WHERE COALESCE(s.support, 0) >= {k - 2}
 """
+
+
+def _msf_sql(rounds: int = 4) -> str:
+    """Unrolled Borůvka MSF on the co-part graph with line-pair
+    co-occurrence weights (kernels/msf.py). Per round: per-component
+    min incident edge by the strict (w, u, v) order (ROW_NUMBER), the
+    distinct selected edges join the forest, and contraction labels
+    come from a recursive-CTE closure over the selection graph (the
+    kernel pointer-jumps instead — labels differ, the forest cannot:
+    the MSF is unique under a strict order). Rounds past the measured
+    fixpoint (2 at sf0.01) are no-ops. The sg DISTINCT is load-bearing
+    (sibling UNIONs get ALL-semantics under WITH RECURSIVE in
+    DuckDB 1.0 — the msbfs oracle lesson); MATERIALIZED per the sssp
+    oracle lesson."""
+    sql = """
+WITH RECURSIVE wec AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+le0 AS MATERIALIZED (SELECT w, u, v, u AS cu, v AS cv FROM wec)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+me{r} AS MATERIALIZED (
+  SELECT c, w, u, v, oc FROM (
+    SELECT c, w, u, v, oc,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+    FROM (SELECT cu AS c, w, u, v, cv AS oc FROM le{p}
+          UNION ALL SELECT cv, w, u, v, cu FROM le{p})
+  ) WHERE rn = 1
+),
+sel{r} AS MATERIALIZED (SELECT DISTINCT w, u, v FROM me{r}),
+sg{r} AS MATERIALIZED (
+  SELECT DISTINCT c1, c2 FROM (
+    SELECT c AS c1, oc AS c2 FROM me{r} UNION ALL SELECT oc, c FROM me{r})
+),
+reach{r} AS (
+  SELECT c1 AS c, c1 AS rc FROM sg{r}
+  UNION
+  SELECT t.c, s.c2 FROM reach{r} t JOIN sg{r} s ON t.rc = s.c1
+),
+root{r} AS MATERIALIZED (SELECT c, MIN(rc) AS root FROM reach{r} GROUP BY c),
+le{r} AS MATERIALIZED (
+  SELECT e.w, e.u, e.v,
+         COALESCE(a.root, e.cu) AS cu, COALESCE(b.root, e.cv) AS cv
+  FROM le{p} e
+  LEFT JOIN root{r} a ON e.cu = a.c
+  LEFT JOIN root{r} b ON e.cv = b.c
+  WHERE COALESCE(a.root, e.cu) <> COALESCE(b.root, e.cv)
+)"""
+    sql += (
+        "\nSELECT u, v, w FROM ("
+        + " UNION ALL ".join(f"SELECT u, v, w FROM sel{r}" for r in range(1, rounds + 1))
+        + ")\n"
+    )
+    return sql
 
 
 def _matching_sql(rounds: int = 12) -> str:
@@ -2387,6 +2471,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "graph_stats": _GRAPH_STATS_SQL,
         "ktruss_10": _ktruss_sql(10, 10),
         "maximal_matching": _matching_sql(rounds=12),
+        "msf_boruvka": _msf_sql(rounds=4),
         "ego_net_2": _EGO_NET_SQL,
         "event_sessions_graph": """
 WITH t AS (

@@ -34,7 +34,7 @@ def main(argv: list[str]) -> int:
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
-            "modularity", "walks", "sample", "condense", "matching",
+            "modularity", "walks", "sample", "condense", "matching", "msf",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -160,6 +160,15 @@ def main(argv: list[str]) -> int:
             "kernel": "matching",
             "rounds": res.iterations,
             "matched_edges": out.count(),
+        }
+    elif args.kernel == "msf":
+        res = kernels.minimum_spanning_forest(graph, max_iter=args.max_iter)
+        out = res.df.orderBy("u", "v")
+        summary = {
+            "kernel": "msf",
+            "rounds": res.iterations,
+            "forest_edges": out.count(),
+            "total_weight": res.total_weight,
         }
     elif args.kernel == "anf":
         from linkgraph.kernels.anf import effective_diameter

@@ -53,6 +53,8 @@ ego_net         radius-k ego network + induced subgraph extraction
                 (bounded frontier BFS, out/in/both walks)
 maximal_matching parallel greedy maximal matching with deterministic
                 edge priorities (equals sequential greedy in key order)
+minimum_spanning_forest Borůvka MSF (unique under the strict (w,u,v)
+                edge order; min-edge select + pointer-jump contraction)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -84,6 +86,7 @@ from linkgraph.kernels.graphstats import graph_stats
 from linkgraph.kernels.truss import ktruss
 from linkgraph.kernels.egonet import ego_net
 from linkgraph.kernels.matching import maximal_matching
+from linkgraph.kernels.msf import minimum_spanning_forest
 
 __all__ = [
     "pagerank",
@@ -119,4 +122,5 @@ __all__ = [
     "ktruss",
     "ego_net",
     "maximal_matching",
+    "minimum_spanning_forest",
 ]

@@ -872,3 +872,35 @@ def matching_greedy(src: np.ndarray, dst: np.ndarray) -> set[tuple[int, int]]:
             used.add(u)
             used.add(v)
     return out
+
+
+def msf_kruskal(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray | None = None
+) -> set[tuple[int, int, int]]:
+    """Kruskal with union-find under the strict (w, u, v) total order
+    over canonical (u < v) edges (min weight per pair) — since the
+    order is strict, the MSF is unique, so this must equal Borůvka's
+    output (kernels/msf.py) edge-for-edge."""
+    canon: dict[tuple[int, int], int] = {}
+    ws = [1] * len(src) if w is None else [int(x) for x in w.tolist()]
+    for u, v, ew in zip(src.tolist(), dst.tolist(), ws):
+        if u == v:
+            continue
+        key = (min(u, v), max(u, v))
+        if key not in canon or ew < canon[key]:
+            canon[key] = ew
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out: set[tuple[int, int, int]] = set()
+    for (u, v), ew in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            out.add((u, v, ew))
+    return out

@@ -1253,3 +1253,78 @@ def test_matching_path_and_empty(spark):
     assert res2.df.count() == 0
     assert res2.iterations <= 1
     g2.unpersist()
+
+
+def test_msf_matches_kruskal(rmat_graph):
+    """Borůvka MSF == Kruskal under the strict (w,u,v) order (the MSF
+    is unique), on deterministic integer weights; forest size ==
+    n_in_components - n_components checked structurally."""
+    from linkgraph.kernels import connected_components, minimum_spanning_forest
+    from tests.oracles import msf_kruskal
+
+    g, pdf, n = rmat_graph
+    spark = g.edges.sparkSession
+    # deterministic integer weights: a fixed hash of the edge pair
+    wpdf = pdf.copy()
+    wpdf["w"] = (
+        (wpdf[["src", "dst"]].min(axis=1) * 31 + wpdf[["src", "dst"]].max(axis=1) * 17)
+        % 101
+        + 1
+    )
+    weights = spark.createDataFrame(wpdf, "src long, dst long, w long")
+    res = minimum_spanning_forest(g, weights=weights)
+    got = {(r["u"], r["v"], r["w"]) for r in res.df.collect()}
+    want = msf_kruskal(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), wpdf["w"].to_numpy()
+    )
+    assert got == want
+    assert res.total_weight == sum(w for _, _, w in want)
+    # structural: |forest| = |vertices touched by edges... | use CC count
+    cc = connected_components(g, symmetrize_edges=True)
+    n_comp = cc.df.select("comp").distinct().count()
+    n_verts = g.vertices.count()
+    assert len(got) == n_verts - n_comp
+    assert res.iterations >= 1
+
+
+def test_msf_unweighted_and_closed_forms(spark):
+    """Unweighted MSF of a path = the path itself; a weighted 4-cycle
+    drops exactly its heaviest edge; empty graph -> empty forest."""
+    from linkgraph.kernels import minimum_spanning_forest
+
+    # path 0-1-2-3 (directed input; kernel canonicalizes)
+    g = build_graph_from_edges(
+        spark.createDataFrame(
+            pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]}),
+            "src long, dst long",
+        ),
+        num_partitions=2,
+    )
+    res = minimum_spanning_forest(g)
+    assert {(r["u"], r["v"]) for r in res.df.collect()} == {(0, 1), (1, 2), (2, 3)}
+    g.unpersist()
+
+    # 4-cycle with weights 1,2,3,9 -> forest drops the 9 edge
+    edges = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0]})
+    wdf = pd.DataFrame(
+        {"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0], "w": [1, 2, 3, 9]}
+    )
+    g2 = build_graph_from_edges(
+        spark.createDataFrame(edges, "src long, dst long"), num_partitions=2
+    )
+    res2 = minimum_spanning_forest(
+        g2, weights=spark.createDataFrame(wdf, "src long, dst long, w long")
+    )
+    got2 = {(r["u"], r["v"], r["w"]) for r in res2.df.collect()}
+    assert got2 == {(0, 1, 1), (1, 2, 2), (2, 3, 3)}
+    assert res2.total_weight == 6
+    g2.unpersist()
+
+    # empty graph
+    g3 = build_graph_from_edges(
+        spark.createDataFrame([], "src long, dst long"), n=2, num_partitions=1
+    )
+    res3 = minimum_spanning_forest(g3)
+    assert res3.df.count() == 0
+    assert res3.total_weight == 0
+    g3.unpersist()
