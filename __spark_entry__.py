@@ -298,6 +298,18 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("u", "w", "support")
 
 
+def q_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood Jaccard / embeddedness of the co-part
+    graph (kernels/nodesim.py): cn = triangle support of the edge,
+    jaccard = cn/(deg_u+deg_v-cn) — exact int64 aggregates through one
+    fixed-order double expression, hash-identical with NO rounding
+    (the graph_stats approach)."""
+    from linkgraph.kernels import edge_jaccard
+
+    g = _graph(_copart_edges(spark, sf_dir))
+    return edge_jaccard(g).df
+
+
 def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borůvka minimum spanning forest (kernels/msf.py) of the co-part
     graph weighted by line-pair co-occurrence count — the
@@ -805,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_10": q_ktruss,
         "maximal_matching": q_maximal_matching,
         "msf_boruvka": q_msf,
+        "edge_jaccard": q_edge_jaccard,
         "ego_net_2": q_ego_net,
         "bfs_levels": q_bfs_levels,
         "msbfs_harmonic": q_msbfs_harmonic,
@@ -1284,6 +1297,28 @@ ec{r} AS MATERIALIZED (
 SELECT e.u, e.w, COALESCE(s.support, CAST(0 AS BIGINT)) AS support
 FROM ec{rounds - 1} e LEFT JOIN su{rounds} s ON e.u = s.u AND e.w = s.w
 WHERE COALESCE(s.support, 0) >= {k - 2}
+"""
+
+
+_EDGE_JACCARD_SQL = f"""
+WITH ec AS MATERIALIZED (SELECT src AS u, dst AS w FROM ({_COPART_E})),
+sy AS MATERIALIZED (SELECT u AS src, w AS dst FROM ec UNION ALL SELECT w, u FROM ec),
+tr AS (
+  SELECT a.dst AS v, b.dst AS w
+  FROM sy a JOIN sy b ON a.src = b.src AND a.dst < b.dst
+  JOIN sy c ON c.src = a.dst AND c.dst = b.dst
+),
+su AS MATERIALIZED (SELECT v AS u, w, COUNT(*) AS cn FROM tr GROUP BY v, w),
+deg AS MATERIALIZED (SELECT src AS vtx, COUNT(*) AS deg FROM sy GROUP BY src)
+SELECT e.u, e.w AS v,
+       COALESCE(s.cn, CAST(0 AS BIGINT)) AS cn,
+       du.deg AS deg_u, dw.deg AS deg_v,
+       CAST(COALESCE(s.cn, 0) AS DOUBLE)
+         / CAST(du.deg + dw.deg - COALESCE(s.cn, 0) AS DOUBLE) AS jaccard
+FROM ec e
+LEFT JOIN su s ON e.u = s.u AND e.w = s.w
+JOIN deg du ON e.u = du.vtx
+JOIN deg dw ON e.w = dw.vtx
 """
 
 
@@ -2472,6 +2507,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "ktruss_10": _ktruss_sql(10, 10),
         "maximal_matching": _matching_sql(rounds=12),
         "msf_boruvka": _msf_sql(rounds=4),
+        "edge_jaccard": _EDGE_JACCARD_SQL,
         "ego_net_2": _EGO_NET_SQL,
         "event_sessions_graph": """
 WITH t AS (

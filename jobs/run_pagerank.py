@@ -35,6 +35,7 @@ def main(argv: list[str]) -> int:
             "mis", "coloring", "anf", "hits", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
             "modularity", "walks", "sample", "condense", "matching", "msf",
+            "jaccard",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -170,6 +171,10 @@ def main(argv: list[str]) -> int:
             "forest_edges": out.count(),
             "total_weight": res.total_weight,
         }
+    elif args.kernel == "jaccard":
+        res = kernels.edge_jaccard(graph)
+        out = res.df.orderBy(F.desc("jaccard"), "u", "v")
+        summary = {"kernel": "jaccard", "edges": out.count()}
     elif args.kernel == "anf":
         from linkgraph.kernels.anf import effective_diameter
 

@@ -55,6 +55,8 @@ maximal_matching parallel greedy maximal matching with deterministic
                 edge priorities (equals sequential greedy in key order)
 minimum_spanning_forest Borůvka MSF (unique under the strict (w,u,v)
                 edge order; min-edge select + pointer-jump contraction)
+edge_jaccard    per-edge neighborhood Jaccard / embeddedness
+                (common neighbors via the truss support enumeration)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -87,6 +89,7 @@ from linkgraph.kernels.truss import ktruss
 from linkgraph.kernels.egonet import ego_net
 from linkgraph.kernels.matching import maximal_matching
 from linkgraph.kernels.msf import minimum_spanning_forest
+from linkgraph.kernels.nodesim import edge_jaccard
 
 __all__ = [
     "pagerank",
@@ -123,4 +126,5 @@ __all__ = [
     "ego_net",
     "maximal_matching",
     "minimum_spanning_forest",
+    "edge_jaccard",
 ]

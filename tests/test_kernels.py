@@ -1328,3 +1328,60 @@ def test_msf_unweighted_and_closed_forms(spark):
     assert res3.df.count() == 0
     assert res3.total_weight == 0
     g3.unpersist()
+
+
+def test_edge_jaccard_matches_bruteforce(rmat_graph):
+    """Per-edge Jaccard == brute-force neighbor-set replay on the
+    symmetrized rMAT graph, exact doubles (int64-derived)."""
+    from linkgraph.kernels import edge_jaccard
+
+    g, pdf, n = rmat_graph
+    res = edge_jaccard(g)
+    got = {
+        (r["u"], r["v"]): (r["cn"], r["deg_u"], r["deg_v"], r["jaccard"])
+        for r in res.df.collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    for u, v in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        if u == v:
+            continue
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    canon = {(min(u, v), max(u, v)) for u in nbrs for v in nbrs[u]}
+    assert set(got) == canon
+    for u, v in canon:
+        cn = len(nbrs[u] & nbrs[v])
+        du, dv = len(nbrs[u]), len(nbrs[v])
+        exp = cn / (du + dv - cn)
+        gcn, gdu, gdv, gj = got[(u, v)]
+        assert (gcn, gdu, gdv) == (cn, du, dv)
+        assert gj == exp  # same fixed-order expression, bit-exact
+
+
+def test_edge_jaccard_closed_forms(spark):
+    """Triangle: every edge has cn=1, J=1/3. Star: cn=0, J=0."""
+    from linkgraph.kernels import edge_jaccard
+
+    tri = build_graph_from_edges(
+        spark.createDataFrame(
+            pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]}),
+            "src long, dst long",
+        ),
+        num_partitions=2,
+    )
+    rows = edge_jaccard(tri).df.collect()
+    assert len(rows) == 3
+    assert all(r["cn"] == 1 and r["jaccard"] == 1 / 3 for r in rows)
+    tri.unpersist()
+
+    star = build_graph_from_edges(
+        spark.createDataFrame(
+            pd.DataFrame({"src": [0, 0, 0], "dst": [1, 2, 3]}),
+            "src long, dst long",
+        ),
+        num_partitions=2,
+    )
+    rows = edge_jaccard(star).df.collect()
+    assert len(rows) == 3
+    assert all(r["cn"] == 0 and r["jaccard"] == 0.0 for r in rows)
+    star.unpersist()
