@@ -772,6 +772,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
+def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embeddings table
+    (pipeline/embedcluster.py; k=8, 3 rounds, smallest-8-ids init) —
+    the SemDeDup/IVF curation primitive. Output is integers only
+    (vec_id, cluster); engines can disagree on a distance only at
+    ~1e-13 relative, far below any real argmin gap."""
+    from linkgraph.pipeline import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans(emb, k=8, rounds=3).assignments
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters = the engine's CC kernel over the exact
     n-gram-Jaccard pair graph (same sub-corpus + stop-shingle guard as
@@ -846,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_clusters": q_dedup_clusters,
+        "kmeans_embed": q_kmeans_embed,
     }
 
 
@@ -1298,6 +1311,47 @@ SELECT e.u, e.w, COALESCE(s.support, CAST(0 AS BIGINT)) AS support
 FROM ec{rounds - 1} e LEFT JOIN su{rounds} s ON e.u = s.u AND e.w = s.w
 WHERE COALESCE(s.support, 0) >= {k - 2}
 """
+
+
+def _kmeans_sql(k: int = 8, rounds: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd k-means over the embeddings table
+    (pipeline/embedcluster.py): init = smallest-k vec_ids, assignment
+    = argmin list_distance with cluster-id tie-break (Spark folds
+    sum((x-c)^2) — same ordering; engines differ at ~1e-13, far below
+    real argmin gaps), update = AVG per (cluster, dim) via a
+    generate_series lateral + list(m ORDER BY d); empty clusters keep
+    their previous centroid (NOT IN union)."""
+    sql = f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, vec
+  FROM (SELECT vec_id, vec FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+a{r} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.vec, c.vec), c.cluster) AS rn
+    FROM e CROSS JOIN c{p} c
+  ) WHERE rn = 1
+)"""
+        if r < rounds:
+            sql += f""",
+cm{r} AS MATERIALIZED (
+  SELECT a.cluster, g.i AS d, AVG(e.vec[g.i]) AS m
+  FROM a{r} a JOIN e ON e.vec_id = a.vec_id, generate_series(1, {dim}) g(i)
+  GROUP BY a.cluster, g.i
+),
+c{r} AS MATERIALIZED (
+  SELECT cluster, list(m ORDER BY d) AS vec FROM cm{r} GROUP BY cluster
+  UNION ALL
+  SELECT c.cluster, c.vec FROM c{p} c
+  WHERE c.cluster NOT IN (SELECT cluster FROM cm{r})
+)"""
+    return sql + f"\nSELECT vec_id, cluster FROM a{rounds}\n"
 
 
 _EDGE_JACCARD_SQL = f"""
@@ -2508,6 +2562,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "maximal_matching": _matching_sql(rounds=12),
         "msf_boruvka": _msf_sql(rounds=4),
         "edge_jaccard": _EDGE_JACCARD_SQL,
+        "kmeans_embed": _kmeans_sql(k=8, rounds=3, dim=64),
         "ego_net_2": _EGO_NET_SQL,
         "event_sessions_graph": """
 WITH t AS (

@@ -12,7 +12,7 @@ Usage:
 Ops over --docs:        exact_dedup | minhash | lsh_pairs | simhash |
                         ngram_jaccard | dedup_clusters | token_stats |
                         lang_id | fingerprints
-Ops over --embeddings:  ann_topk | ann_lsh | near_dup
+Ops over --embeddings:  ann_topk | ann_lsh | near_dup | kmeans
 
 Writes the result as parquet to --output when given, else prints 20
 rows. Packaged-for-spark-submit per BASELINE.json:6.
@@ -34,7 +34,7 @@ DOC_OPS = {
     "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
     "dedup_clusters", "token_stats", "lang_id", "fingerprints",
 }
-EMB_OPS = {"ann_topk", "ann_lsh", "near_dup"}
+EMB_OPS = {"ann_topk", "ann_lsh", "near_dup", "kmeans"}
 
 
 def main(argv: list[str]) -> int:
@@ -108,6 +108,8 @@ def main(argv: list[str]) -> int:
         out = P.lsh_ann_topk(source, k=opt(args.k, 5))
     elif args.op == "near_dup":
         out = P.embedding_near_dup_pairs(source, threshold=opt(args.threshold, 0.9))
+    elif args.op == "kmeans":
+        out = P.kmeans(source, k=opt(args.k, 8), rounds=3).assignments
     else:  # pragma: no cover
         raise AssertionError(args.op)
 

@@ -26,6 +26,7 @@ from linkgraph.pipeline.simsearch import (
     lsh_ann_topk,
 )
 from linkgraph.pipeline.textstats import lang_id, token_stats
+from linkgraph.pipeline.embedcluster import kmeans
 
 __all__ = [
     "exact_dup_groups",
@@ -40,4 +41,5 @@ __all__ = [
     "token_stats",
     "lang_id",
     "winnow_fingerprints",
+    "kmeans",
 ]

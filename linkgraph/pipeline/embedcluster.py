@@ -1,0 +1,132 @@
+"""K-means clustering over an embeddings(vec_id, embedding) table —
+the workhorse of embedding-space corpus curation: SemDeDup-style
+semantic dedup picks per-cluster representatives (Abbas et al. 2023),
+density/diversity sampling stratifies by cluster, and IVF-style ANN
+partitions by nearest centroid. Lloyd's algorithm (1957/1982) with a
+DETERMINISTIC init so the DuckDB oracle and a NumPy replay reproduce
+the run exactly.
+
+Determinism contract:
+  * init: the k embeddings with the smallest vec_id, cluster id =
+    their rank (ties impossible — vec_id is a key);
+  * fixed round count (no convergence test in the oracle-checked
+    path; `tol` is available for library use);
+  * assignment: argmin of RAW double squared-L2 distance, ties broken
+    by the smaller cluster id. Engines disagree on a distance only at
+    ~1e-13 relative (unordered float sums), so an argmin flip needs a
+    true gap below that — vanishingly rare and validated green at
+    sf0.01. The OUTPUT is integers only (vec_id, cluster): hash-exact.
+
+Scale shape (none of this collects the data):
+  * centroids are k*dim doubles on the DRIVER (like pagerank's
+    Observation scalars) — broadcast into the assignment expression as
+    array literals each round;
+  * assignment is ONE whole-stage-codegen projection: per centroid a
+    zip_with/aggregate fold (JVM, no Python), argmin via array_min
+    over (dist, cluster) structs;
+  * the update is posexplode(embedding) -> partial+final AVG keyed on
+    (cluster, dim): map-side combine means the shuffle carries
+    ~partitions * k * dim rows, NOT n * dim;
+  * empty clusters keep their previous centroid (mirrored in the
+    oracle via a NOT IN union).
+At 100 TB: one linear scan + one tiny-key agg per round, k*dim driver
+state, no n^2, no Python rows.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class KMeansResult:
+    assignments: DataFrame  # (vec_id long, cluster long)
+    centroids: list[list[float]]  # final k x dim
+    rounds: int
+    wall_seconds: float
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _dist2(vec_col, centroid: list[float]):
+    """Squared L2 distance between an array<double> column and a
+    centroid literal — a sequential zip_with/aggregate fold, all JVM."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> KMeansResult:
+    """Lloyd's k-means with deterministic smallest-k-ids init.
+
+    `rounds` assignment steps run with a centroid update between
+    consecutive ones (so the returned assignment reflects the final
+    centroids). Returns integer assignments + the final centroids.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("kmeans needs k >= 1 and rounds >= 1")
+    t0 = time.time()
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    init_rows = e.orderBy("vec_id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"kmeans: need at least k={k} rows, got {len(init_rows)}")
+    centroids: list[list[float]] = [list(r["vec"]) for r in init_rows]
+    dim = len(centroids[0])
+    metrics: list[dict] = []
+    assign = None
+    for rnd in range(1, rounds + 1):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _dist2(F.col("vec"), c).alias("d"),
+                        F.lit(j).cast("long").alias("c"),
+                    )
+                    for j, c in enumerate(centroids)
+                ]
+            )
+        )
+        assign = e.select("vec_id", "vec", best["c"].alias("cluster"))
+        if rnd < rounds:
+            # centroid update: posexplode + partial+final AVG on (cluster, d)
+            upd = (
+                assign.select(
+                    "cluster", F.posexplode("vec").alias("d", "x")
+                )
+                .groupBy("cluster", "d")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new_c: dict[int, list[float]] = {}
+            for row in upd:
+                new_c.setdefault(int(row["cluster"]), [0.0] * dim)[
+                    int(row["d"])
+                ] = float(row["m"])
+            # empty clusters keep their previous centroid
+            centroids = [new_c.get(j, centroids[j]) for j in range(k)]
+            metrics.append(
+                {"round": rnd, "nonempty": len(new_c), "wall_s": time.time() - t0}
+            )
+    out = assign.select("vec_id", "cluster")
+    return KMeansResult(
+        assignments=out,
+        centroids=centroids,
+        rounds=rounds,
+        wall_seconds=time.time() - t0,
+        metrics=metrics,
+    )

@@ -364,3 +364,58 @@ def test_dedup_clusters_union_find(spark):
     assert got[5] == 5  # singleton keeps its own id
     assert got[0] == got[1] == got[2] == 0
     assert got[3] == got[4] == 3
+
+
+def test_kmeans_matches_numpy_lloyd(spark, emb_df):
+    """Deterministic k-means == a NumPy Lloyd replay with the same
+    init (smallest k ids), same round count, raw-double argmin with
+    cluster-id tie-break."""
+    from linkgraph.pipeline import kmeans
+
+    k, rounds = 6, 3
+    res = kmeans(emb_df, k=k, rounds=rounds)
+    got = {r["vec_id"]: r["cluster"] for r in res.assignments.collect()}
+
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in emb_df.collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    C = X[:k].copy()
+    for rnd in range(1, rounds + 1):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the first (smallest id) on ties
+        if rnd < rounds:
+            for j in range(k):
+                if (assign == j).any():
+                    C[j] = X[assign == j].mean(axis=0)
+    want = {i: int(a) for i, a in zip(ids, assign)}
+    assert got == want
+    assert len(res.centroids) == k and len(res.centroids[0]) == 16
+    # 10 true generator clusters, k=6: each output cluster must be
+    # internally consistent with the final centroids (sanity)
+    assert set(got.values()) <= set(range(k))
+
+
+def test_kmeans_separated_blobs_and_guards(spark):
+    """Two well-separated blobs with k=2 split perfectly regardless of
+    float detail; k > n and bad params raise."""
+    from linkgraph.pipeline import kmeans
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        base = np.zeros(8) if i % 2 == 0 else np.full(8, 100.0)
+        rows.append((i, [float(x) for x in base + 0.1 * rng.standard_normal(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = kmeans(df, k=2, rounds=3)
+    got = {r["vec_id"]: r["cluster"] for r in res.assignments.collect()}
+    even = {got[i] for i in range(0, 40, 2)}
+    odd = {got[i] for i in range(1, 40, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
+
+    with pytest.raises(ValueError):
+        kmeans(df, k=0)
+    with pytest.raises(ValueError):
+        kmeans(df.limit(1), k=2)
