@@ -772,6 +772,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling
+    (pipeline/sampling.py): downsample dominant English to 25%, keep
+    low-resource languages in full (fr 100%, others 60%) — the
+    corpus-balancing op. Membership = seeded md5-prefix hash
+    threshold, so the oracle reproduces the EXACT kept set, not just
+    the rate."""
+    from linkgraph.pipeline import stratified_sample
+
+    docs = _documents(spark, sf_dir)
+    return stratified_sample(
+        docs, {"en": 0.25, "fr": 1.0}, default_rate=0.6, seed=7
+    ).select("doc_id", "lang")
+
+
 def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means over the embeddings table
     (pipeline/embedcluster.py; k=8, 3 rounds, smallest-8-ids init) —
@@ -859,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "kmeans_embed": q_kmeans_embed,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1310,6 +1326,17 @@ ec{r} AS MATERIALIZED (
 SELECT e.u, e.w, COALESCE(s.support, CAST(0 AS BIGINT)) AS support
 FROM ec{rounds - 1} e LEFT JOIN su{rounds} s ON e.u = s.u AND e.w = s.w
 WHERE COALESCE(s.support, 0) >= {k - 2}
+"""
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+  CASE lang
+    WHEN 'en' THEN {int(0.25 * (1 << 32))}
+    WHEN 'fr' THEN {int(1.0 * (1 << 32))}
+    ELSE {int(0.6 * (1 << 32))}
+  END
 """
 
 
@@ -2563,6 +2590,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "msf_boruvka": _msf_sql(rounds=4),
         "edge_jaccard": _EDGE_JACCARD_SQL,
         "kmeans_embed": _kmeans_sql(k=8, rounds=3, dim=64),
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "ego_net_2": _EGO_NET_SQL,
         "event_sessions_graph": """
 WITH t AS (

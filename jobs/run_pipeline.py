@@ -11,7 +11,8 @@ Usage:
 
 Ops over --docs:        exact_dedup | minhash | lsh_pairs | simhash |
                         ngram_jaccard | dedup_clusters | token_stats |
-                        lang_id | fingerprints
+                        lang_id | fingerprints | sample (--threshold
+                        = rate, --seed; deterministic hash membership)
 Ops over --embeddings:  ann_topk | ann_lsh | near_dup | kmeans
 
 Writes the result as parquet to --output when given, else prints 20
@@ -32,7 +33,7 @@ def opt(val, default):
 
 DOC_OPS = {
     "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
-    "dedup_clusters", "token_stats", "lang_id", "fingerprints",
+    "dedup_clusters", "token_stats", "lang_id", "fingerprints", "sample",
 }
 EMB_OPS = {"ann_topk", "ann_lsh", "near_dup", "kmeans"}
 
@@ -47,6 +48,7 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--k", type=int, default=None, help="shingle size / top-k")
     ap.add_argument("--max-df", type=int, default=None, help="stop-shingle cutoff")
+    ap.add_argument("--seed", type=int, default=None, help="sample: hash seed")
     ap.add_argument(
         "--max-bucket", type=int, default=None,
         help="LSH bucket-size cutoff for lsh_pairs (drop template "
@@ -97,6 +99,10 @@ def main(argv: list[str]) -> int:
         out = P.lang_id(source)
     elif args.op == "fingerprints":
         out = P.winnow_fingerprints(source, k=5, window=4)
+    elif args.op == "sample":
+        out = P.hash_sample(
+            source, rate=opt(args.threshold, 0.1), seed=opt(args.seed, 0)
+        )
     elif args.op == "ann_topk":
         # guarded: cosine_topk is the brute-force baseline and raises
         # above --max-brute-rows, directing users to --op ann_lsh

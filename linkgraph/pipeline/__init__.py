@@ -27,6 +27,7 @@ from linkgraph.pipeline.simsearch import (
 )
 from linkgraph.pipeline.textstats import lang_id, token_stats
 from linkgraph.pipeline.embedcluster import kmeans
+from linkgraph.pipeline.sampling import hash_sample, stratified_sample
 
 __all__ = [
     "exact_dup_groups",
@@ -42,4 +43,6 @@ __all__ = [
     "lang_id",
     "winnow_fingerprints",
     "kmeans",
+    "hash_sample",
+    "stratified_sample",
 ]

@@ -1,0 +1,81 @@
+"""Deterministic corpus sampling — the reproducibility primitive every
+training-data pipeline needs: the same (seed, rate) must select the
+same documents on every run, on any cluster layout, in any engine.
+(Spark's df.sample() is partition-layout-dependent and can't be
+reproduced by an external oracle; this is the standard hash-threshold
+alternative, e.g. the `hash(id) % N < k` idiom of web-corpus
+pipelines.)
+
+Selection rule: a document is kept iff
+    h32(seed || ':' || doc_id) < rate * 2^32
+where h32 is the md5-prefix hash shared with pipeline/dedup.py — a
+pure string/arith expression identical in Spark and ANSI SQL, so the
+oracle reproduces the exact membership, not just the rate. The rate
+is honored in expectation (md5 is uniform); membership is exact and
+stable under repartitioning, inserts, and engine changes.
+
+`stratified_sample` applies a per-stratum rate (e.g. per language:
+keep 100% of low-resource languages, 5% of English) — the standard
+corpus-balancing op — with one expression per stratum folded into a
+CASE; unlisted strata default to `default_rate`.
+
+Scale shape: a single whole-stage-codegen filter over the scan — no
+shuffle, no state, trivially 100 TB-safe; the filter pushes nothing to
+parquet (md5 of a derived string) but evaluates in the same scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = 1 << 32
+
+
+def _keep(id_col: Column, rate: float, seed: int) -> Column:
+    """h32(seed:id) < rate * 2^32 — deterministic membership."""
+    key = F.concat(F.lit(f"{seed}:"), id_col.cast("string"))
+    h = F.conv(F.substring(F.md5(F.encode(key, "utf-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return h < int(rate * HASH_SPACE)
+
+
+def hash_sample(
+    docs: DataFrame,
+    rate: float,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ~rate of rows, deterministically by id hash."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return docs.where(_keep(F.col(id_col), rate, seed))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    default_rate: float = 0.0,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus balancing): rows in
+    stratum s are kept at rates[s] (default_rate otherwise), selected
+    by the same seeded id hash so membership is engine-reproducible."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    threshold = F.lit(int(default_rate * HASH_SPACE))
+    for s, r in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == F.lit(s), F.lit(int(r * HASH_SPACE))
+        ).otherwise(threshold)
+    key = F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(F.encode(key, "utf-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return docs.where(h < threshold)

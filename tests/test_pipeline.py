@@ -419,3 +419,58 @@ def test_kmeans_separated_blobs_and_guards(spark):
         kmeans(df, k=0)
     with pytest.raises(ValueError):
         kmeans(df.limit(1), k=2)
+
+
+def test_hash_sample_deterministic_and_exact(spark):
+    """Membership == a hashlib md5 replay (not just the rate); stable
+    across repartitioning; different seeds give different samples."""
+    from linkgraph.pipeline import hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(500)], "doc_id long, text string"
+    )
+    rate, seed = 0.2, 7
+    got = {r["doc_id"] for r in hash_sample(docs, rate, seed=seed).collect()}
+    want = {
+        i
+        for i in range(500)
+        if int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+        < int(rate * (1 << 32))
+    }
+    assert got == want
+    assert 0 < len(got) < 500
+    # layout-independent: same membership after repartition
+    got2 = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(13), rate, seed=seed).collect()
+    }
+    assert got2 == got
+    # seed changes the sample
+    got3 = {r["doc_id"] for r in hash_sample(docs, rate, seed=8).collect()}
+    assert got3 != got
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    """Per-stratum rates: en at 10%, de at 100%, unlisted at 0; exact
+    membership replayed per stratum."""
+    from linkgraph.pipeline import stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"))
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(docs, {"en": 0.1, "de": 1.0}, seed=4).collect()
+    got = {(r["doc_id"], r["lang"]) for r in out}
+    assert all(lang != "fr" for _, lang in got)  # default_rate 0
+    assert {i for i, lang in rows if lang == "de"} == {
+        i for i, lang in got if lang == "de"
+    }  # rate 1.0 keeps everything
+    en_want = {
+        i
+        for i, lang in rows
+        if lang == "en"
+        and int(hashlib.md5(f"4:{i}".encode()).hexdigest()[:8], 16)
+        < int(0.1 * (1 << 32))
+    }
+    assert {i for i, lang in got if lang == "en"} == en_want
