@@ -120,6 +120,29 @@ def q_pagerank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_pagerank_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 3 weighted-PageRank rounds (kernels/pagerank_w.py) on
+    the customer→supplier graph with (order, lineitem) pair
+    multiplicity as the edge weight — rank flows proportionally to
+    link multiplicity, the host-graph ranking semantics. Integer
+    weights make p = w/wsum an exact division; ranks ROUND(9)."""
+    from linkgraph.kernels import pagerank_weighted
+
+    li = _lineitem(spark, sf_dir)
+    o = _orders(spark, sf_dir)
+    wdf = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    g = _graph(wdf.select("src", "dst"))
+    res = pagerank_weighted(g, wdf, tol=0.0, max_iter=3)
+    return res.df.select("id", F.round("rank", 9).alias("rank"))
+
+
 def q_ppr_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 3 personalized-PageRank rounds (seed-restricted
     teleport; dangling mass returns to the seeds) from the 4 smallest
@@ -875,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "kmeans_embed": q_kmeans_embed,
         "stratified_sample": q_stratified_sample,
+        "pagerank_weighted_k": q_pagerank_weighted_k,
     }
 
 
@@ -1540,6 +1564,49 @@ SELECT id, CAST(0 AS BIGINT) AS dist FROM h0
 UNION ALL SELECT id, CAST(1 AS BIGINT) FROM h1
 UNION ALL SELECT id, CAST(2 AS BIGINT) FROM h2
 """
+
+
+def _pagerank_weighted_k_sql(k: int = 3) -> str:
+    """Unrolled k-round weighted PageRank (kernels/pagerank_w.py):
+    p = w/wsum row-normalized once (exact int64 division), gather =
+    SUM(rank * p), dangling = vertices with no weighted out-edge."""
+    sql = f"""
+WITH we AS (
+  SELECT o_custkey AS src, {SUPP_OFFSET} + l_suppkey AS dst, COUNT(*) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+v AS (SELECT src AS id FROM we UNION SELECT dst AS id FROM we),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+ws AS (SELECT src, SUM(w) AS wsum FROM we GROUP BY src),
+pe AS (
+  SELECT we.src, we.dst, CAST(we.w AS DOUBLE) / CAST(ws.wsum AS DOUBLE) AS p
+  FROM we JOIN ws ON we.src = ws.src
+),
+od AS (
+  SELECT v.id, (ws.src IS NOT NULL) AS has_out
+  FROM v LEFT JOIN ws ON v.id = ws.src
+),
+r0 AS (SELECT id, has_out, 1.0 / (SELECT n FROM nn) AS rank FROM od)
+"""
+    prev = "r0"
+    for i in range(1, k + 1):
+        sql += f""",
+g{i} AS (
+  SELECT pe.dst AS id, SUM(r.rank * pe.p) AS gathered
+  FROM pe JOIN {prev} r ON pe.src = r.id
+  GROUP BY pe.dst
+),
+d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev} WHERE NOT has_out),
+r{i} AS (
+  SELECT r.id, r.has_out,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * (COALESCE(g.gathered, 0.0)
+                   + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+  FROM {prev} r LEFT JOIN g{i} g ON r.id = g.id
+)"""
+        prev = f"r{i}"
+    return sql + f"\nSELECT id, ROUND(rank, 9) AS rank FROM {prev}\n"
 
 
 def _ppr_k_sql(k: int = 3, n_seeds: int = 4) -> str:
@@ -2591,6 +2658,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "edge_jaccard": _EDGE_JACCARD_SQL,
         "kmeans_embed": _kmeans_sql(k=8, rounds=3, dim=64),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "pagerank_weighted_k": _pagerank_weighted_k_sql(3),
         "ego_net_2": _EGO_NET_SQL,
         "event_sessions_graph": """
 WITH t AS (

@@ -35,7 +35,7 @@ def main(argv: list[str]) -> int:
             "mis", "coloring", "anf", "hits", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
             "modularity", "walks", "sample", "condense", "matching", "msf",
-            "jaccard",
+            "jaccard", "pagerank_w",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -170,6 +170,29 @@ def main(argv: list[str]) -> int:
             "rounds": res.iterations,
             "forest_edges": out.count(),
             "total_weight": res.total_weight,
+        }
+    elif args.kernel == "pagerank_w":
+        # weight = row multiplicity of the raw edge input (multi-edges
+        # carry rank proportionally); needs --edges, where duplicates
+        # are visible pre-dedup
+        if not args.edges:
+            raise SystemExit("--kernel pagerank_w needs --edges input "
+                             "(weight = duplicate-row multiplicity)")
+        from linkgraph.io import read_pages as _rp
+
+        wdf = (
+            _rp(spark, args.edges)
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        res = kernels.pagerank_weighted(
+            graph, wdf, tol=args.tol, max_iter=args.max_iter
+        )
+        out = res.df.orderBy(F.desc("rank"))
+        summary = {
+            "kernel": "pagerank_w",
+            "iterations": res.iterations,
+            "converged": res.converged,
         }
     elif args.kernel == "jaccard":
         res = kernels.edge_jaccard(graph)

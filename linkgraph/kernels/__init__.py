@@ -57,6 +57,8 @@ minimum_spanning_forest Borůvka MSF (unique under the strict (w,u,v)
                 edge order; min-edge select + pointer-jump contraction)
 edge_jaccard    per-edge neighborhood Jaccard / embeddedness
                 (common neighbors via the truss support enumeration)
+pagerank_weighted rank distributed proportionally to edge weight
+                (href multiplicity on host graphs; row-normalized once)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -90,6 +92,7 @@ from linkgraph.kernels.egonet import ego_net
 from linkgraph.kernels.matching import maximal_matching
 from linkgraph.kernels.msf import minimum_spanning_forest
 from linkgraph.kernels.nodesim import edge_jaccard
+from linkgraph.kernels.pagerank_w import pagerank_weighted
 
 __all__ = [
     "pagerank",
@@ -127,4 +130,5 @@ __all__ = [
     "maximal_matching",
     "minimum_spanning_forest",
     "edge_jaccard",
+    "pagerank_weighted",
 ]

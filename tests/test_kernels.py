@@ -1385,3 +1385,54 @@ def test_edge_jaccard_closed_forms(spark):
     assert len(rows) == 3
     assert all(r["cn"] == 0 and r["jaccard"] == 0.0 for r in rows)
     star.unpersist()
+
+
+def test_pagerank_weighted_matches_numpy(rmat_graph):
+    """Weighted PageRank == NumPy replay of the same recurrence with
+    row-normalized weights + dangling redistribution."""
+    from linkgraph.kernels import pagerank_weighted
+
+    g, pdf, n = rmat_graph
+    spark = g.edges.sparkSession
+    epdf = g.edges.toPandas()
+    epdf["w"] = ((epdf["src"] * 13 + epdf["dst"] * 7) % 5 + 1).astype("int64")
+    weights = spark.createDataFrame(epdf, "src long, dst long, w long")
+    res = pagerank_weighted(g, weights, tol=0.0, max_iter=4)
+    got = {r["id"]: r["rank"] for r in res.df.collect()}
+
+    ids = sorted(r["id"] for r in g.vertices.collect())
+    idx = {v: i for i, v in enumerate(ids)}
+    nn = len(ids)
+    P = np.zeros((nn, nn))
+    wsum: dict[int, float] = {}
+    for s, d, w in epdf.itertuples(index=False):
+        wsum[s] = wsum.get(s, 0) + w
+    for s, d, w in epdf.itertuples(index=False):
+        P[idx[s], idx[d]] = w / wsum[s]
+    r = np.full(nn, 1.0 / nn)
+    has_out = np.array([ids[i] in wsum for i in range(nn)])
+    for _ in range(4):
+        dm = r[~has_out].sum()
+        r = 0.15 / nn + 0.85 * (r @ P + dm / nn)
+    assert np.allclose(
+        np.array([got[v] for v in ids]), r, atol=1e-12, rtol=0
+    )
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_weighted_uniform_equals_unweighted(rmat_graph):
+    """All weights equal -> p = 1/out_deg, must reproduce the
+    unweighted kernel's ranks exactly (same recurrence)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.kernels import pagerank, pagerank_weighted
+
+    g, pdf, n = rmat_graph
+    weights = g.edges.withColumn("w", F.lit(3).cast("long"))
+    res_w = pagerank_weighted(g, weights, tol=0.0, max_iter=3)
+    res_u = pagerank(g, tol=0.0, max_iter=3)
+    gw = {r["id"]: r["rank"] for r in res_w.df.collect()}
+    gu = {r["id"]: r["rank"] for r in res_u.df.collect()}
+    assert set(gw) == set(gu)
+    for v in gw:
+        assert abs(gw[v] - gu[v]) < 1e-14
