@@ -31,7 +31,8 @@ is an undirected notion), dropping self-loops.
 Scale shape (the mis.py loop, adapted edge-side):
   * per-round per-vertex min is ONE groupBy over the 2m-row endpoint
     incidence view (union of two column-swaps of the live edge set) —
-    a partial+final hash agg, skew-safe, no joins;
+    a partial+final aggregation (struct min plans as SortAggregate,
+    which still combines map-side), skew-safe, no joins;
   * local-minimum selection is two equi-joins of the live edges
     against the (vid, min-key) table — vertex-keyed shuffle joins that
     AQE handles; the live set shrinks geometrically after round 1;

@@ -220,3 +220,65 @@ def test_scc_sweep_accept_is_equi_join_not_nested_loop(spark, tiny_graph):
     agg_pos = plan.find("HashAggregate")
     anti_pos = plan.find("LeftAnti")
     assert agg_pos != -1 and anti_pos != -1 and agg_pos < anti_pos
+
+
+def test_kmeans_assignment_is_single_stage_no_python(spark):
+    """The k-means assignment must stay ONE codegen projection over
+    the input: no Exchange (it's per-row), no Python eval (the folds
+    are built-in higher-order functions)."""
+    from linkgraph.pipeline.embedcluster import _dist2
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = [[0.0, 0.5], [1.0, 0.5]]
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist2(F.col("embedding"), c).alias("d"),
+                    F.lit(j).cast("long").alias("c"),
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+    )
+    plan = _plan(df.select("vec_id", best["c"].alias("cluster")))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_hash_sample_is_scan_plus_filter_only(spark):
+    """Deterministic sampling must plan as a bare Filter over the
+    scan: any Exchange or Python node means it stopped being a free
+    pushed-through predicate."""
+    from linkgraph.pipeline import hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "t") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(hash_sample(df, 0.5, seed=3))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Filter" in plan
+
+
+def test_matching_min_key_is_partial_final_agg_no_window(spark, tiny_graph):
+    """The per-vertex min incident key must stay a partial+final
+    aggregation over the endpoint union (struct min plans as
+    SortAggregate — fine, it still combines map-side); a
+    window/row_number regression would lose the partial combine and
+    single-partition the hot vertex."""
+    from linkgraph.kernels.matching import _key_struct, edge_priority
+
+    cur = tiny_graph.edges.where(F.col("src") != F.col("dst")).select(
+        edge_priority(F.least("src", "dst"), F.greatest("src", "dst")).alias("h"),
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+    )
+    inc = cur.select(F.col("u").alias("vid"), _key_struct().alias("k")).union(
+        cur.select(F.col("v").alias("vid"), _key_struct().alias("k"))
+    )
+    plan = _plan(inc.groupBy("vid").agg(F.min("k").alias("mk")))
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine = hub-skew-safe
