@@ -475,6 +475,23 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(g, k=20).df
 
 
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-core decomposition of the symmetrized part-succession
+    graph: (id, core) for every endpoint via level-synchronous bucket
+    peeling (kernels/coreness.py; Batagelj & Zaveršnik 2003 / Julienne
+    KCore). Measured at sf0.01: 21 rounds to fixpoint, degeneracy 3,
+    cores {1: 513, 2: 1264, 3: 7}. The oracle unrolls 24 rounds with
+    the level derived per round by scalar subquery — rounds past the
+    fixpoint are no-ops (the cust→supp graph was rejected for this
+    row: 60 rounds / degeneracy 51 makes the unrolled oracle heavy)."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import coreness
+
+    edges = symmetrize(_part_succession_edges(spark, sf_dir))
+    g = _graph(edges)
+    return coreness(g).df
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal independent set of the symmetrized cust→supp graph:
     parallel greedy with deterministic hash priorities — the fixpoint
@@ -875,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "sssp_weighted": q_sssp_weighted,
         "kcore": q_kcore,
+        "coreness": q_coreness,
         "mis": q_mis,
         "coloring": q_coloring,
         "anf_sketch": q_anf_sketch,
@@ -1827,6 +1845,54 @@ SELECT src AS id, COUNT(*) AS deg FROM {prev} GROUP BY src
     return sql
 
 
+def _coreness_sql(rounds: int = 24) -> str:
+    """Unrolled level-synchronous bucket peeling on the symmetrized
+    part-succession graph (kernels/coreness.py). Each round recomputes
+    residual degrees, advances the level to max(previous, residual
+    min degree) via scalar subqueries (DATA-derived, no literals to
+    drift), peels everything at or below the level with that core
+    number, and drops the touched edges. Rounds past the fixpoint see
+    an empty vertex pool: MIN(c) is NULL -> COALESCE keeps the level,
+    nothing peels — no-ops, per the kcore/mis oracle convention.
+    MATERIALIZED throughout (the sssp oracle lesson: DuckDB 1.0
+    inlines CTEs by reference and the plan explodes)."""
+    sql = f"""WITH e0 AS MATERIALIZED ({_PART_SUCC_E}),
+sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+u0 AS MATERIALIZED (SELECT src AS id FROM sym UNION SELECT dst AS id FROM sym),
+le0 AS MATERIALIZED (SELECT src, dst FROM sym),
+k0 AS (SELECT CAST(0 AS BIGINT) AS k)"""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        sql += f""",
+d{i} AS MATERIALIZED (
+  SELECT u.id, COALESCE(c.c, 0) AS c
+  FROM u{p} u
+  LEFT JOIN (SELECT src, COUNT(*) AS c FROM le{p} GROUP BY src) c
+    ON u.id = c.src
+),
+k{i} AS MATERIALIZED (
+  SELECT GREATEST((SELECT k FROM k{p}),
+                  COALESCE((SELECT MIN(c) FROM d{i}), 0)) AS k
+),
+r{i} AS MATERIALIZED (
+  SELECT id FROM d{i} WHERE c <= (SELECT k FROM k{i})
+),
+o{i} AS MATERIALIZED (
+  SELECT id, (SELECT k FROM k{i}) AS core FROM r{i}
+),
+u{i} AS MATERIALIZED (
+  SELECT id FROM d{i} WHERE c > (SELECT k FROM k{i})
+),
+le{i} AS MATERIALIZED (
+  SELECT src, dst FROM le{p}
+  WHERE src NOT IN (SELECT id FROM r{i})
+    AND dst NOT IN (SELECT id FROM r{i})
+)"""
+    union = "\nUNION ALL\n".join(f"SELECT id, core FROM o{i}" for i in range(1, rounds + 1))
+    sql += f"\n{union}\n"
+    return sql
+
+
 _HOST_GRAPH_SQL = f"""
 WITH e AS ({_CUST_SUPP_E}),
 h AS (
@@ -2592,6 +2658,7 @@ FROM documents GROUP BY md5(text)
         "betweenness": _betweenness_sql(15),
         "sssp_weighted": _sssp_sql(rounds=12),
         "kcore": _kcore_sql(20, rounds=4),
+        "coreness": _coreness_sql(rounds=24),
         "mis": _mis_sql(rounds=6),
         "coloring": _coloring_sql(layers=4, rounds=5),
         "anf_sketch": _anf_sketch_sql(rounds=8, registers=8),

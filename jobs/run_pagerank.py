@@ -35,7 +35,7 @@ def main(argv: list[str]) -> int:
             "mis", "coloring", "anf", "hits", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
             "modularity", "walks", "sample", "condense", "matching", "msf",
-            "jaccard", "pagerank_w",
+            "jaccard", "pagerank_w", "coreness",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -155,7 +155,7 @@ def main(argv: list[str]) -> int:
             "set_size": out.count(),
         }
     elif args.kernel == "matching":
-        res = kernels.maximal_matching(graph, max_iter=args.max_iter)
+        res = kernels.maximal_matching(graph, max_iter=args.max_iter, ckpt=ckpt)
         out = res.df.orderBy("u", "v")
         summary = {
             "kernel": "matching",
@@ -364,13 +364,21 @@ def main(argv: list[str]) -> int:
             "colors_used": res.colors_used,
         }
     elif args.kernel == "kcore":
-        res = kernels.kcore(graph, k=args.k, max_iter=args.max_iter)
+        res = kernels.kcore(graph, k=args.k, max_iter=args.max_iter, ckpt=ckpt)
         out = res.df.orderBy(F.desc("deg"), "id")
         summary = {
             "kernel": "kcore",
             "k": args.k,
             "rounds": res.iterations,
             "core_size": out.count(),
+        }
+    elif args.kernel == "coreness":
+        res = kernels.coreness(graph, max_iter=args.max_iter, ckpt=ckpt)
+        out = res.df.orderBy(F.desc("core"), "id")
+        summary = {
+            "kernel": "coreness",
+            "rounds": res.iterations,
+            "degeneracy": res.degeneracy,
         }
     elif args.kernel == "labelprop":
         res = kernels.label_propagation(graph, max_iter=args.max_iter, ckpt=ckpt)

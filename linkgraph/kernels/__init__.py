@@ -9,6 +9,9 @@ labelprop       community label propagation (most-frequent in-neighbor label)
 triangles       triangle count via degree-ordered edge-intersection join
 msbfs           multi-source BFS (all lanes in one frontier loop) +
                 sampled harmonic centrality rollup
+coreness        full k-core decomposition: per-vertex core numbers +
+                degeneracy via level-synchronous bucket peeling
+                (Batagelj-Zaveršnik / Julienne KCore)
 kcore           k-core membership via iterative peeling (broadcast
                 anti-join removals over the bucketed edge state)
 betweenness     sampled-source Brandes BC (laned forward sigma sweep +
@@ -69,6 +72,7 @@ from linkgraph.kernels.triangles import triangle_count
 from linkgraph.kernels.pagerank_delta import pagerank_delta
 from linkgraph.kernels.msbfs import msbfs, harmonic_centrality, radii
 from linkgraph.kernels.kcore import kcore
+from linkgraph.kernels.coreness import coreness
 from linkgraph.kernels.betweenness import betweenness
 from linkgraph.kernels.sssp import sssp
 from linkgraph.kernels.mis import mis
@@ -105,6 +109,7 @@ __all__ = [
     "harmonic_centrality",
     "radii",
     "kcore",
+    "coreness",
     "betweenness",
     "sssp",
     "mis",

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
-from linkgraph.checkpoint import release, sever
+from linkgraph.checkpoint import CheckpointManager, release, sever
 
 
 @dataclass
@@ -54,13 +54,47 @@ def kcore(
     k: int,
     max_iter: int = 10_000,
     first_round_shuffle: bool = False,
+    ckpt: CheckpointManager | None = None,
 ) -> KCoreResult:
+    """With a CheckpointManager, each round persists its REMOVED-vertex
+    delta (O(removed) rows); resume unions the deltas and re-derives
+    the surviving edge set with one anti-join pass over the original
+    edges (the matching.py delta-resume pattern). A converged record
+    skips straight to the final degree computation — which needs that
+    one pass anyway, since the survivors are never stored."""
     t0 = time.time()
     cur = graph.edges
     kept_edges: list[DataFrame] = []
     iterations = 0
     metrics: list[dict] = []
-    for rnd in range(1, max_iter + 1):
+    start_rnd = 1
+    if ckpt is not None:
+        done = ckpt.complete_iters()
+        if done:
+            spark = graph.edges.sparkSession
+            last = done[-1]
+            parts = []
+            rec_last: dict = {}
+            for it_k in done:
+                st, _, rec = ckpt.load(spark, it_k)
+                parts.append(st.select("src"))
+                if it_k == last:
+                    rec_last = rec
+            removed_all = parts[0]
+            for p in parts[1:]:
+                removed_all = removed_all.union(p)
+            rm_all = F.broadcast(sever(removed_all))
+            cur = sever(
+                graph.edges.join(rm_all, "src", "left_anti")
+                .join(rm_all.withColumnRenamed("src", "dst"), "dst", "left_anti")
+                .select("src", "dst")
+            )
+            kept_edges.append(cur)
+            iterations = last
+            metrics.append(rec_last)
+            # converged record: skip the loop, fall through to output
+            start_rnd = max_iter + 1 if rec_last.get("converged") else last + 1
+    for rnd in range(start_rnd, max_iter + 1):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         obs = Observation(f"kcore_round_{rnd}")
         removed = sever(
@@ -70,9 +104,11 @@ def kcore(
         )
         n_removed = int(obs.get["removed"] or 0)
         iterations = rnd
-        metrics.append(
-            {"iteration": rnd, "removed": n_removed, "wall_s": time.time() - t0}
-        )
+        rec = {"iteration": rnd, "removed": n_removed,
+               "converged": n_removed == 0, "wall_s": time.time() - t0}
+        if ckpt is not None:
+            ckpt.save(rnd, removed.select("src"), metrics=rec)
+        metrics.append(rec)
         if n_removed == 0:
             release(removed)
             break

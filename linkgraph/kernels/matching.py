@@ -54,7 +54,7 @@ from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
-from linkgraph.checkpoint import release, sever
+from linkgraph.checkpoint import CheckpointManager, release, sever
 
 #: Edge-priority hash constants (Knuth / xxhash-prime multipliers).
 MATCH_HASH_MULT_U = 2654435761
@@ -90,7 +90,13 @@ def maximal_matching(
     graph: Graph,
     max_iter: int = 10_000,
     first_round_shuffle: bool = False,
+    ckpt: CheckpointManager | None = None,
 ) -> MatchingResult:
+    """With a CheckpointManager, each round persists its matched-edge
+    DELTA (O(matched) rows — the bfs.py delta layout); resume unions
+    the deltas, re-derives the live edge set by anti-joining their
+    endpoints (one O(m) pass, cheaper than persisting the live set
+    every round), and a converged record short-circuits."""
     t0 = time.time()
     spark = graph.edges.sparkSession
     # canonicalize: each undirected edge once (least/greatest handles
@@ -112,7 +118,47 @@ def maximal_matching(
     live: list[DataFrame] = []
     iterations = 0
     metrics: list[dict] = []
-    for rnd in range(1, max_iter + 1):
+    start_rnd = 1
+    if ckpt is not None:
+        done = ckpt.complete_iters()
+        if done:
+            last = done[-1]
+            parts = []
+            rec_last: dict = {}
+            for k in done:
+                st, _, rec = ckpt.load(spark, k)
+                parts.append(st.select("u", "v"))
+                if k == last:
+                    rec_last = rec
+            prior = parts[0]
+            for p in parts[1:]:
+                prior = prior.union(p)
+            prior = sever(prior)
+            if rec_last.get("converged"):
+                release(cur)
+                return MatchingResult(
+                    df=prior,
+                    iterations=last,
+                    wall_seconds=time.time() - t0,
+                    metrics=[rec_last],
+                )
+            matched_parts.append(prior)
+            mids = F.broadcast(
+                prior.select(F.col("u").alias("id")).union(
+                    prior.select(F.col("v").alias("id"))
+                )
+            )
+            nxt = sever(
+                cur.join(mids.withColumnRenamed("id", "u"), "u", "left_anti")
+                .join(mids.withColumnRenamed("id", "v"), "v", "left_anti")
+                .select("h", "u", "v")
+            )
+            release(cur)
+            cur = nxt
+            live.append(cur)
+            start_rnd = last + 1
+            iterations = last
+    for rnd in range(start_rnd, max_iter + 1):
         # per-vertex min incident key: one hash agg over the 2m-row
         # endpoint view — no join, partial+final combine
         inc = cur.select(F.col("u").alias("vid"), _key_struct().alias("k")).union(
@@ -134,11 +180,12 @@ def maximal_matching(
         if n_matched == 0:
             # a nonempty live edge set always has a global-min edge,
             # which is a local min at both endpoints ⇒ cur is empty
+            rec0 = {"iteration": rnd, "matched": 0, "live_edges": 0,
+                    "converged": True, "wall_s": time.time() - t0}
+            if ckpt is not None:
+                ckpt.save(rnd, matched.select("u", "v"), metrics=rec0)
             release(matched)
-            metrics.append(
-                {"iteration": rnd, "matched": 0, "live_edges": 0,
-                 "wall_s": time.time() - t0}
-            )
+            metrics.append(rec0)
             break
         matched_parts.append(matched)
         mids = matched.select(F.col("u").alias("id")).union(
@@ -154,10 +201,11 @@ def maximal_matching(
             .observe(eobs, F.count(F.lit(1)).alias("live"))
         )
         n_live = int(eobs.get["live"] or 0)
-        metrics.append(
-            {"iteration": rnd, "matched": n_matched, "live_edges": n_live,
-             "wall_s": time.time() - t0}
-        )
+        rec = {"iteration": rnd, "matched": n_matched, "live_edges": n_live,
+               "converged": n_live == 0, "wall_s": time.time() - t0}
+        if ckpt is not None:
+            ckpt.save(rnd, matched.select("u", "v"), metrics=rec)
+        metrics.append(rec)
         live.append(cur)
         while len(live) > 1:
             release(live.pop(0))

@@ -189,6 +189,27 @@ def kcore_numpy(n: int, src: np.ndarray, dst: np.ndarray, k: int) -> dict[int, i
         edges = {(s, d) for s, d in edges if s not in bad and d not in bad}
 
 
+def coreness_numpy(src: np.ndarray, dst: np.ndarray) -> dict[int, int]:
+    """{id: core number} via SEQUENTIAL min-degree peeling (Batagelj &
+    Zaveršnik 2003) over the given (assumed symmetric) edge list —
+    the textbook serial algorithm the parallel bucket kernel must
+    agree with exactly."""
+    edges = set(zip(src.tolist(), dst.tolist()))
+    verts = {s for s, _ in edges} | {d for _, d in edges}
+    core: dict[int, int] = {}
+    k = 0
+    while verts:
+        deg = {v: 0 for v in verts}
+        for s, _ in edges:
+            deg[s] += 1
+        v = min(verts, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        verts.remove(v)
+        edges = {(s, d) for s, d in edges if s != v and d != v}
+    return core
+
+
 def betweenness_numpy(
     n: int, src: np.ndarray, dst: np.ndarray, sources: list[int]
 ) -> dict[int, float]:

@@ -334,6 +334,86 @@ def test_kcore_cascade_peels_in_rounds(spark):
     g.unpersist()
 
 
+def test_coreness_matches_sequential_peeling(rmat_graph):
+    """Parallel bucket peeling must equal the Batagelj-Zaveršnik
+    sequential min-degree algorithm vertex-for-vertex, and the
+    degeneracy must be the max core."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import coreness
+    from tests.oracles import coreness_numpy
+
+    g, pdf, n = rmat_graph
+    spark = g.edges.sparkSession
+    sym = symmetrize(spark.createDataFrame(pdf, "src long, dst long"))
+    gs = build_graph_from_edges(sym, num_partitions=4)
+    sym_pdf = gs.edges.toPandas()
+    res = coreness(gs)
+    got = {r["id"]: r["core"] for r in res.df.collect()}
+    assert got == coreness_numpy(
+        sym_pdf["src"].to_numpy(), sym_pdf["dst"].to_numpy()
+    )
+    assert res.degeneracy == max(got.values())
+    gs.unpersist()
+
+
+def test_coreness_consistent_with_fixed_k_kernel(rmat_graph):
+    """Contract: kcore(g, k) membership == {v : coreness(g) >= k}."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import coreness, kcore
+
+    g, pdf, n = rmat_graph
+    spark = g.edges.sparkSession
+    sym = symmetrize(spark.createDataFrame(pdf, "src long, dst long"))
+    gs = build_graph_from_edges(sym, num_partitions=4)
+    cores = {r["id"]: r["core"] for r in coreness(gs).df.collect()}
+    for k in (2, 4):
+        want = {v for v, c in cores.items() if c >= k}
+        assert {r["id"] for r in kcore(gs, k).df.collect()} == want
+    gs.unpersist()
+
+
+def test_coreness_triangle_with_tail(spark):
+    """Triangle 0-1-2 with tail 2-3-4: level 1 peels the leaf, the
+    cascade peels the exposed tail vertex at the SAME level, then the
+    level jumps to 2 and the triangle goes at once."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import coreness
+
+    e = pd.DataFrame({"src": [0, 1, 2, 2, 3], "dst": [1, 2, 0, 3, 4]})
+    g = build_graph_from_edges(
+        symmetrize(spark.createDataFrame(e, "src long, dst long")),
+        num_partitions=2,
+    )
+    res = coreness(g)
+    assert {r["id"]: r["core"] for r in res.df.collect()} == {
+        0: 2, 1: 2, 2: 2, 3: 1, 4: 1
+    }
+    assert res.degeneracy == 2
+    assert [(m["level"], m["peeled"]) for m in res.metrics] == [
+        (1, 1), (1, 1), (2, 3)
+    ]
+    g.unpersist()
+
+
+def test_coreness_path_all_core_one(spark):
+    """A path is 1-degenerate: every vertex core 1, endpoints peel
+    first, the surviving edge pair goes in round 2."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import coreness
+
+    e = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    g = build_graph_from_edges(
+        symmetrize(spark.createDataFrame(e, "src long, dst long")),
+        num_partitions=2,
+    )
+    res = coreness(g)
+    assert {r["id"]: r["core"] for r in res.df.collect()} == {
+        0: 1, 1: 1, 2: 1, 3: 1
+    }
+    assert res.iterations == 2
+    g.unpersist()
+
+
 def test_radii_path_graph(spark):
     """4-path, sources {0, 1}: ecc(0)=3, ecc(1)=2, each reaching all 4
     vertices (self at dist 0 included in `reached`)."""

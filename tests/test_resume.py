@@ -263,3 +263,81 @@ def test_scc_resume_equals_uninterrupted(spark, tmp_path):
     assert {r["id"]: r["scc"] for r in again.df.collect()} == want
     assert again.metrics[-1]["converged"]
     g.unpersist()
+
+
+def test_matching_resume_equals_uninterrupted(small_graph, tmp_path):
+    """Matching delta checkpoints: an interrupted run resumes from the
+    per-round matched deltas and lands on the identical matching; a
+    fully-converged checkpoint short-circuits without iterating."""
+    from linkgraph.kernels import maximal_matching
+
+    full = maximal_matching(small_graph)
+    want = {(r["u"], r["v"]) for r in full.df.collect()}
+    assert full.iterations >= 2  # the fixture must actually interrupt
+
+    ckpt = CheckpointManager(str(tmp_path), "matching")
+    interrupted = maximal_matching(small_graph, max_iter=1, ckpt=ckpt)
+    assert not interrupted.metrics[-1]["converged"]
+
+    resumed = maximal_matching(small_graph, ckpt=ckpt)
+    assert {(r["u"], r["v"]) for r in resumed.df.collect()} == want
+    assert resumed.iterations == full.iterations
+
+    # converged checkpoint short-circuits
+    again = maximal_matching(small_graph, ckpt=ckpt)
+    assert {(r["u"], r["v"]) for r in again.df.collect()} == want
+    assert again.metrics[-1]["converged"]
+
+
+def test_coreness_resume_equals_uninterrupted(small_graph, tmp_path):
+    """Coreness peeled-delta checkpoints: resume restores the level
+    from the record, re-derives the residual graph from the union of
+    peeled deltas, and finishes identically; a converged record
+    short-circuits."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import coreness
+
+    sym = symmetrize(small_graph.edges)
+    g = build_graph_from_edges(sym, num_partitions=4)
+    full = coreness(g)
+    want = {(r["id"], r["core"]) for r in full.df.collect()}
+    assert full.iterations >= 2
+
+    ckpt = CheckpointManager(str(tmp_path), "coreness")
+    interrupted = coreness(g, max_iter=1, ckpt=ckpt)
+    assert not interrupted.metrics[-1]["converged"]
+
+    resumed = coreness(g, ckpt=ckpt)
+    assert {(r["id"], r["core"]) for r in resumed.df.collect()} == want
+    assert resumed.iterations == full.iterations
+    assert resumed.degeneracy == full.degeneracy
+
+    again = coreness(g, ckpt=ckpt)
+    assert {(r["id"], r["core"]) for r in again.df.collect()} == want
+    assert again.metrics[-1]["converged"]
+    g.unpersist()
+
+
+def test_kcore_resume_equals_uninterrupted(small_graph, tmp_path):
+    """KCore removed-delta checkpoints: resume re-derives the surviving
+    edges from the union of removed sets and finishes identically; a
+    converged record skips the loop."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import kcore
+
+    sym = symmetrize(small_graph.edges)
+    g = build_graph_from_edges(sym, num_partitions=4)
+    k = 4
+    full = kcore(g, k=k)
+    want = {(r["id"], r["deg"]) for r in full.df.collect()}
+    assert full.iterations >= 2
+
+    ckpt = CheckpointManager(str(tmp_path), "kcore")
+    kcore(g, k=k, max_iter=1, ckpt=ckpt)
+    resumed = kcore(g, k=k, ckpt=ckpt)
+    assert {(r["id"], r["deg"]) for r in resumed.df.collect()} == want
+    assert resumed.iterations == full.iterations
+
+    again = kcore(g, k=k, ckpt=ckpt)
+    assert {(r["id"], r["deg"]) for r in again.df.collect()} == want
+    g.unpersist()
