@@ -799,6 +799,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, k=5, max_queries=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (IVF-Flat, pipeline/simsearch.ivf_ann_topk):
+    deterministic k-means inverted lists (k=8, 3 rounds — the same
+    index the kmeans_embed row pins), nprobe=3 nearest lists per
+    query, exact cosine re-rank inside them. Index + probe ranking
+    are deterministic, so the SQL oracle re-derives the identical
+    candidate set; recall vs cosine_topk is additionally pinned in
+    pytest."""
+    from linkgraph.pipeline import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_ann_topk(emb, k=5, max_queries=10, n_clusters=8, nprobe=3, rounds=3)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH-bucketed candidates, exact
     cosine re-check). The synthetic embeddings are iid random — max
@@ -912,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "kmeans_embed": q_kmeans_embed,
@@ -1382,14 +1397,16 @@ WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
 """
 
 
-def _kmeans_sql(k: int = 8, rounds: int = 3, dim: int = 64) -> str:
-    """Unrolled Lloyd k-means over the embeddings table
-    (pipeline/embedcluster.py): init = smallest-k vec_ids, assignment
-    = argmin list_distance with cluster-id tie-break (Spark folds
-    sum((x-c)^2) — same ordering; engines differ at ~1e-13, far below
-    real argmin gaps), update = AVG per (cluster, dim) via a
-    generate_series lateral + list(m ORDER BY d); empty clusters keep
-    their previous centroid (NOT IN union)."""
+def _kmeans_ctes(k: int = 8, rounds: int = 3, dim: int = 64) -> str:
+    """Shared WITH-body for the unrolled Lloyd k-means over the
+    embeddings table (pipeline/embedcluster.py): init = smallest-k
+    vec_ids, assignment = argmin list_distance with cluster-id
+    tie-break (Spark folds sum((x-c)^2) — same ordering; engines
+    differ at ~1e-13, far below real argmin gaps), update = AVG per
+    (cluster, dim) via a generate_series lateral + list(m ORDER BY d);
+    empty clusters keep their previous centroid (NOT IN union).
+    Exposes a{rounds} (assignments) and c{rounds-1} (the centroids the
+    final assignment used — also what the kernel returns)."""
     sql = f"""
 WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 c0 AS MATERIALIZED (
@@ -1420,7 +1437,56 @@ c{r} AS MATERIALIZED (
   SELECT c.cluster, c.vec FROM c{p} c
   WHERE c.cluster NOT IN (SELECT cluster FROM cm{r})
 )"""
-    return sql + f"\nSELECT vec_id, cluster FROM a{rounds}\n"
+    return sql
+
+
+def _kmeans_sql(k: int = 8, rounds: int = 3, dim: int = 64) -> str:
+    """kmeans_embed oracle — the shared CTE chain's final assignment."""
+    return _kmeans_ctes(k, rounds, dim) + f"\nSELECT vec_id, cluster FROM a{rounds}\n"
+
+
+def _ivf_ann_sql(
+    k: int = 5,
+    max_queries: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    rounds: int = 3,
+    dim: int = 64,
+) -> str:
+    """Reproduces ivf_ann_topk exactly: the SAME unrolled k-means CTE
+    chain as kmeans_embed builds the inverted lists (a{rounds}) and the
+    final centroids (c{rounds-1}); each query's probe list = nprobe
+    nearest centroids by (list_distance, cluster) — the kernel's
+    (squared-L2, cluster) struct sort, monotone-identical; candidates =
+    corpus rows assigned to a probed list; exact cosine re-rank."""
+    return (
+        _kmeans_ctes(n_clusters, rounds, dim)
+        + f""",
+probes AS MATERIALIZED (
+  SELECT query_id, cluster FROM (
+    SELECT e.vec_id AS query_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.vec, c.vec), c.cluster) AS rn
+    FROM e CROSS JOIN c{rounds - 1} c
+    WHERE e.vec_id < {max_queries}
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(eq.vec, en.vec), 9) AS sim
+  FROM probes p
+  JOIN a{rounds} a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+  JOIN e eq ON eq.vec_id = p.query_id
+  JOIN e en ON en.vec_id = a.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {k}
+"""
+    )
 
 
 _EDGE_JACCARD_SQL = f"""
@@ -2650,6 +2716,7 @@ FROM documents GROUP BY md5(text)
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ivf_ann_sql(k=5, max_queries=10, n_clusters=8, nprobe=3, rounds=3),
         "embedding_near_dup": _near_dup_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "bfs_levels": _bfs_sql(),

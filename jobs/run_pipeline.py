@@ -13,7 +13,8 @@ Ops over --docs:        exact_dedup | minhash | lsh_pairs | simhash |
                         ngram_jaccard | dedup_clusters | token_stats |
                         lang_id | fingerprints | sample (--threshold
                         = rate, --seed; deterministic hash membership)
-Ops over --embeddings:  ann_topk | ann_lsh | near_dup | kmeans
+Ops over --embeddings:  ann_topk | ann_lsh | ann_ivf | near_dup |
+                        kmeans
 
 Writes the result as parquet to --output when given, else prints 20
 rows. Packaged-for-spark-submit per BASELINE.json:6.
@@ -35,7 +36,7 @@ DOC_OPS = {
     "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
     "dedup_clusters", "token_stats", "lang_id", "fingerprints", "sample",
 }
-EMB_OPS = {"ann_topk", "ann_lsh", "near_dup", "kmeans"}
+EMB_OPS = {"ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans"}
 
 
 def main(argv: list[str]) -> int:
@@ -112,6 +113,8 @@ def main(argv: list[str]) -> int:
         )
     elif args.op == "ann_lsh":
         out = P.lsh_ann_topk(source, k=opt(args.k, 5))
+    elif args.op == "ann_ivf":
+        out = P.ivf_ann_topk(source, k=opt(args.k, 5))
     elif args.op == "near_dup":
         out = P.embedding_near_dup_pairs(source, threshold=opt(args.threshold, 0.9))
     elif args.op == "kmeans":

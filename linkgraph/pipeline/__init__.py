@@ -1,6 +1,6 @@
 """Large-scale training-data pipeline operators over the `documents`
 and `embeddings` tables: deduplication (exact, MinHash+LSH, SimHash,
-n-gram Jaccard), similarity search (brute-force + LSH-bucketed ANN),
+n-gram Jaccard), similarity search (brute-force + LSH-bucketed + IVF ANN),
 text analysis (token stats, quality scoring, language-ID heuristic),
 document fingerprinting (winnowing rolling-hash), and multimodal
 binary-column plumbing.
@@ -23,6 +23,7 @@ from linkgraph.pipeline.fingerprint import winnow_fingerprints
 from linkgraph.pipeline.simsearch import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from linkgraph.pipeline.textstats import lang_id, token_stats
@@ -38,6 +39,7 @@ __all__ = [
     "dedup_clusters",
     "cosine_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "embedding_near_dup_pairs",
     "token_stats",
     "lang_id",

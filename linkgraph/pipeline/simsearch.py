@@ -12,6 +12,15 @@ lsh_ann_topk  — random-hyperplane LSH bucketed variant: the scale
                 within candidates. Recall measured against
                 cosine_topk in tests (no SQL oracle — the driver
                 records a rows-only check for this one).
+ivf_ann_topk  — IVF (inverted-file) variant: the second classic ANN
+                scale path (FAISS IVF-Flat, Jégou et al. TPAMI'11).
+                Index = deterministic k-means (pipeline/embedcluster)
+                partitions the corpus into `n_clusters` inverted
+                lists; search probes the `nprobe` nearest lists per
+                query and re-ranks exactly inside them. Cost ~
+                q * nprobe * (n / n_clusters) dot products instead of
+                q * n; at 100 TB the lists are written partitioned by
+                cluster so probing is partition pruning on the scan.
 """
 
 from __future__ import annotations
@@ -250,6 +259,88 @@ def embedding_near_dup_pairs(
     finally:
         signed.unpersist()
     return out
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    max_queries: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: deterministic k-means builds the
+    inverted-file index, each query probes its `nprobe` nearest
+    centroids, and candidates are re-ranked by exact cosine.
+
+    (query_id, neighbor_id, sim, rnk) — same contract as cosine_topk /
+    lsh_ann_topk: sim is double rounded to 9 decimals, rank order
+    (sim desc, neighbor_id asc), self excluded.
+
+    Determinism: the index inherits kmeans' contract (smallest-k init,
+    fixed `rounds`, argmin with cluster-id tie-break), and the probe
+    ranking uses the same (distance, cluster) order, so the candidate
+    set — and therefore the result — is engine-reproducible (the
+    DuckDB oracle re-derives the identical index and probes).
+
+    Scale shape: the index build is kmeans (linear scans, k*dim driver
+    state); probe lists are q * nprobe tiny rows broadcast into a join
+    against the cluster-keyed corpus — with the corpus written
+    partitioned by `cluster`, Catalyst prunes unprobed partitions, so
+    search reads ~nprobe/n_clusters of the data. No n*q exchange, no
+    Python in the scoring path (zip_with/aggregate folds, whole-stage
+    codegen)."""
+    from linkgraph.pipeline.embedcluster import _dist2, kmeans
+
+    if nprobe < 1 or nprobe > n_clusters:
+        raise ValueError("ivf_ann_topk needs 1 <= nprobe <= n_clusters")
+    km = kmeans(embeddings, k=n_clusters, rounds=rounds)
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    # inverted lists: corpus keyed by its assigned cluster
+    inv = emb.join(km.assignments, "vec_id")
+    # probe list per query: the nprobe nearest final centroids, ranked
+    # by (squared-L2, cluster) — the kmeans assignment order extended
+    # past rank 1
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _dist2(F.col("vec"), c).alias("d"),
+                    F.lit(j).cast("long").alias("c"),
+                )
+                for j, c in enumerate(km.centroids)
+            ]
+        )
+    )
+    probes = (
+        emb.where(F.col("vec_id") < max_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.explode(F.slice(ranked, 1, nprobe)).alias("pr"),
+        )
+        .select("query_id", "qvec", F.col("pr")["c"].alias("cluster"))
+    )
+    # each corpus row lives in exactly one list and each (query,
+    # cluster) probe is unique, so candidates need no dedup
+    cands = inv.join(F.broadcast(probes), "cluster").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine("qvec", "vec"), 9).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "sim", F.col("rnk").cast("long").alias("rnk")
+        )
+    )
 
 
 def lsh_ann_topk(

@@ -160,6 +160,51 @@ def test_lsh_ann_recall(spark, emb_df):
     assert hits / tot >= 0.7, f"LSH recall {hits}/{tot}"
 
 
+def test_ivf_ann_recall_and_probe_all_exact(spark, emb_df):
+    """IVF on clustered data: good recall at nprobe=3/8, and probing
+    EVERY list degenerates to the exact brute-force result (the
+    candidate set becomes the whole corpus minus self)."""
+    from linkgraph.pipeline import ivf_ann_topk
+
+    exact = cosine_topk(emb_df, k=3, max_queries=10).toPandas()
+    approx = ivf_ann_topk(
+        emb_df, k=3, max_queries=10, n_clusters=8, nprobe=3
+    ).toPandas()
+    hits = tot = 0
+    for qid in range(10):
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.7, f"IVF recall {hits}/{tot}"
+
+    full = (
+        ivf_ann_topk(emb_df, k=3, max_queries=10, n_clusters=8, nprobe=8)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    exact_sorted = exact.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, exact_sorted, check_dtype=False)
+
+
+def test_ivf_ann_deterministic_and_guards(spark, emb_df):
+    """Same input → identical result (deterministic index + probes);
+    nprobe outside [1, n_clusters] is refused."""
+    from linkgraph.pipeline import ivf_ann_topk
+
+    a = ivf_ann_topk(emb_df, k=2, max_queries=4).toPandas()
+    b = ivf_ann_topk(emb_df, k=2, max_queries=4).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rnk"]).reset_index(drop=True),
+        b.sort_values(["query_id", "rnk"]).reset_index(drop=True),
+    )
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_ann_topk(emb_df, nprobe=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_ann_topk(emb_df, n_clusters=4, nprobe=5)
+
+
 def test_lsh_pairs_max_bucket_guard(spark):
     """Template mega-buckets are dropped by max_bucket; distinct docs
     in small buckets are unaffected; default None is exact banding."""
