@@ -853,6 +853,22 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, k=8, rounds=3).assignments
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (pipeline/embedcluster.semantic_dedup,
+    Abbas et al. 2023): the SAME deterministic k-means index as
+    kmeans_embed/ann_ivf_topk partitions the corpus; within each
+    cluster items are ranked by (centroid_sim ASC, vec_id) — the paper
+    keeps the example farthest from the centroid — and an item is
+    removed when a better-ranked cluster-mate has cosine >= threshold.
+    All cosines are 9-decimal-rounded on both engines, so the oracle
+    re-derives the identical keep set. threshold=0.3 so the iid
+    synthetic embeddings actually produce removals (204 of 500)."""
+    from linkgraph.pipeline import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, threshold=0.3, n_clusters=8, rounds=3)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters = the engine's CC kernel over the exact
     n-gram-Jaccard pair graph (same sub-corpus + stop-shingle guard as
@@ -930,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "kmeans_embed": q_kmeans_embed,
+        "semantic_dedup": q_semantic_dedup,
         "stratified_sample": q_stratified_sample,
         "pagerank_weighted_k": q_pagerank_weighted_k,
     }
@@ -1485,6 +1502,48 @@ r AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {k}
+"""
+    )
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.3,
+    n_clusters: int = 8,
+    rounds: int = 3,
+    dim: int = 64,
+) -> str:
+    """Reproduces semantic_dedup exactly: the shared unrolled k-means
+    CTE chain gives assignments (a{rounds}) and the final centroids
+    (c{rounds-1}); centroid_sim and the pair cosines are 9-decimal-
+    rounded on both engines (same sequential fold), the rank window
+    and the >=-threshold earlier-ranked test mirror the kernel."""
+    r = rounds
+    return (
+        _kmeans_ctes(n_clusters, rounds, dim)
+        + f""",
+sd_scored AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster,
+         ROUND(list_cosine_similarity(e.vec, c.vec), 9) AS centroid_sim
+  FROM a{r} a
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN c{r - 1} c ON c.cluster = a.cluster
+),
+sd_ranked AS MATERIALIZED (
+  SELECT vec_id, cluster, centroid_sim,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+           ORDER BY centroid_sim ASC, vec_id ASC) AS rn
+  FROM sd_scored
+),
+sd_dups AS (
+  SELECT DISTINCT x.vec_id
+  FROM sd_ranked x
+  JOIN sd_ranked y ON y.cluster = x.cluster AND y.rn < x.rn
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id
+  WHERE ROUND(list_cosine_similarity(ex.vec, ey.vec), 9) >= {threshold}
+)
+SELECT r.vec_id, r.cluster, r.centroid_sim, (d.vec_id IS NULL) AS keep
+FROM sd_ranked r LEFT JOIN sd_dups d ON d.vec_id = r.vec_id
 """
     )
 
@@ -2717,6 +2776,7 @@ FROM documents GROUP BY md5(text)
         "ann_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ivf_ann_sql(k=5, max_queries=10, n_clusters=8, nprobe=3, rounds=3),
+        "semantic_dedup": _semantic_dedup_sql(threshold=0.3, n_clusters=8, rounds=3),
         "embedding_near_dup": _near_dup_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "bfs_levels": _bfs_sql(),

@@ -14,7 +14,8 @@ Ops over --docs:        exact_dedup | minhash | lsh_pairs | simhash |
                         lang_id | fingerprints | sample (--threshold
                         = rate, --seed; deterministic hash membership)
 Ops over --embeddings:  ann_topk | ann_lsh | ann_ivf | near_dup |
-                        kmeans
+                        kmeans | semdedup (--threshold = cosine
+                        cutoff, --k = n_clusters)
 
 Writes the result as parquet to --output when given, else prints 20
 rows. Packaged-for-spark-submit per BASELINE.json:6.
@@ -36,7 +37,7 @@ DOC_OPS = {
     "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
     "dedup_clusters", "token_stats", "lang_id", "fingerprints", "sample",
 }
-EMB_OPS = {"ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans"}
+EMB_OPS = {"ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup"}
 
 
 def main(argv: list[str]) -> int:
@@ -119,6 +120,10 @@ def main(argv: list[str]) -> int:
         out = P.embedding_near_dup_pairs(source, threshold=opt(args.threshold, 0.9))
     elif args.op == "kmeans":
         out = P.kmeans(source, k=opt(args.k, 8), rounds=3).assignments
+    elif args.op == "semdedup":
+        out = P.semantic_dedup(
+            source, threshold=opt(args.threshold, 0.95), n_clusters=opt(args.k, 8)
+        )
     else:  # pragma: no cover
         raise AssertionError(args.op)
 

@@ -27,7 +27,7 @@ from linkgraph.pipeline.simsearch import (
     lsh_ann_topk,
 )
 from linkgraph.pipeline.textstats import lang_id, token_stats
-from linkgraph.pipeline.embedcluster import kmeans
+from linkgraph.pipeline.embedcluster import kmeans, semantic_dedup
 from linkgraph.pipeline.sampling import hash_sample, stratified_sample
 
 __all__ = [
@@ -45,6 +45,7 @@ __all__ = [
     "lang_id",
     "winnow_fingerprints",
     "kmeans",
+    "semantic_dedup",
     "hash_sample",
     "stratified_sample",
 ]

@@ -38,7 +38,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -129,4 +129,116 @@ def kmeans(
         rounds=rounds,
         wall_seconds=time.time() - t0,
         metrics=metrics,
+    )
+
+
+def _cosine_cols(a, b) -> F.Column:
+    """Cosine similarity between two array<double> Columns — the same
+    sequential aggregate(zip_with(...)) fold order as simsearch._cosine
+    and DuckDB's list_cosine_similarity, so doubles are bit-identical
+    across engines."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    return dot / (na * nb)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — k-means partitions the
+    space, and WITHIN each cluster an item is removed when a
+    better-ranked cluster-mate is more similar than `threshold`.
+
+    Rank follows the paper (its implementations sweep items ordered by
+    similarity to the cluster centroid and drop an item whose max
+    cosine to any earlier-ranked item exceeds the threshold): rank =
+    (centroid_sim ASC, vec_id ASC), i.e. the example FARTHEST from the
+    centroid is kept preferentially — "we keep the example with the
+    lowest cosine similarity to the centroid".
+
+    Output: (vec_id, cluster, centroid_sim, keep) — one row per input,
+    centroid_sim rounded to 9 decimals, keep = survived dedup. Fully
+    deterministic: the index inherits kmeans' contract, the rank order
+    and the pair test use 9-decimal-rounded cosines, so a DuckDB
+    oracle re-derives the identical result.
+
+    Scale shape: everything after the kmeans index is keyed on
+    `cluster` — the rank window, the pair self-join, the dup
+    anti-join. SemDeDup's own contract bounds the quadratic term: k
+    scales with n so cluster sizes stay bounded (the paper uses
+    k=50,000 on LAION-440M, ~9k per cluster), making the per-cluster
+    pair work Σ|cluster|² with small factors; `max_cluster` (opt-in)
+    makes that bound loud by refusing degenerate clusterings instead
+    of silently going quadratic."""
+    km = kmeans(embeddings, k=n_clusters, rounds=rounds, id_col=id_col, vec_col=vec_col)
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    a = emb.join(km.assignments, "vec_id")
+    if max_cluster is not None:
+        worst = (
+            a.groupBy("cluster").count().agg(F.max("count").alias("mx")).collect()
+        )[0]["mx"]
+        if worst and worst > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: largest cluster has {worst} rows > "
+                f"max_cluster={max_cluster}; raise n_clusters (SemDeDup scales "
+                f"k with n to bound per-cluster pair work)"
+            )
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in km.centroids])
+    scored = a.select(
+        "vec_id",
+        "cluster",
+        "vec",
+        F.round(
+            _cosine_cols(
+                F.col("vec"), F.element_at(cent, (F.col("cluster") + 1).cast("int"))
+            ),
+            9,
+        ).alias("centroid_sim"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.asc("centroid_sim"), F.asc("vec_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    x = ranked.select(
+        "cluster",
+        F.col("vec_id").alias("x_id"),
+        F.col("vec").alias("x_vec"),
+        F.col("rn").alias("x_rn"),
+    )
+    y = ranked.select(
+        "cluster",
+        F.col("vec_id").alias("y_id"),
+        F.col("vec").alias("y_vec"),
+        F.col("rn").alias("y_rn"),
+    )
+    dups = (
+        x.join(y, "cluster")
+        .where(F.col("y_rn") < F.col("x_rn"))
+        .where(F.round(_cosine_cols(F.col("x_vec"), F.col("y_vec")), 9) >= threshold)
+        .select(F.col("x_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        ranked.join(dups.withColumn("dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "centroid_sim",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+        )
     )

@@ -466,6 +466,78 @@ def test_kmeans_separated_blobs_and_guards(spark):
         kmeans(df.limit(1), k=2)
 
 
+def test_semantic_dedup_matches_numpy_replay(spark, emb_df):
+    """The full SemDeDup pipeline == a NumPy replay: kmeans index
+    (same deterministic contract), centroid_sim rank (ASC, vec_id
+    tie-break), removal iff an earlier-ranked cluster-mate has
+    9-decimal-rounded cosine >= threshold."""
+    from linkgraph.pipeline import semantic_dedup
+
+    k, rounds, thr = 6, 3, 0.9
+    out = semantic_dedup(emb_df, threshold=thr, n_clusters=k, rounds=rounds).toPandas()
+
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in emb_df.collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    C = X[:k].copy()
+    for rnd in range(1, rounds + 1):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        if rnd < rounds:
+            for j in range(k):
+                if (assign == j).any():
+                    C[j] = X[assign == j].mean(axis=0)
+
+    def cos(a, b):
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 9)
+
+    want_keep = {}
+    for j in range(k):
+        members = [i for i, a in zip(ids, assign) if a == j]
+        ranked = sorted(members, key=lambda i: (cos(X[i], C[j]), i))
+        for pos, i in enumerate(ranked):
+            dup = any(cos(X[i], X[y]) >= thr for y in ranked[:pos])
+            want_keep[i] = not dup
+    got_keep = dict(zip(out["vec_id"], out["keep"]))
+    assert got_keep == want_keep
+    got_cluster = dict(zip(out["vec_id"], out["cluster"]))
+    assert got_cluster == {i: int(a) for i, a in zip(ids, assign)}
+    # the synthetic corpus has 10 near-duplicate generator families in
+    # 6 clusters — dedup must actually remove something and keep
+    # at least one representative per cluster
+    assert 0 < sum(got_keep.values()) < len(ids)
+    kept_clusters = {got_cluster[i] for i, kp in got_keep.items() if kp}
+    assert kept_clusters == set(got_cluster.values())
+
+
+def test_semantic_dedup_closed_forms_and_guard(spark):
+    """Two separated blobs of near-identical vectors: exactly one
+    survivor per cluster at a high threshold; threshold > 1 keeps all;
+    max_cluster guard refuses degenerate clusterings."""
+    from linkgraph.pipeline import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(20):
+        base = np.zeros(8) if i % 2 == 0 else np.full(8, 100.0)
+        base[0] += 1.0  # keep vectors off the origin so cosine is stable
+        rows.append((i, [float(x) for x in base + 1e-4 * rng.standard_normal(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = semantic_dedup(df, threshold=0.999, n_clusters=2, rounds=3).toPandas()
+    per_cluster = out[out.keep].groupby("cluster").size()
+    assert list(per_cluster) == [1, 1]
+
+    all_kept = semantic_dedup(df, threshold=1.1, n_clusters=2, rounds=3).toPandas()
+    assert all_kept["keep"].all()
+
+    with pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup(df, n_clusters=2, max_cluster=5)
+
+
 def test_hash_sample_deterministic_and_exact(spark):
     """Membership == a hashlib md5 replay (not just the rate); stable
     across repartitioning; different seeds give different samples."""
