@@ -173,6 +173,18 @@ def q_hits_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_katz_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 3 Katz rounds (x' = beta + alpha*Aᵀx from x0 = beta;
+    attenuated-path centrality, NO degree normalization — Katz 1953)
+    on the customer→supplier graph — beyond-reference link-analysis
+    coverage (SURVEY §2.9); scores rounded to 9 decimals."""
+    from linkgraph.kernels import katz
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    res = katz(g, alpha=0.1, beta=1.0, tol=0.0, max_iter=3)
+    return res.df.select("id", F.round("katz", 9).alias("katz"))
+
+
 def q_salsa_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 3 two-phase SALSA rounds (Lempel-Moran TOIT'01:
     degree-normalized gathers, L1-normalized — the random-walk cousin
@@ -899,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "pagerank_k": q_pagerank_k,
         "hits_k": q_hits_k,
+        "katz_k": q_katz_k,
         "salsa_k": q_salsa_k,
         "modularity_lp": q_modularity_lp,
         "random_walks": q_random_walks,
@@ -1829,6 +1842,32 @@ s{i} AS MATERIALIZED (
 )"""
         prev = f"s{i}"
     sql += f"\nSELECT id, ROUND(hub, 9) AS hub, ROUND(auth, 9) AS auth FROM {prev}"
+    return sql
+
+
+def _katz_k_sql(k: int = 3, alpha: float = 0.1, beta: float = 1.0) -> str:
+    """Unrolled k-round Katz recurrence — per round one in-edge gather
+    SUM + the fixed-order beta + alpha*COALESCE(raw, 0) projection,
+    exactly the kernel's expression. MATERIALIZED per memory-playbook
+    (DuckDB 1.0 inlines CTEs by reference)."""
+    sql = f"""
+WITH e AS MATERIALIZED ({_CUST_SUPP_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+s0 AS (SELECT id, {beta} AS katz FROM v)
+"""
+    prev = "s0"
+    for i in range(1, k + 1):
+        sql += f""",
+g{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(s.katz) AS raw
+  FROM e JOIN {prev} s ON e.src = s.id GROUP BY e.dst
+),
+s{i} AS MATERIALIZED (
+  SELECT s.id, {beta} + {alpha} * COALESCE(g.raw, 0.0) AS katz
+  FROM {prev} s LEFT JOIN g{i} g ON s.id = g.id
+)"""
+        prev = f"s{i}"
+    sql += f"\nSELECT id, ROUND(katz, 9) AS katz FROM {prev}"
     return sql
 
 
@@ -2834,6 +2873,7 @@ SELECT comp, COUNT(*) AS csize FROM (
 """,
         "pagerank_k": _pagerank_k_sql(3),
         "hits_k": _hits_k_sql(3),
+        "katz_k": _katz_k_sql(3, alpha=0.1, beta=1.0),
         "salsa_k": _salsa_k_sql(3),
         "modularity_lp": _modularity_sql(3),
         "random_walks": _random_walks_sql(4, 2, 7),

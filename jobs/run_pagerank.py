@@ -32,7 +32,7 @@ def main(argv: list[str]) -> int:
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
-            "mis", "coloring", "anf", "hits", "salsa", "ppr", "scc", "bowtie",
+            "mis", "coloring", "anf", "hits", "katz", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
             "modularity", "walks", "sample", "condense", "matching", "msf",
             "jaccard", "pagerank_w", "coreness",
@@ -229,6 +229,14 @@ def main(argv: list[str]) -> int:
         out = res.df.orderBy(F.desc("auth"), "id")
         summary = {
             "kernel": "hits",
+            "rounds": res.iterations,
+            "converged": res.converged,
+        }
+    elif args.kernel == "katz":
+        res = kernels.katz(graph, max_iter=args.max_iter, ckpt=ckpt)
+        out = res.df.orderBy(F.desc("katz"), "id")
+        summary = {
+            "kernel": "katz",
             "rounds": res.iterations,
             "converged": res.converged,
         }

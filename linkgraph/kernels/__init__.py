@@ -26,6 +26,8 @@ anf             approximate neighborhood function / effective diameter
                 (Palmer et al. KDD'02 FM sketches, bit_or combine)
 hits            Kleinberg hubs & authorities (two-phase L2-normalized
                 power iteration, forward + transpose gathers)
+katz            Katz attenuated-path centrality (x' = beta + alpha*Aᵀx,
+                no degree normalization — pagerank's skeleton)
 salsa           Lempel-Moran SALSA (degree-normalized two-step random
                 walks, L1-normalized — the who-to-follow kernel)
 modularity      directed Leicht-Newman modularity Q of a partition
@@ -79,6 +81,7 @@ from linkgraph.kernels.mis import mis
 from linkgraph.kernels.coloring import coloring
 from linkgraph.kernels.anf import anf, effective_diameter
 from linkgraph.kernels.hits import hits
+from linkgraph.kernels.katz import katz
 from linkgraph.kernels.salsa import salsa
 from linkgraph.kernels.modularity import community_stats, modularity
 from linkgraph.kernels.walks import random_walks
@@ -117,6 +120,7 @@ __all__ = [
     "anf",
     "effective_diameter",
     "hits",
+    "katz",
     "salsa",
     "modularity",
     "community_stats",

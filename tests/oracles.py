@@ -397,6 +397,31 @@ def hits_numpy(
     return hub, auth, iterations
 
 
+def katz_numpy(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+) -> tuple[np.ndarray, int]:
+    """Katz recurrence x' = beta + alpha * A^T x from x0 = beta — must
+    mirror kernels/katz.py update-for-update."""
+    x = np.full(n, beta)
+    iterations = 0
+    for _ in range(max_iter):
+        raw = np.zeros(n)
+        np.add.at(raw, dst, x[src])
+        new_x = beta + alpha * raw
+        diff = np.abs(new_x - x).max()
+        x = new_x
+        iterations += 1
+        if diff < tol:
+            break
+    return x, iterations
+
+
 def salsa_numpy(
     n: int,
     src: np.ndarray,

@@ -659,6 +659,45 @@ def test_hits_star_graph(spark):
     g.unpersist()
 
 
+def test_katz_matches_numpy(rmat_graph):
+    """Katz trajectory equals the NumPy replay at float tolerance,
+    convergence round included."""
+    from linkgraph.kernels import katz
+    from tests.oracles import katz_numpy
+
+    g, pdf, n = rmat_graph
+    res = katz(g, alpha=0.05, beta=1.0, tol=1e-6, max_iter=60)
+    want, rounds = katz_numpy(
+        n, pdf["src"].to_numpy(), pdf["dst"].to_numpy(),
+        alpha=0.05, beta=1.0, tol=1e-6, max_iter=60,
+    )
+    got = {r["id"]: r["katz"] for r in res.df.collect()}
+    assert res.iterations == rounds
+    for v, x in got.items():
+        assert x == pytest.approx(want[v], abs=1e-9)
+
+
+def test_katz_path_closed_form(spark):
+    """Path 0->1->2 at fixpoint: katz = (1, 1+a, 1+a+a^2); sources get
+    exactly beta; bad params raise."""
+    from linkgraph.kernels import katz
+
+    edges = pd.DataFrame({"src": [0, 1], "dst": [1, 2]})
+    g = _graph(spark, edges, 3)
+    a = 0.1
+    res = katz(g, alpha=a, beta=1.0, tol=1e-12, max_iter=20)
+    assert res.converged
+    got = {r["id"]: r["katz"] for r in res.df.collect()}
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(1.0 + a)
+    assert got[2] == pytest.approx(1.0 + a + a * a)
+    g.unpersist()
+    with pytest.raises(ValueError):
+        katz(g, alpha=0.0)
+    with pytest.raises(ValueError):
+        katz(g, beta=-1.0)
+
+
 def test_salsa_matches_numpy(rmat_graph):
     """hub/auth trajectories equal the NumPy replay at float tolerance,
     convergence round included; scores are L1 distributions."""

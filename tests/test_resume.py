@@ -341,3 +341,30 @@ def test_kcore_resume_equals_uninterrupted(small_graph, tmp_path):
     again = kcore(g, k=k, ckpt=ckpt)
     assert {(r["id"], r["deg"]) for r in again.df.collect()} == want
     g.unpersist()
+
+
+def test_katz_resume_equals_uninterrupted(small_graph, tmp_path):
+    """Katz state checkpoints: parquet round-trips doubles exactly, so
+    a resumed run continues bit-identically; a converged record
+    short-circuits."""
+    from linkgraph.kernels import katz
+
+    full = katz(small_graph, alpha=0.05, tol=1e-8, max_iter=60)
+    assert full.converged
+    want = {(r["id"], r["katz"]) for r in full.df.collect()}
+
+    ckpt = CheckpointManager(str(tmp_path), "katz")
+    interrupted = katz(
+        small_graph, alpha=0.05, tol=1e-8, max_iter=4, ckpt=ckpt, ckpt_every=2
+    )
+    assert not interrupted.converged
+    assert ckpt.last_complete() == 3
+
+    resumed = katz(small_graph, alpha=0.05, tol=1e-8, max_iter=60, ckpt=ckpt,
+                   ckpt_every=2)
+    assert resumed.converged
+    assert {(r["id"], r["katz"]) for r in resumed.df.collect()} == want
+    assert resumed.iterations == full.iterations
+
+    again = katz(small_graph, alpha=0.05, tol=1e-8, max_iter=60, ckpt=ckpt)
+    assert {(r["id"], r["katz"]) for r in again.df.collect()} == want
