@@ -635,6 +635,20 @@ def q_modularity_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(g, labels.select("id", "label"))
 
 
+def q_conductance_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the same 3-round labelprop
+    partition modularity_lp scores (kernels/modularity.conductance):
+    cut and volume are exact int64 aggregates, phi = cut / min(vol,
+    2m - vol) is one division of int64-valued doubles — bit-identical
+    to the oracle with no rounding; single-community partitions give
+    NULL (try_divide / DuckDB x/0)."""
+    from linkgraph.kernels import conductance, label_propagation
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    labels = label_propagation(g, max_iter=3).df
+    return conductance(g, labels.select("id", "label"))
+
+
 def q_pagerank_delta_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank-delta, faithful to the reference INCLUDING quirk 1
     (src/algos.rs:203: the additive first-round activity test leaves
@@ -914,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_k": q_katz_k,
         "salsa_k": q_salsa_k,
         "modularity_lp": q_modularity_lp,
+        "conductance_lp": q_conductance_lp,
         "random_walks": q_random_walks,
         "neighbor_sample": q_neighbor_sample,
         "condensation_levels": q_condensation_levels,
@@ -2419,6 +2434,42 @@ FROM st
 """
 
 
+def _conductance_sql(k: int = 3) -> str:
+    """Per-community conductance of the k-round labelprop partition
+    (kernels/modularity.conductance): identical integer aggregates to
+    the modularity oracle, phi = the SAME single fixed-order division
+    (DuckDB x/0 -> NULL mirrors Spark's try_divide)."""
+    body, last = _labelprop_chain(k)
+    return f"""{body},
+el AS (
+  SELECT ls.label AS slabel, ld.label AS dlabel
+  FROM e JOIN {last} ls ON e.src = ls.id JOIN {last} ld ON e.dst = ld.id
+),
+ot AS (
+  SELECT slabel AS label, COUNT(*) AS out_tot,
+         SUM(CASE WHEN slabel = dlabel THEN 1 ELSE 0 END) AS intra
+  FROM el GROUP BY slabel
+),
+it AS (SELECT dlabel AS label, COUNT(*) AS in_tot FROM el GROUP BY dlabel),
+st AS (
+  SELECT COALESCE(ot.label, it.label) AS label,
+         COALESCE(ot.intra, 0) AS intra,
+         COALESCE(ot.out_tot, 0) AS out_tot,
+         COALESCE(it.in_tot, 0) AS in_tot
+  FROM ot FULL OUTER JOIN it ON ot.label = it.label
+),
+tot AS (SELECT 2 * SUM(out_tot) AS vol_all FROM st)
+SELECT label,
+  CAST(out_tot + in_tot - 2 * intra AS BIGINT) AS cut,
+  CAST(out_tot + in_tot AS BIGINT) AS vol,
+  CAST(out_tot + in_tot - 2 * intra AS DOUBLE)
+    / CAST(LEAST(out_tot + in_tot,
+                 (SELECT vol_all FROM tot) - (out_tot + in_tot)) AS DOUBLE)
+    AS conductance
+FROM st
+"""
+
+
 # PageRank-delta with the reference's quirk 1 (src/algos.rs:203): the
 # post-round-0 frontier is empty for n > ~7, so converged ranks ARE the
 # round-0 values (see q_pagerank_delta_k docstring).
@@ -2876,6 +2927,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "katz_k": _katz_k_sql(3, alpha=0.1, beta=1.0),
         "salsa_k": _salsa_k_sql(3),
         "modularity_lp": _modularity_sql(3),
+        "conductance_lp": _conductance_sql(3),
         "random_walks": _random_walks_sql(4, 2, 7),
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),
         "condensation_levels": _CONDENSE_SQL,

@@ -34,8 +34,8 @@ def main(argv: list[str]) -> int:
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "katz", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
-            "modularity", "walks", "sample", "condense", "matching", "msf",
-            "jaccard", "pagerank_w", "coreness",
+            "modularity", "conductance", "walks", "sample", "condense",
+            "matching", "msf", "jaccard", "pagerank_w", "coreness",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -285,6 +285,12 @@ def main(argv: list[str]) -> int:
             "lp_rounds": lp.iterations,
             "q": out.first()["q"],
         }
+    elif args.kernel == "conductance":
+        lp = kernels.label_propagation(graph, max_iter=args.max_iter, ckpt=ckpt)
+        out = kernels.conductance(graph, lp.df.select("id", "label")).orderBy(
+            F.desc("vol"), "label"
+        )
+        summary = {"kernel": "conductance", "lp_rounds": lp.iterations}
     elif args.kernel == "salsa":
         res = kernels.salsa(graph, max_iter=args.max_iter, ckpt=ckpt)
         out = res.df.orderBy(F.desc("auth"), "id")

@@ -32,6 +32,8 @@ salsa           Lempel-Moran SALSA (degree-normalized two-step random
                 walks, L1-normalized — the who-to-follow kernel)
 modularity      directed Leicht-Newman modularity Q of a partition
                 (exact-int64 score path + double path for m > 3e9)
+conductance     per-community cut conductance phi(S) = cut / min-side
+                volume (exact-int64 counts, one final division)
 random_walks    deterministic DeepWalk corpus (hash-argmin successor,
                 bit-reproducible — skip-gram training-data op)
 neighbor_sample deterministic GraphSAGE k-hop fanout sampling
@@ -83,7 +85,7 @@ from linkgraph.kernels.anf import anf, effective_diameter
 from linkgraph.kernels.hits import hits
 from linkgraph.kernels.katz import katz
 from linkgraph.kernels.salsa import salsa
-from linkgraph.kernels.modularity import community_stats, modularity
+from linkgraph.kernels.modularity import community_stats, conductance, modularity
 from linkgraph.kernels.walks import random_walks
 from linkgraph.kernels.sampling import neighbor_sample
 from linkgraph.kernels.condense import condensation
@@ -124,6 +126,7 @@ __all__ = [
     "salsa",
     "modularity",
     "community_stats",
+    "conductance",
     "random_walks",
     "neighbor_sample",
     "condensation",

@@ -111,3 +111,43 @@ def modularity(graph: Graph, labels: DataFrame, exact: bool = True) -> DataFrame
         F.col("_intra").alias("intra_edges"),
         F.col("_m").alias("m"),
     )
+
+
+def conductance(graph: Graph, labels: DataFrame) -> DataFrame:
+    """Per-community conductance (Kannan-Vempala-Vetta 2004) — the cut
+    quality score that complements modularity: how leaky is each
+    community's boundary relative to the smaller side's volume?
+
+        phi(S) = cut(S) / min(vol(S), vol(V) - vol(S))
+
+    over the directed edge multiset viewed as volume contributions
+    (vol(v) = in_deg + out_deg, so vol(V) = 2m; cut(S) = directed
+    edges crossing S's boundary in either direction). Low phi = a
+    well-separated community; the all-in-one partition has no outside
+    volume and yields NULL (try_divide), never a throw.
+
+    Output: (label, cut long, vol long, conductance double) — cut and
+    vol are exact int64 aggregates, phi is ONE division of two
+    int64-valued doubles, bit-identical across engines with no
+    rounding (the graphstats/modularity exactness discipline).
+
+    Spark shape: reuses community_stats (two m-row label-tagging
+    joins + map-side-combined hash aggs); vol(V) enters as an in-plan
+    one-row broadcast aggregate — no driver scalar, no windows.
+    """
+    stats = community_stats(graph, labels)
+    tot = stats.agg((F.sum("out_tot") * 2).alias("_vol_all"))
+    vol = F.col("out_tot") + F.col("in_tot")
+    cut = vol - 2 * F.col("intra")
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            cut.alias("cut"),
+            vol.alias("vol"),
+            F.try_divide(
+                cut.cast("double"),
+                F.least(vol, F.col("_vol_all") - vol).cast("double"),
+            ).alias("conductance"),
+        )
+    )

@@ -947,6 +947,64 @@ def test_modularity_closed_forms(spark):
     g.unpersist()
 
 
+def test_conductance_matches_bruteforce(rmat_graph):
+    """Per-community (cut, vol, phi) equals a brute-force edge-scan
+    replay for the labelprop-3 partition of the rMAT graph — doubles
+    bit-exact (single division of int64-valued doubles)."""
+    from linkgraph.kernels import conductance, label_propagation
+
+    g, pdf, n = rmat_graph
+    labels_df = label_propagation(g, max_iter=3).df
+    labels = {r["id"]: r["label"] for r in labels_df.collect()}
+    src, dst = pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+    cut: dict[int, int] = {}
+    vol: dict[int, int] = {}
+    for u, v in zip(src, dst):
+        lu, lv = labels[u], labels[v]
+        vol[lu] = vol.get(lu, 0) + 1
+        vol[lv] = vol.get(lv, 0) + 1
+        if lu != lv:
+            cut[lu] = cut.get(lu, 0) + 1
+            cut[lv] = cut.get(lv, 0) + 1
+    vol_all = 2 * len(pdf)
+    got = {r["label"]: r for r in conductance(g, labels_df).collect()}
+    assert set(got) == set(vol)
+    for lab, r in got.items():
+        assert r["cut"] == cut.get(lab, 0)
+        assert r["vol"] == vol[lab]
+        denom = min(vol[lab], vol_all - vol[lab])
+        want = float(cut.get(lab, 0)) / float(denom) if denom > 0 else None
+        if want is None:
+            assert r["conductance"] is None
+        else:
+            assert r["conductance"] == want  # bit-exact, no tolerance
+
+
+def test_conductance_closed_forms(spark):
+    """Two 3-cycles joined by one edge: each community has cut 1 and
+    vol 7 -> phi = 1/7 both sides. All-in-one partition -> NULL (no
+    outside volume)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.kernels import conductance
+
+    edges = pd.DataFrame(
+        {"src": [0, 1, 2, 3, 4, 5, 0], "dst": [1, 2, 0, 4, 5, 3, 3]}
+    )
+    g = _graph(spark, edges, 6)
+    perfect = g.vertices.select(
+        "id", (F.col("id") / 3).cast("long").alias("label")
+    )
+    got = {r["label"]: r for r in conductance(g, perfect).collect()}
+    assert got[0]["cut"] == 1 and got[0]["vol"] == 7
+    assert got[1]["cut"] == 1 and got[1]["vol"] == 7
+    assert got[0]["conductance"] == pytest.approx(1 / 7)
+    assert got[1]["conductance"] == pytest.approx(1 / 7)
+    one = g.vertices.select("id", F.lit(0).cast("long").alias("label"))
+    assert conductance(g, one).first()["conductance"] is None
+    g.unpersist()
+
+
 def test_ppr_matches_numpy(rmat_graph):
     """Seeded-teleport trajectories equal the NumPy replay; mass stays
     concentrated near the seeds (seed ranks dominate uniform)."""
