@@ -320,6 +320,28 @@ def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_stats(g).df
 
 
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned in/out-degree histogram of the part-succession
+    graph (kernels/graphstats.degree_distribution) — exact integer
+    binning via length(bin(deg)) - 1 on BOTH engines (no float log2),
+    degree-0 vertices in bin -1. All-int64 output, hash-exact."""
+    from linkgraph.kernels import degree_distribution
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    return degree_distribution(g)
+
+
+def q_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill MLE tail exponent of the part-succession graph's degree
+    distributions (kernels/graphstats.power_law_alpha, dmin=4) — the
+    Broder WWW'00 power-law row. tail_n is exact; alpha is the one
+    float (SUM of per-distinct-degree ln terms), ROUND(9) both
+    sides."""
+    from linkgraph.kernels import power_law_alpha
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    return power_law_alpha(g, dmin=4)
+
 
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-truss of the co-part graph (kernels/truss.py): canonical
@@ -929,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_k": q_salsa_k,
         "modularity_lp": q_modularity_lp,
         "conductance_lp": q_conductance_lp,
+        "degree_dist": q_degree_dist,
+        "power_law_alpha": q_power_law_alpha,
         "random_walks": q_random_walks,
         "neighbor_sample": q_neighbor_sample,
         "condensation_levels": q_condensation_levels,
@@ -2434,6 +2458,55 @@ FROM st
 """
 
 
+_DEGREE_DIST_SQL = f"""
+WITH e AS MATERIALIZED ({_PART_SUCC_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+outd AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+ind  AS (SELECT dst AS id, COUNT(*) AS deg FROM e GROUP BY dst),
+ofull AS (SELECT COALESCE(o.deg, 0) AS deg FROM v LEFT JOIN outd o ON v.id = o.id),
+ifull AS (SELECT COALESCE(i.deg, 0) AS deg FROM v LEFT JOIN ind i ON v.id = i.id),
+h AS (
+  SELECT 'out' AS direction,
+         CASE WHEN deg > 0 THEN length(bin(deg)) - 1 ELSE -1 END AS bin,
+         COUNT(*) AS cnt
+  FROM ofull GROUP BY 1, 2
+  UNION ALL
+  SELECT 'in' AS direction,
+         CASE WHEN deg > 0 THEN length(bin(deg)) - 1 ELSE -1 END AS bin,
+         COUNT(*) AS cnt
+  FROM ifull GROUP BY 1, 2
+)
+SELECT direction, CAST(bin AS BIGINT) AS bin,
+       CAST(CASE WHEN bin >= 0 THEN 1 << bin ELSE 0 END AS BIGINT) AS lo,
+       CAST(CASE WHEN bin >= 0 THEN (1 << (bin + 1)) - 1 ELSE 0 END AS BIGINT) AS hi,
+       CAST(cnt AS BIGINT) AS cnt
+FROM h
+"""
+
+
+def _power_law_sql(dmin: int = 4) -> str:
+    """Hill tail-exponent oracle — same per-distinct-degree compression
+    and the same 1 + tail_n / SUM(c * ln(deg/dmin)) expression as the
+    kernel; empty/degenerate tails give NULL (SUM over empty / x/0)."""
+    parts = []
+    for direction, key in (("out", "src"), ("in", "dst")):
+        parts.append(f"""
+SELECT '{direction}' AS direction, CAST({dmin} AS BIGINT) AS dmin,
+       CAST(COALESCE(SUM(c), 0) AS BIGINT) AS tail_n,
+       ROUND(1.0 + CAST(SUM(c) AS DOUBLE)
+                   / SUM(CAST(c AS DOUBLE) * LN(CAST(deg AS DOUBLE) / {float(dmin)})), 9)
+         AS alpha
+FROM (
+  SELECT deg, COUNT(*) AS c FROM (
+    SELECT {key} AS id, COUNT(*) AS deg FROM e GROUP BY {key}
+  ) WHERE deg >= {dmin} GROUP BY deg
+)""")
+    return (
+        f"WITH e AS MATERIALIZED ({_PART_SUCC_E})\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
 def _conductance_sql(k: int = 3) -> str:
     """Per-community conductance of the k-round labelprop partition
     (kernels/modularity.conductance): identical integer aggregates to
@@ -2928,6 +3001,8 @@ SELECT comp, COUNT(*) AS csize FROM (
         "salsa_k": _salsa_k_sql(3),
         "modularity_lp": _modularity_sql(3),
         "conductance_lp": _conductance_sql(3),
+        "degree_dist": _DEGREE_DIST_SQL,
+        "power_law_alpha": _power_law_sql(4),
         "random_walks": _random_walks_sql(4, 2, 7),
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),
         "condensation_levels": _CONDENSE_SQL,

@@ -36,6 +36,7 @@ def main(argv: list[str]) -> int:
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
             "modularity", "conductance", "walks", "sample", "condense",
             "matching", "msf", "jaccard", "pagerank_w", "coreness",
+            "degrees", "alpha",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -350,6 +351,12 @@ def main(argv: list[str]) -> int:
         res = kernels.graph_stats(graph)
         out = res.df
         summary = {"kernel": "stats"}
+    elif args.kernel == "degrees":
+        out = kernels.degree_distribution(graph).orderBy("direction", "bin")
+        summary = {"kernel": "degrees"}
+    elif args.kernel == "alpha":
+        out = kernels.power_law_alpha(graph, dmin=max(args.k, 1))
+        summary = {"kernel": "alpha", "dmin": max(args.k, 1)}
     elif args.kernel == "truss":
         res = kernels.ktruss(graph, k=args.k)
         out = res.df.orderBy(F.desc("support"), "u", "w")

@@ -54,6 +54,10 @@ densest_subgraph 2(1+eps)-approx densest subgraph by parallel peeling
                 (Bahmani et al. VLDB'12; peel-round tags, argmax round)
 graph_stats     one-row web-graph characterization: reciprocity,
                 Newman degree assortativity, degree moments
+degree_distribution log2-binned in/out-degree histogram (exact
+                integer binning via length(bin(deg)) - 1)
+power_law_alpha Hill MLE tail exponent of the degree distribution
+                (Broder WWW'00 reports ~2.1 in / ~2.72 out)
 ktruss          k-truss decomposition (edge-support peeling over the
                 degree-ordered triangle enumeration, Cohen 2008)
 ego_net         radius-k ego network + induced subgraph extraction
@@ -95,7 +99,7 @@ from linkgraph.kernels.bowtie import bowtie
 from linkgraph.kernels.clustering import local_clustering
 from linkgraph.kernels.linkpred import link_prediction
 from linkgraph.kernels.densest import densest_subgraph
-from linkgraph.kernels.graphstats import graph_stats
+from linkgraph.kernels.graphstats import degree_distribution, graph_stats, power_law_alpha
 from linkgraph.kernels.truss import ktruss
 from linkgraph.kernels.egonet import ego_net
 from linkgraph.kernels.matching import maximal_matching
@@ -137,6 +141,8 @@ __all__ = [
     "link_prediction",
     "densest_subgraph",
     "graph_stats",
+    "degree_distribution",
+    "power_law_alpha",
     "ktruss",
     "ego_net",
     "maximal_matching",

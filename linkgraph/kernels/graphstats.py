@@ -94,3 +94,105 @@ def graph_stats(graph: Graph) -> GraphStatsResult:
         )
     )
     return GraphStatsResult(df=out, wall_seconds=time.time() - t0)
+
+
+def degree_distribution(graph: Graph) -> DataFrame:
+    """Log2-binned in-/out-degree histogram — THE most-reported
+    web-graph plot (Broder WWW'00 fig. 2 reports both as power laws).
+
+    Output: (direction, bin, lo, hi, cnt) where bin = floor(log2 deg)
+    for deg >= 1 with [lo, hi] = [2^bin, 2^(bin+1) - 1], and the
+    degree-0 vertices land in bin -1 with lo = hi = 0. The bin index
+    is EXACT integer logic — length(bin(deg)) - 1, no float log2, so
+    a power-of-two degree can never misbin and engines cannot drift.
+
+    Scale shape: two degree aggregations on the edge table (the same
+    partial+final count every kernel's degree table uses), a left
+    anti/join against the vertex skeleton for the 0-bin, then a
+    groupBy on ~64 bin keys. All int64, hash-exact.
+    """
+    out: DataFrame | None = None
+    for direction, key in (("out", "src"), ("in", "dst")):
+        deg = graph.edges.groupBy(F.col(key).alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        full = graph.vertices.select("id").join(deg, "id", "left").select(
+            F.coalesce("deg", F.lit(0).cast("long")).alias("deg")
+        )
+        binned = full.select(
+            F.when(F.col("deg") > 0, F.length(F.bin(F.col("deg"))) - 1)
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("bin")
+        )
+        hist = (
+            binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.lit(direction).alias("direction"),
+                "bin",
+                F.expr(
+                    "CAST(CASE WHEN bin >= 0 THEN shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(bin AS INT)) ELSE 0 END AS BIGINT)"
+                ).alias("lo"),
+                F.expr(
+                    "CAST(CASE WHEN bin >= 0 THEN shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(bin AS INT) + 1) - 1 ELSE 0 END AS BIGINT)"
+                ).alias("hi"),
+                "cnt",
+            )
+        )
+        out = hist if out is None else out.unionByName(hist)
+    return out
+
+
+def power_law_alpha(graph: Graph, dmin: int = 4) -> DataFrame:
+    """Hill maximum-likelihood estimate of the degree-distribution
+    tail exponent (Hill 1975; the discrete-tail recipe of Clauset,
+    Shalizi & Newman SIAM Rev. 2009, eq. 3.1's continuous
+    approximation):
+
+        alpha = 1 + tail_n / SUM_{deg >= dmin} ln(deg / dmin)
+
+    per direction — Broder WWW'00 reports alpha ~= 2.1 (in) and
+    ~= 2.72 (out) for the web. Output: (direction, dmin, tail_n,
+    alpha) with alpha ROUND(9) (the one float: a SUM of per-degree
+    ln terms; tail_n and the per-distinct-degree counts are exact).
+    Degenerate tails (all tail degrees == dmin, or an empty tail)
+    give NULL via try_divide instead of throwing.
+
+    Scale shape: the degree table collapses to DISTINCT degree values
+    (<= ~64 * n^(1/2)-ish rows in practice) before any float math, so
+    the ln-sum aggregates a tiny table; everything before it is the
+    standard partial+final degree count.
+    """
+    if dmin < 1:
+        raise ValueError("power_law_alpha needs dmin >= 1")
+    out: DataFrame | None = None
+    for direction, key in (("out", "src"), ("in", "dst")):
+        deg = graph.edges.groupBy(F.col(key).alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        per_deg = (
+            deg.where(F.col("deg") >= dmin)
+            .groupBy("deg")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        row = per_deg.agg(
+            F.sum("c").alias("tail_n"),
+            F.sum(
+                F.col("c").cast("double")
+                * F.log(F.col("deg").cast("double") / F.lit(float(dmin)))
+            ).alias("lnsum"),
+        ).select(
+            F.lit(direction).alias("direction"),
+            F.lit(dmin).cast("long").alias("dmin"),
+            F.coalesce("tail_n", F.lit(0).cast("long")).alias("tail_n"),
+            F.round(
+                F.lit(1.0)
+                + F.try_divide(F.col("tail_n").cast("double"), F.col("lnsum")),
+                9,
+            ).alias("alpha"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

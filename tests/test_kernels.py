@@ -947,6 +947,65 @@ def test_modularity_closed_forms(spark):
     g.unpersist()
 
 
+def test_degree_distribution_matches_numpy(rmat_graph):
+    """Histogram equals an int.bit_length replay (deg-0 vertices in
+    bin -1, lo/hi are the exact powers of two)."""
+    from linkgraph.kernels import degree_distribution
+
+    g, pdf, n = rmat_graph
+    got = {
+        (r["direction"], r["bin"]): (r["lo"], r["hi"], r["cnt"])
+        for r in degree_distribution(g).collect()
+    }
+    verts = [r["id"] for r in g.vertices.collect()]
+    for direction, col in (("out", "src"), ("in", "dst")):
+        degs = dict.fromkeys(verts, 0)
+        for v in pdf[col].to_numpy():
+            degs[v] += 1
+        want: dict[int, int] = {}
+        for d in degs.values():
+            b = d.bit_length() - 1 if d > 0 else -1
+            want[b] = want.get(b, 0) + 1
+        for b, cnt in want.items():
+            lo, hi = (2**b, 2 ** (b + 1) - 1) if b >= 0 else (0, 0)
+            assert got[(direction, b)] == (lo, hi, cnt)
+        assert sum(c for (dr, _), (_, _, c) in got.items() if dr == direction) == len(
+            verts
+        )
+
+
+def test_power_law_alpha_matches_numpy_and_closed_form(rmat_graph, spark):
+    """Hill alpha equals the NumPy replay on the rMAT graph; star
+    closed form: out alpha = 1 + 1/ln(8), all-at-dmin in-tail -> NULL."""
+    import math
+
+    from linkgraph.kernels import power_law_alpha
+
+    g, pdf, n = rmat_graph
+    dmin = 2
+    got = {r["direction"]: r for r in power_law_alpha(g, dmin=dmin).collect()}
+    verts = [r["id"] for r in g.vertices.collect()]
+    for direction, col in (("out", "src"), ("in", "dst")):
+        degs = dict.fromkeys(verts, 0)
+        for v in pdf[col].to_numpy():
+            degs[v] += 1
+        tail = [d for d in degs.values() if d >= dmin]
+        want = 1.0 + len(tail) / sum(math.log(d / dmin) for d in tail)
+        assert got[direction]["tail_n"] == len(tail)
+        assert got[direction]["alpha"] == pytest.approx(want, abs=1e-9)
+
+    edges = pd.DataFrame({"src": [0] * 8, "dst": list(range(1, 9))})
+    star = _graph(spark, edges, 9)
+    s = {r["direction"]: r for r in power_law_alpha(star, dmin=1).collect()}
+    assert s["out"]["tail_n"] == 1
+    assert s["out"]["alpha"] == pytest.approx(1.0 + 1.0 / math.log(8.0))
+    assert s["in"]["tail_n"] == 8
+    assert s["in"]["alpha"] is None  # every tail degree == dmin -> ln-sum 0
+    star.unpersist()
+    with pytest.raises(ValueError):
+        power_law_alpha(star, dmin=0)
+
+
 def test_conductance_matches_bruteforce(rmat_graph):
     """Per-community (cut, vol, phi) equals a brute-force edge-scan
     replay for the labelprop-3 partition of the rMAT graph — doubles
