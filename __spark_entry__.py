@@ -765,6 +765,44 @@ def q_event_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (linkgraph/streaming.dedup_stream): a
+    REAL Structured Streaming query (file source, availableNow drain,
+    memory sink) that first-arrival-dedups the documents table on
+    md5(text) within a watermark horizon (dropDuplicatesWithin-
+    Watermark; event time = doc_id seconds, horizon 365 days covers
+    the whole drain). Projecting ONLY the content hash makes the
+    result representative-independent: kept hashes == the distinct
+    hash set, which is exactly the batch oracle."""
+    from linkgraph.streaming import dedup_stream
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    # +1e9 s keeps every synthetic event time strictly above the
+    # initial epoch-0 watermark (a ts AT the watermark is "late" and
+    # silently dropped — measured: doc_id 0 vanished without this)
+    tagged = stream.select(
+        F.md5("text").alias("content_md5"),
+        F.timestamp_seconds(F.col("doc_id") + F.lit(1_000_000_000)).alias("ts"),
+    )
+    name = "q_doc_dedup_stream_sink"
+    q = (
+        dedup_stream(tagged, ["content_md5"], "ts", "365 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("content_md5")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -984,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_delta_multi": q_pagerank_delta_multi,
         "event_sessions_graph": q_event_sessions_graph,
         "event_sessions_stream": q_event_sessions_stream,
+        "doc_dedup_stream": q_doc_dedup_stream,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -3058,4 +3097,7 @@ SELECT user_id,
 FROM s
 GROUP BY user_id, sid
 """,
+        # streaming first-arrival dedup projected to the content hash
+        # == the distinct hash set (representative-independent)
+        "doc_dedup_stream": "SELECT DISTINCT md5(text) AS content_md5 FROM documents",
     }

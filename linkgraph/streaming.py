@@ -161,3 +161,26 @@ def running_out_degrees(edge_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    rows: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: first-arrival-wins per key within
+    the watermark horizon (dropDuplicatesWithinWatermark) — the
+    crawl-ingest twin of pipeline/dedup.exact_dedup (recrawls and
+    mirrors emit the same content repeatedly; dropping them at ingest
+    keeps everything downstream smaller).
+
+    State story: one entry per DISTINCT key seen within the horizon,
+    evicted once the event-time watermark passes it — O(distinct keys
+    / horizon), never O(stream). That bounded-state trade is the
+    semantic difference vs batch dedup: a duplicate arriving AFTER the
+    horizon is kept again (exactly what a crawl pipeline wants — a
+    page unseen for a year is worth re-ingesting). Append output mode;
+    works on any stream with an event-time column (dedup on a content
+    hash, not the raw text, so state rows stay tiny)."""
+    return rows.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(key_cols)

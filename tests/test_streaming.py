@@ -140,3 +140,52 @@ def test_sessionize_events_equals_batch_session_window(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 3  # two sessions for user 1, one for user 2
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """First-arrival dedup across MULTIPLE microbatches: duplicates in
+    a later file are dropped while within the horizon; the kept hash
+    set equals the batch distinct set; unique rows all survive."""
+    from linkgraph.streaming import dedup_stream
+
+    src = str(tmp_path / "docs_stream")
+    base = 1_000_000_000  # keep every ts above the initial epoch-0 watermark
+    a = spark.createDataFrame(
+        [(i, f"text-{i % 4}") for i in range(8)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(  # all duplicates of batch a's contents
+        [(100 + i, f"text-{i % 4}") for i in range(8)], "doc_id long, text string"
+    )
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # force one file per microbatch
+        .parquet(src)
+        .select(
+            F.md5("text").alias("content_md5"),
+            F.timestamp_seconds(F.col("doc_id") + F.lit(base)).alias("ts"),
+        )
+    )
+    name = "dedup_stream_test_sink"
+    q = (
+        dedup_stream(stream, ["content_md5"], "ts", "1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.table(name).toPandas()
+    want = {
+        r["h"]
+        for r in spark.read.parquet(src)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    # exactly one representative per distinct content hash
+    assert sorted(kept["content_md5"]) == sorted(want)
+    assert len(kept) == 4
