@@ -159,6 +159,31 @@ def q_ppr_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_spam_mass_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + VLDB'06 spam mass (kernels/spammass.py): exactly 3
+    rounds each of the uniform-teleport PageRank and the seed-PPR
+    (trusted core = the 4 smallest customer vertices, same seeds as
+    ppr_k), then the mass estimate spam = p - t*|S|/n and rel =
+    spam/p (p floored by the uniform teleport, ANSI-safe). All four
+    doubles ROUND(9); the |S|/n scale is an IEEE double division on
+    both engines."""
+    from linkgraph.kernels import spam_mass
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    seeds = [
+        int(r["src"])
+        for r in g.edges.select("src").distinct().orderBy("src").limit(4).collect()
+    ]
+    res = spam_mass(g, seeds, tol=0.0, max_iter=3)
+    return res.df.select(
+        "id",
+        F.round("rank", 9).alias("rank"),
+        F.round("trust", 9).alias("trust"),
+        F.round("spam_mass", 9).alias("spam_mass"),
+        F.round("rel_mass", 9).alias("rel_mass"),
+    )
+
+
 def q_hits_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 3 two-phase HITS rounds (Kleinberg hubs/authorities,
     L2-normalized, hub gather reads the round's normalized auth) on
@@ -986,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k": q_pagerank_k,
         "hits_k": q_hits_k,
         "katz_k": q_katz_k,
+        "spam_mass_k": q_spam_mass_k,
         "salsa_k": q_salsa_k,
         "modularity_lp": q_modularity_lp,
         "conductance_lp": q_conductance_lp,
@@ -1877,6 +1903,68 @@ r{i} AS MATERIALIZED (
 )"""
         prev = f"r{i}"
     sql += f"\nSELECT id, ROUND(rank, 9) AS rank FROM {prev}"
+    return sql
+
+
+def _spam_mass_sql(k: int = 3, n_seeds: int = 4) -> str:
+    """Unrolled TrustRank + spam mass — the pagerank_k chain (uniform
+    teleport, dangling / n) and the ppr_k chain (seed base column,
+    dangling * base) side by side, joined into the VLDB'06 estimate;
+    the |S|/n scale is the same IEEE double division Spark's literal
+    carries."""
+    sql = f"""
+WITH e AS MATERIALIZED ({_CUST_SUPP_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+seeds AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT {n_seeds}),
+od AS MATERIALIZED (
+  SELECT v.id, COALESCE(d.c, 0) AS out_deg,
+         CASE WHEN s.id IS NOT NULL THEN 1.0 / {n_seeds} ELSE 0.0 END AS base
+  FROM v
+  LEFT JOIN (SELECT src, COUNT(*) AS c FROM e GROUP BY src) d ON v.id = d.src
+  LEFT JOIN seeds s ON v.id = s.id
+),
+p0 AS (SELECT id, out_deg, 1.0 / (SELECT n FROM nn) AS rank FROM od),
+t0 AS (SELECT id, out_deg, base, base AS rank FROM od)
+"""
+    prev = "p0"
+    for i in range(1, k + 1):
+        sql += f""",
+pg{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(r.rank / r.out_deg) AS gathered
+  FROM e JOIN {prev} r ON e.src = r.id
+  GROUP BY e.dst
+),
+pd{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev} WHERE out_deg = 0),
+p{i} AS MATERIALIZED (
+  SELECT r.id, r.out_deg,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * (COALESCE(g.gathered, 0.0) + (SELECT dm FROM pd{i}) / (SELECT n FROM nn)) AS rank
+  FROM {prev} r LEFT JOIN pg{i} g ON r.id = g.id
+)"""
+        prev = f"p{i}"
+    prev = "t0"
+    for i in range(1, k + 1):
+        sql += f""",
+tg{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(r.rank / r.out_deg) AS gathered
+  FROM e JOIN {prev} r ON e.src = r.id
+  GROUP BY e.dst
+),
+td{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev} WHERE out_deg = 0),
+t{i} AS MATERIALIZED (
+  SELECT r.id, r.out_deg, r.base,
+         0.15 * r.base
+         + 0.85 * (COALESCE(g.gathered, 0.0) + (SELECT dm FROM td{i}) * r.base) AS rank
+  FROM {prev} r LEFT JOIN tg{i} g ON r.id = g.id
+)"""
+        prev = f"t{i}"
+    sql += f"""
+SELECT p.id, ROUND(p.rank, 9) AS rank, ROUND(t.rank, 9) AS trust,
+       ROUND(p.rank - t.rank * ({n_seeds} / (SELECT n FROM nn)), 9) AS spam_mass,
+       ROUND((p.rank - t.rank * ({n_seeds} / (SELECT n FROM nn))) / p.rank, 9) AS rel_mass
+FROM p{k} p JOIN t{k} t ON p.id = t.id
+"""
     return sql
 
 
@@ -3037,6 +3125,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "pagerank_k": _pagerank_k_sql(3),
         "hits_k": _hits_k_sql(3),
         "katz_k": _katz_k_sql(3, alpha=0.1, beta=1.0),
+        "spam_mass_k": _spam_mass_sql(3, n_seeds=4),
         "salsa_k": _salsa_k_sql(3),
         "modularity_lp": _modularity_sql(3),
         "conductance_lp": _conductance_sql(3),

@@ -36,7 +36,7 @@ def main(argv: list[str]) -> int:
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
             "modularity", "conductance", "walks", "sample", "condense",
             "matching", "msf", "jaccard", "pagerank_w", "coreness",
-            "degrees", "alpha",
+            "degrees", "alpha", "spam",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -223,6 +223,22 @@ def main(argv: list[str]) -> int:
             "kernel": "ppr",
             "seeds": len(sources),
             "rounds": res.iterations,
+            "converged": res.converged,
+        }
+    elif args.kernel == "spam":
+        if args.sources:
+            trusted = [int(s) for s in args.sources.split(",")]
+        else:
+            trusted = [
+                int(r["id"]) for r in graph.vertices.orderBy("id").limit(4).collect()
+            ]
+        res = kernels.spam_mass(graph, trusted, max_iter=args.max_iter)
+        out = res.df.orderBy(F.desc("rel_mass"), F.desc("rank"), "id")
+        summary = {
+            "kernel": "spam",
+            "trusted": len(trusted),
+            "pagerank_rounds": res.pagerank_iterations,
+            "trust_rounds": res.trust_iterations,
             "converged": res.converged,
         }
     elif args.kernel == "hits":

@@ -42,6 +42,8 @@ condensation    SCC condensation DAG + longest-path topo levels
                 (the web hierarchy view; Kahn layering by relaxation)
 ppr             personalized PageRank / random walk with restart
                 (seed-restricted teleport, dangling mass to seeds)
+spam_mass       TrustRank + VLDB'06 spam-mass estimate (pagerank and
+                seed-PPR composed; rel_mass ~ 1 flags link spam)
 scc             strongly connected components (trim + forward-max
                 coloring + color-constrained backward sweep, Orzan)
 bowtie          Broder bow-tie decomposition (CORE/IN/OUT/OTHER from
@@ -94,6 +96,7 @@ from linkgraph.kernels.walks import random_walks
 from linkgraph.kernels.sampling import neighbor_sample
 from linkgraph.kernels.condense import condensation
 from linkgraph.kernels.ppr import ppr
+from linkgraph.kernels.spammass import spam_mass
 from linkgraph.kernels.scc import scc
 from linkgraph.kernels.bowtie import bowtie
 from linkgraph.kernels.clustering import local_clustering
@@ -135,6 +138,7 @@ __all__ = [
     "neighbor_sample",
     "condensation",
     "ppr",
+    "spam_mass",
     "scc",
     "bowtie",
     "local_clustering",

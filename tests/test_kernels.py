@@ -1086,6 +1086,50 @@ def test_ppr_matches_numpy(rmat_graph):
         assert got[s] > 1.0 / n
 
 
+def test_spam_mass_composition_identities(rmat_graph):
+    """spam_mass == pagerank/ppr composed: rank and trust columns
+    equal the individual kernels bit-for-bit, and the mass/rel
+    expressions recompute exactly from them."""
+    from linkgraph.kernels import pagerank, ppr, spam_mass
+
+    g, pdf, n = rmat_graph
+    seeds = [0, 1]
+    res = spam_mass(g, seeds, tol=1e-6, max_iter=30)
+    got = {r["id"]: r for r in res.df.collect()}
+    pr = {r["id"]: r["rank"] for r in pagerank(g, tol=1e-6, max_iter=30).df.collect()}
+    tr = {r["id"]: r["rank"] for r in ppr(g, seeds, tol=1e-6, max_iter=30).df.collect()}
+    scale = len(seeds) / n
+    for v, r in got.items():
+        # cross-RUN comparison: partial-sum order varies with partition
+        # scheduling, so independent runs agree only to ~1 ulp
+        assert r["rank"] == pytest.approx(pr[v], rel=1e-12)
+        assert r["trust"] == pytest.approx(tr[v], rel=1e-12)
+        # within-row identities are exact IEEE arithmetic
+        assert r["spam_mass"] == r["rank"] - r["trust"] * scale
+        assert r["rel_mass"] == (r["rank"] - r["trust"] * scale) / r["rank"]
+    with pytest.raises(ValueError):
+        spam_mass(g, [])
+
+
+def test_spam_mass_flags_unreachable_farm(spark):
+    """Closed form: a 2-cycle 'spam farm' unreachable from the trusted
+    core gets trust 0 and rel_mass exactly 1; the core side sits
+    well below it."""
+    from linkgraph.kernels import spam_mass
+
+    edges = pd.DataFrame({"src": [0, 2, 3], "dst": [1, 3, 2]})
+    g = _graph(spark, edges, 4)
+    res = spam_mass(g, [0], tol=1e-10, max_iter=60)
+    got = {r["id"]: r for r in res.df.collect()}
+    for v in (2, 3):
+        assert got[v]["trust"] == 0.0
+        assert got[v]["rel_mass"] == 1.0
+    for v in (0, 1):
+        assert got[v]["trust"] > 0.0
+        assert got[v]["rel_mass"] < 1.0
+    g.unpersist()
+
+
 def test_ppr_full_seed_set_equals_pagerank(rmat_graph):
     """With S = V the recurrence degenerates to global PageRank."""
     from linkgraph.kernels import ppr
