@@ -621,6 +621,40 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_rollup(g)
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank — the end-to-end composition a web ranking
+    pipeline actually runs: host_rollup (REAL parse_url + two-join +
+    groupBy path, same synthetic urls as host_graph) builds the
+    weighted host graph, then pagerank_weighted ranks hosts with rank
+    flowing proportionally to inter-host link multiplicity. Host ids
+    re-derived from the host string via regexp (both engines); 3
+    unrolled rounds, ROUND(9)."""
+    from linkgraph.build import host_rollup
+    from linkgraph.kernels import pagerank_weighted
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    g.vertices = g.vertices.withColumn(
+        "url",
+        F.concat(
+            F.lit("http://host"),
+            (F.col("id") % 50).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("id").cast("string"),
+        ),
+    )
+    rolled = host_rollup(g)
+    wdf = rolled.select(
+        F.regexp_extract("src_host", r"host(\d+)", 1).cast("long").alias("src"),
+        F.regexp_extract("dst_host", r"host(\d+)", 1).cast("long").alias("dst"),
+        F.col("weight").alias("w"),
+    )
+    hg = _graph(wdf.select("src", "dst"))
+    res = pagerank_weighted(hg, wdf, tol=0.0, max_iter=3)
+    return res.df.select(
+        F.col("id").alias("host_id"), F.round("rank", 9).alias("rank")
+    )
+
+
 def q_labelprop_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 3 synchronous label-propagation rounds on the
     customer→supplier graph (SURVEY §2.6: adopt the most frequent
@@ -1043,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring": q_coloring,
         "anf_sketch": q_anf_sketch,
         "host_graph": q_host_graph,
+        "host_pagerank": q_host_pagerank,
         "labelprop_k": q_labelprop_k,
         "pagerank_delta_k": q_pagerank_delta_k,
         "pagerank_delta_multi": q_pagerank_delta_multi,
@@ -1867,6 +1902,50 @@ r{i} AS (
 )"""
         prev = f"r{i}"
     return sql + f"\nSELECT id, ROUND(rank, 9) AS rank FROM {prev}\n"
+
+
+def _host_pagerank_sql(k: int = 3) -> str:
+    """Host-level PageRank oracle: the host edge weights are the same
+    direct id%50 construction as _HOST_GRAPH_SQL, then the
+    pagerank_weighted unroll verbatim."""
+    sql = f"""
+WITH e AS MATERIALIZED ({_CUST_SUPP_E}),
+we AS (
+  SELECT src % 50 AS src, dst % 50 AS dst, COUNT(*) AS w
+  FROM e WHERE src % 50 <> dst % 50
+  GROUP BY 1, 2
+),
+v AS (SELECT src AS id FROM we UNION SELECT dst AS id FROM we),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+ws AS (SELECT src, SUM(w) AS wsum FROM we GROUP BY src),
+pe AS (
+  SELECT we.src, we.dst, CAST(we.w AS DOUBLE) / CAST(ws.wsum AS DOUBLE) AS p
+  FROM we JOIN ws ON we.src = ws.src
+),
+od AS (
+  SELECT v.id, (ws.src IS NOT NULL) AS has_out
+  FROM v LEFT JOIN ws ON v.id = ws.src
+),
+r0 AS (SELECT id, has_out, 1.0 / (SELECT n FROM nn) AS rank FROM od)
+"""
+    prev = "r0"
+    for i in range(1, k + 1):
+        sql += f""",
+g{i} AS (
+  SELECT pe.dst AS id, SUM(r.rank * pe.p) AS gathered
+  FROM pe JOIN {prev} r ON pe.src = r.id
+  GROUP BY pe.dst
+),
+d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev} WHERE NOT has_out),
+r{i} AS (
+  SELECT r.id, r.has_out,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * (COALESCE(g.gathered, 0.0)
+                   + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+  FROM {prev} r LEFT JOIN g{i} g ON r.id = g.id
+)"""
+        prev = f"r{i}"
+    return sql + f"\nSELECT id AS host_id, ROUND(rank, 9) AS rank FROM {prev}\n"
 
 
 def _ppr_k_sql(k: int = 3, n_seeds: int = 4) -> str:
@@ -3080,6 +3159,7 @@ FROM documents GROUP BY md5(text)
         "coloring": _coloring_sql(layers=4, rounds=5),
         "anf_sketch": _anf_sketch_sql(rounds=8, registers=8),
         "host_graph": _HOST_GRAPH_SQL,
+        "host_pagerank": _host_pagerank_sql(3),
         "labelprop_k": _labelprop_k_sql(3),
         "pagerank_delta_k": _PAGERANK_DELTA_SQL,
         "pagerank_delta_multi": _PAGERANK_DELTA_MULTI_SQL,

@@ -230,3 +230,65 @@ def test_host_rollup_refuses_pure_edge_graph(spark):
     with _pytest.raises(ValueError, match="url"):
         host_rollup(g)
     g.unpersist()
+
+
+def test_host_pagerank_composition(spark):
+    """host_rollup -> pagerank_weighted end-to-end on the synthetic
+    corpus: ranks equal a NumPy weighted power iteration over the
+    pandas-derived host multigraph (host weights = page-edge
+    multiplicities)."""
+    import numpy as np
+    from urllib.parse import urlparse
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from linkgraph.build import (
+        build_graph_from_edges,
+        build_graph_from_pages,
+        host_rollup,
+    )
+    from linkgraph.datagen import PagesSpec, generate_pages
+    from linkgraph.extract import edges_from_pages
+    from linkgraph.kernels import pagerank_weighted
+
+    pages = spark.createDataFrame(generate_pages(PagesSpec(n_pages=300)))
+    g = build_graph_from_pages(pages, num_partitions=4)
+    rolled = host_rollup(g)
+    hosts = sorted(
+        {r["src_host"] for r in rolled.collect()}
+        | {r["dst_host"] for r in rolled.collect()}
+    )
+    hid = {h: i for i, h in enumerate(hosts)}
+    wdf = rolled.select(
+        F.udf(lambda h: hid[h], "long")("src_host").alias("src"),
+        F.udf(lambda h: hid[h], "long")("dst_host").alias("dst"),
+        F.col("weight").alias("w"),
+    )
+    hg = build_graph_from_edges(wdf.select("src", "dst"), num_partitions=2)
+    res = pagerank_weighted(hg, wdf, tol=0.0, max_iter=3)
+    got = {r["id"]: r["rank"] for r in res.df.collect()}
+
+    # NumPy replay over the pandas-derived host multigraph
+    url_edges = edges_from_pages(pages).toPandas()
+    W: dict[tuple[int, int], int] = {}
+    for r in url_edges.itertuples():
+        hs, hd = urlparse(r.src_url).netloc, urlparse(r.dst_url).netloc
+        if hs != hd:
+            W[(hid[hs], hid[hd])] = W.get((hid[hs], hid[hd]), 0) + 1
+    n = len(hosts)
+    wsum = np.zeros(n)
+    for (s, _), w in W.items():
+        wsum[s] += w
+    rank = np.full(n, 1.0 / n)
+    for _ in range(3):
+        dm = rank[wsum == 0].sum()
+        nxt = np.full(n, 0.15 / n + 0.85 * dm / n)
+        for (s, d), w in W.items():
+            nxt[d] += 0.85 * rank[s] * (w / wsum[s])
+        rank = nxt
+    for v, r in got.items():
+        assert r == _pytest.approx(rank[v], abs=1e-12)
+    assert sum(got.values()) == _pytest.approx(1.0, abs=1e-9)
+    g.unpersist()
+    hg.unpersist()
