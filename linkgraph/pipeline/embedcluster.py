@@ -213,7 +213,12 @@ def semantic_dedup(
         ).alias("centroid_sim"),
     )
     w = Window.partitionBy("cluster").orderBy(F.asc("centroid_sim"), F.asc("vec_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(w))
+    # sever: the ranked index feeds THREE consumers (both pair-join
+    # sides and the final keep join); without it each branch re-runs
+    # the kmeans assignment + centroid-sim fold from the scan
+    from linkgraph.checkpoint import sever
+
+    ranked = sever(scored.withColumn("rn", F.row_number().over(w)))
     x = ranked.select(
         "cluster",
         F.col("vec_id").alias("x_id"),
