@@ -1014,6 +1014,34 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.3, n_clusters=8, rounds=3)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document
+    (pipeline/textstats.gopher_quality, Rae et al. 2021 word-level
+    subset): dup-word fraction, top-bigram character coverage, symbol
+    ratio, mean word length, and the composite keep flag. The keep
+    flag is evaluated on the 9-decimal-ROUNDED metrics on both
+    engines, so it is reproducible bit-for-bit; the sf0.01 corpus
+    spans 27-72 words, so the 50-word Gopher minimum splits it and
+    the flag is non-trivial."""
+    from linkgraph.pipeline import gopher_quality
+
+    return gopher_quality(_documents(spark, sf_dir))
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsampling
+    (pipeline/embedcluster.cluster_balanced_sample): the SAME
+    deterministic k-means index as kmeans_embed partitions the
+    embeddings, then 20 items per cluster are kept by the seeded
+    md5-prefix id hash shared with stratified_sample — topic-coverage-
+    preserving corpus shrinking with an exactly-reproducible kept
+    set."""
+    from linkgraph.pipeline import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster_balanced_sample(emb, per_cluster=20, n_clusters=8, rounds=3, seed=7)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters = the engine's CC kernel over the exact
     n-gram-Jaccard pair graph (same sub-corpus + stop-shingle guard as
@@ -1100,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embed": q_kmeans_embed,
         "semantic_dedup": q_semantic_dedup,
         "stratified_sample": q_stratified_sample,
+        "gopher_quality": q_gopher_quality,
+        "cluster_sample": q_cluster_sample,
         "pagerank_weighted_k": q_pagerank_weighted_k,
     }
 
@@ -1612,6 +1642,28 @@ c{r} AS MATERIALIZED (
 def _kmeans_sql(k: int = 8, rounds: int = 3, dim: int = 64) -> str:
     """kmeans_embed oracle — the shared CTE chain's final assignment."""
     return _kmeans_ctes(k, rounds, dim) + f"\nSELECT vec_id, cluster FROM a{rounds}\n"
+
+
+def _cluster_sample_sql(
+    per_cluster: int = 20, n_clusters: int = 8, rounds: int = 3, seed: int = 7
+) -> str:
+    """Mirrors pipeline/embedcluster.cluster_balanced_sample: the
+    shared unrolled k-means CTE chain gives assignments; per-cluster
+    rank by the seeded md5-prefix hash (ties by vec_id) — the same
+    hash contract as _STRATIFIED_SAMPLE_SQL."""
+    return (
+        _kmeans_ctes(n_clusters, rounds)
+        + f"""
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster
+           ORDER BY ('0x' || substr(md5('{seed}:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id) AS rn
+  FROM a{rounds}
+) WHERE rn <= {per_cluster}
+"""
+    )
 
 
 def _ivf_ann_sql(
@@ -3112,6 +3164,66 @@ SELECT doc_id, CASE {case} END AS pred_lang FROM scores
 """
 
 
+def _gopher_quality_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_dup: float = 0.90,
+    max_top_bigram: float = 0.20,
+    max_symbol: float = 0.10,
+) -> str:
+    """Mirrors pipeline/textstats.gopher_quality: per-doc word stats
+    as pure expressions, the top-bigram mode via an unnest +
+    group-by (the lateral twin of the kernel's explode + two hash
+    aggs), and the keep flag evaluated on the ROUNDED metrics."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS w,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_word_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              AS BIGINT) AS symbol_cnt
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, n_words - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM base WHERE n_words >= 2
+),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+top AS (SELECT doc_id, MAX(c * length(bigram)) AS top_chars FROM cnt GROUP BY doc_id),
+m AS (
+  SELECT b.doc_id, b.n_words,
+         ROUND(CASE WHEN b.n_words > 0
+                    THEN CAST(b.n_word_chars AS DOUBLE) / b.n_words
+                    ELSE 0.0 END, 9) AS mean_word_len,
+         ROUND(CASE WHEN b.n_words > 0
+                    THEN 1.0 - CAST(array_length(list_distinct(b.w)) AS DOUBLE) / b.n_words
+                    ELSE 0.0 END, 9) AS dup_word_frac,
+         ROUND(COALESCE(CAST(t.top_chars AS DOUBLE) / b.n_chars, 0.0), 9)
+           AS top_bigram_char_frac,
+         ROUND(CASE WHEN b.n_words > 0
+                    THEN CAST(b.symbol_cnt AS DOUBLE) / b.n_words
+                    ELSE 0.0 END, 9) AS symbol_word_ratio
+  FROM base b LEFT JOIN top t USING (doc_id)
+)
+SELECT *,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_word_len >= {min_mwl} AND mean_word_len <= {max_mwl}
+        AND dup_word_frac <= {max_dup}
+        AND top_bigram_char_frac <= {max_top_bigram}
+        AND symbol_word_ratio <= {max_symbol}) AS keep
+FROM m
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -3227,6 +3339,8 @@ SELECT comp, COUNT(*) AS csize FROM (
         "edge_jaccard": _EDGE_JACCARD_SQL,
         "kmeans_embed": _kmeans_sql(k=8, rounds=3, dim=64),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "gopher_quality": _gopher_quality_sql(),
+        "cluster_sample": _cluster_sample_sql(per_cluster=20, n_clusters=8, rounds=3, seed=7),
         "pagerank_weighted_k": _pagerank_weighted_k_sql(3),
         "ego_net_2": _EGO_NET_SQL,
         "event_sessions_graph": """

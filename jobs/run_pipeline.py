@@ -11,11 +11,13 @@ Usage:
 
 Ops over --docs:        exact_dedup | minhash | lsh_pairs | simhash |
                         ngram_jaccard | dedup_clusters | token_stats |
-                        lang_id | fingerprints | sample (--threshold
-                        = rate, --seed; deterministic hash membership)
+                        lang_id | gopher | fingerprints | sample
+                        (--threshold = rate, --seed; deterministic
+                        hash membership)
 Ops over --embeddings:  ann_topk | ann_lsh | ann_ivf | near_dup |
                         kmeans | semdedup (--threshold = cosine
-                        cutoff, --k = n_clusters)
+                        cutoff, --k = n_clusters) | cluster_sample
+                        (--k = n_clusters, --per-cluster, --seed)
 
 Writes the result as parquet to --output when given, else prints 20
 rows. Packaged-for-spark-submit per BASELINE.json:6.
@@ -35,9 +37,13 @@ def opt(val, default):
 
 DOC_OPS = {
     "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
-    "dedup_clusters", "token_stats", "lang_id", "fingerprints", "sample",
+    "dedup_clusters", "token_stats", "lang_id", "gopher", "fingerprints",
+    "sample",
 }
-EMB_OPS = {"ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup"}
+EMB_OPS = {
+    "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
+    "cluster_sample",
+}
 
 
 def main(argv: list[str]) -> int:
@@ -51,6 +57,10 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--k", type=int, default=None, help="shingle size / top-k")
     ap.add_argument("--max-df", type=int, default=None, help="stop-shingle cutoff")
     ap.add_argument("--seed", type=int, default=None, help="sample: hash seed")
+    ap.add_argument(
+        "--per-cluster", type=int, default=None,
+        help="cluster_sample: items kept per kmeans cluster",
+    )
     ap.add_argument(
         "--max-bucket", type=int, default=None,
         help="LSH bucket-size cutoff for lsh_pairs (drop template "
@@ -99,6 +109,8 @@ def main(argv: list[str]) -> int:
         out = P.token_stats(source)
     elif args.op == "lang_id":
         out = P.lang_id(source)
+    elif args.op == "gopher":
+        out = P.gopher_quality(source)
     elif args.op == "fingerprints":
         out = P.winnow_fingerprints(source, k=5, window=4)
     elif args.op == "sample":
@@ -123,6 +135,11 @@ def main(argv: list[str]) -> int:
     elif args.op == "semdedup":
         out = P.semantic_dedup(
             source, threshold=opt(args.threshold, 0.95), n_clusters=opt(args.k, 8)
+        )
+    elif args.op == "cluster_sample":
+        out = P.cluster_balanced_sample(
+            source, per_cluster=opt(args.per_cluster, 100),
+            n_clusters=opt(args.k, 8), seed=opt(args.seed, 0),
         )
     else:  # pragma: no cover
         raise AssertionError(args.op)

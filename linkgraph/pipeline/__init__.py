@@ -26,8 +26,12 @@ from linkgraph.pipeline.simsearch import (
     ivf_ann_topk,
     lsh_ann_topk,
 )
-from linkgraph.pipeline.textstats import lang_id, token_stats
-from linkgraph.pipeline.embedcluster import kmeans, semantic_dedup
+from linkgraph.pipeline.textstats import gopher_quality, lang_id, token_stats
+from linkgraph.pipeline.embedcluster import (
+    cluster_balanced_sample,
+    kmeans,
+    semantic_dedup,
+)
 from linkgraph.pipeline.sampling import hash_sample, stratified_sample
 
 __all__ = [
@@ -43,9 +47,11 @@ __all__ = [
     "embedding_near_dup_pairs",
     "token_stats",
     "lang_id",
+    "gopher_quality",
     "winnow_fingerprints",
     "kmeans",
     "semantic_dedup",
+    "cluster_balanced_sample",
     "hash_sample",
     "stratified_sample",
 ]

@@ -247,3 +247,43 @@ def semantic_dedup(
             F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cluster: int,
+    n_clusters: int = 8,
+    rounds: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Cluster-balanced (diversity-preserving) downsampling: k-means
+    the corpus, then keep `per_cluster` items from EVERY cluster,
+    selected by the seeded md5-prefix id hash (ties by vec_id) — the
+    standard embedding-space curation move for keeping topic coverage
+    while shrinking a corpus (the stratified counterpart of
+    hash_sample, with strata learned from the data instead of a
+    label column; cf. SemDeDup-style cluster curation pipelines).
+
+    Deterministic end-to-end: the same kmeans index as semantic_dedup/
+    ivf_ann_topk plus an engine-portable hash rank, so an external
+    oracle reproduces the EXACT kept set. Returns (vec_id, cluster).
+
+    Scale shape: one rank window keyed on `cluster`. Per-cluster
+    cardinality is bounded by the kmeans contract (k scales with n —
+    the same rationale that bounds semantic_dedup's pair stage); the
+    hash rank costs one shuffle on the cluster key.
+    """
+    if per_cluster < 1:
+        raise ValueError(f"per_cluster must be >= 1, got {per_cluster}")
+    from linkgraph.pipeline.sampling import HASH_SPACE  # noqa: F401  (shared contract)
+
+    assigned = kmeans(emb, k=n_clusters, rounds=rounds).assignments
+    key = F.concat(F.lit(f"{seed}:"), F.col("vec_id").cast("string"))
+    h = F.conv(F.substring(F.md5(F.encode(key, "utf-8")), 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("cluster").orderBy(F.asc("h"), F.asc("vec_id"))
+    return (
+        assigned.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_cluster)
+        .select("vec_id", "cluster")
+    )

@@ -85,6 +85,111 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def gopher_quality(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_word_frac: float = 0.90,
+    max_top_bigram_frac: float = 0.20,
+    max_symbol_ratio: float = 0.10,
+) -> DataFrame:
+    """Gopher-style repetition / quality signals per document (Rae et
+    al. 2021, the public web-text filter rules; word-level subset —
+    line-based signals are degenerate on a single-line corpus):
+
+      (doc_id, n_words, mean_word_len, dup_word_frac,
+       top_bigram_char_frac, symbol_word_ratio, keep)
+
+    * dup_word_frac: 1 − distinct/total word occurrences — the cheap
+      proxy for Gopher's duplicate-n-gram family.
+    * top_bigram_char_frac: characters covered by the most frequent
+      word bigram (count × bigram length) over total characters —
+      Gopher's top-2-gram repetition signal.
+    * symbol_word_ratio: ('#' chars + '...' occurrences) per word —
+      Gopher's symbol screens.
+    * keep: every threshold passes, evaluated on the ROUNDED metrics
+      so the flag is engine-reproducible bit-for-bit.
+
+    Scale shape: the per-doc scalars are one whole-stage-codegen
+    projection (split + array_distinct, no shuffle); the bigram mode
+    is explode → two hash aggs keyed by doc (map-side combine, per-doc
+    bounded cardinality) + one doc-keyed join back — no cross-doc
+    joins anywhere, trivially partition-parallel at 100 TB.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    n_word_chars = F.length(F.regexp_replace("text", r"\s+", ""))
+    hash_cnt = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    ell_cnt = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit(""))))
+        / 3
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        toks.alias("w"),
+        n_words.cast("long").alias("n_words"),
+        n_word_chars.cast("long").alias("n_word_chars"),
+        (hash_cnt + ell_cnt).cast("long").alias("symbol_cnt"),
+    )
+    # most-frequent-bigram coverage: per-doc explode -> (doc, bigram)
+    # count -> per-doc max(count * len). Bounded by doc length; both
+    # aggs combine map-side on the doc key.
+    bigrams = F.expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"
+    )
+    top = (
+        base.where(F.col("n_words") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("c") * F.length("bigram")).alias("top_chars"))
+    )
+    m = base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.when(
+                F.col("n_words") > 0, F.col("n_word_chars") / F.col("n_words")
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("mean_word_len"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                1.0 - F.size(F.array_distinct("w")).cast("long") / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(F.col("top_chars") / F.col("n_chars"), F.lit(0.0)), 9
+        ).alias("top_bigram_char_frac"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0, F.col("symbol_cnt") / F.col("n_words")
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("symbol_word_ratio"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_bigram_char_frac") <= max_top_bigram_frac)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+    )
+    return m.select("*", keep.alias("keep"))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang): deterministic marker-word scorer; argmax
     with ties broken by language code order. A stand-in for a real

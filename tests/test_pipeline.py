@@ -591,3 +591,114 @@ def test_stratified_sample_per_stratum_rates(spark):
         < int(0.1 * (1 << 32))
     }
     assert {i for i, lang in got if lang == "en"} == en_want
+
+
+def test_gopher_quality_matches_python_replay(spark):
+    """gopher_quality == a pure-Python replay (collections.Counter)
+    over a corpus exercising repetition, symbols, short docs, and the
+    empty edge case; every metric compared after the same 9-decimal
+    rounding, the keep flag exactly."""
+    from collections import Counter
+
+    from linkgraph.pipeline import gopher_quality
+
+    texts = [
+        "",  # empty -> all-zero metrics, keep False (n_words < 50)
+        "word",  # single word -> no bigrams
+        "spam spam spam spam spam",  # one dominant bigram
+        ("the quick brown fox jumps over the lazy dog " * 8).strip(),
+        "x " * 49 + "#### ... ... nothing",  # symbols
+        " ".join(f"word{i:03d}" for i in range(60)),  # 50+ distinct words, keep-able
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+
+    for i, t in enumerate(texts):
+        words = t.strip().split() if t.strip() else []
+        n = len(words)
+        n_chars = len(t)
+        n_word_chars = sum(len(w) for w in words)
+        mwl = round(n_word_chars / n, 9) if n else 0.0
+        dup = round(1.0 - len(set(words)) / n, 9) if n else 0.0
+        bigrams = Counter(
+            f"{words[j]} {words[j + 1]}" for j in range(n - 1)
+        )
+        top_chars = max((c * len(b) for b, c in bigrams.items()), default=0)
+        topf = round(top_chars / n_chars, 9) if bigrams else 0.0
+        sym = t.count("#") + t.count("...")
+        symr = round(sym / n, 9) if n else 0.0
+        keep = (
+            50 <= n <= 100_000
+            and 3.0 <= mwl <= 10.0
+            and dup <= 0.90
+            and topf <= 0.20
+            and symr <= 0.10
+        )
+        got = out[i]
+        assert got["n_words"] == n, (i, got)
+        assert got["mean_word_len"] == pytest.approx(mwl, abs=1e-12)
+        assert got["dup_word_frac"] == pytest.approx(dup, abs=1e-12)
+        assert got["top_bigram_char_frac"] == pytest.approx(topf, abs=1e-12)
+        assert got["symbol_word_ratio"] == pytest.approx(symr, abs=1e-12)
+        assert got["keep"] == keep, (i, got, keep)
+    # the designed corpus exercises both branches of the flag
+    assert {out[i]["keep"] for i in range(len(texts))} == {True, False}
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark, emb_df):
+    """cluster_balanced_sample keeps exactly min(quota, cluster size)
+    per kmeans cluster, selected by the seeded md5-prefix hash with
+    vec_id ties — replayed via hashlib over the kernel's own
+    assignments; membership is stable under repartitioning and
+    changes with the seed."""
+    import hashlib
+    from collections import Counter
+
+    from linkgraph.pipeline import cluster_balanced_sample, kmeans
+
+    k, rounds, m, seed = 6, 3, 5, 7
+
+    def h(vid: int) -> int:
+        return int(
+            hashlib.md5(f"{seed}:{vid}".encode()).hexdigest()[:8], 16
+        )
+
+    assigned = kmeans(emb_df, k=k, rounds=rounds).assignments.collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in assigned:
+        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    expected = set()
+    for c, ids in by_cluster.items():
+        for vid in sorted(ids, key=lambda v: (h(v), v))[:m]:
+            expected.add((vid, c))
+
+    out = cluster_balanced_sample(
+        emb_df, per_cluster=m, n_clusters=k, rounds=rounds, seed=seed
+    )
+    got = {(r["vec_id"], r["cluster"]) for r in out.collect()}
+    assert got == expected
+    counts = Counter(c for _, c in got)
+    for c, ids in by_cluster.items():
+        assert counts[c] == min(m, len(ids))
+
+    # layout-independent: same kept set from a different partitioning
+    got2 = {
+        (r["vec_id"], r["cluster"])
+        for r in cluster_balanced_sample(
+            emb_df.repartition(7), per_cluster=m, n_clusters=k, rounds=rounds, seed=seed
+        ).collect()
+    }
+    assert got2 == got
+    # seed-sensitive
+    got_other = {
+        (r["vec_id"], r["cluster"])
+        for r in cluster_balanced_sample(
+            emb_df, per_cluster=m, n_clusters=k, rounds=rounds, seed=99
+        ).collect()
+    }
+    assert got_other != got
+
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(emb_df, per_cluster=0)
