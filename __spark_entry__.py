@@ -889,6 +889,32 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(_documents(spark, sf_dir), num_hashes=8, band_rows=2, k=3)
 
 
+def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dedup decision stage (pipeline/dedup.minhash_jaccard_
+    pairs): LSH candidates + the Broder'97 estimated Jaccard =
+    equal-signature-component fraction. With num_hashes=8 the
+    estimate is an exact multiple of 1/8, so both engines agree
+    bit-for-bit. threshold 0.5: a band match already forces est >=
+    2/8, so any threshold <= 0.25 is vacuous on band_rows=2
+    candidates — 0.5 makes the cut do real work."""
+    from linkgraph.pipeline import minhash_jaccard_pairs
+
+    return minhash_jaccard_pairs(
+        _documents(spark, sf_dir), num_hashes=8, band_rows=2, k=3, threshold=0.5
+    )
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with both the whitespace tokenizer and the
+    BPE-ish pre-tokenizer regex (pipeline/textstats.bpe_token_stats)
+    — the LM-budgeting chars/token view. The pattern deliberately
+    avoids lookahead and unicode classes so Java regex (Spark) and
+    RE2 (DuckDB) tokenize identically."""
+    from linkgraph.pipeline import bpe_token_stats
+
+    return bpe_token_stats(_documents(spark, sf_dir))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline import simhash
 
@@ -1115,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
+        "minhash_jaccard": q_minhash_jaccard,
+        "bpe_token_stats": q_bpe_token_stats,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
@@ -3031,6 +3059,56 @@ FROM bands a JOIN bands b
 """
 
 
+def _minhash_jaccard_sql(threshold: float = 0.25) -> str:
+    """Mirrors pipeline/dedup.minhash_jaccard_pairs: the lsh_pairs
+    banding CTEs produce candidates, then the estimate joins the
+    signatures back per (pair, hash_idx) and averages equality."""
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS (
+  SELECT doc_id, CAST(hash_idx // 2 AS INTEGER) AS band_id,
+         STRING_AGG(hash_idx || '=' || min_hash, ':' ORDER BY hash_idx || '=' || min_hash) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(hash_idx // 2 AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(AVG(CASE WHEN sa.min_hash = sb.min_hash THEN 1.0 ELSE 0.0 END), 9)
+         AS jaccard_est
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b AND sb.hash_idx = sa.hash_idx
+GROUP BY c.doc_a, c.doc_b
+HAVING ROUND(AVG(CASE WHEN sa.min_hash = sb.min_hash THEN 1.0 ELSE 0.0 END), 9)
+       >= {threshold}
+"""
+
+
+def _bpe_token_stats_sql() -> str:
+    from linkgraph.pipeline.textstats import BPE_ISH_PATTERN
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens_ws,
+         CAST(array_length(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))
+              AS BIGINT) AS n_tokens_bpe,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+       ROUND(CASE WHEN n_tokens_bpe > 0
+                  THEN CAST(n_chars AS DOUBLE) / n_tokens_bpe
+                  ELSE 0.0 END, 9) AS chars_per_token
+FROM base
+"""
+
+
 _SIMHASH_SQL = f"""
 WITH toks AS (
   SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
@@ -3249,6 +3327,8 @@ FROM documents GROUP BY md5(text)
 """,
         "minhash_signatures": _minhash_sql(),
         "lsh_pairs": _lsh_pairs_sql(),
+        "minhash_jaccard": _minhash_jaccard_sql(threshold=0.5),
+        "bpe_token_stats": _bpe_token_stats_sql(),
         "simhash": _SIMHASH_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "token_stats": _token_stats_sql(),

@@ -10,8 +10,9 @@ Usage:
       --embeddings /path/embeddings_parquet --op near_dup --threshold 0.9
 
 Ops over --docs:        exact_dedup | minhash | lsh_pairs | simhash |
-                        ngram_jaccard | dedup_clusters | token_stats |
-                        lang_id | gopher | fingerprints | sample
+                        ngram_jaccard | minhash_jaccard | dedup_clusters |
+                        token_stats | bpe_stats | lang_id | gopher |
+                        fingerprints | sample
                         (--threshold = rate, --seed; deterministic
                         hash membership)
 Ops over --embeddings:  ann_topk | ann_lsh | ann_ivf | near_dup |
@@ -38,7 +39,7 @@ def opt(val, default):
 DOC_OPS = {
     "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
     "dedup_clusters", "token_stats", "lang_id", "gopher", "fingerprints",
-    "sample",
+    "sample", "minhash_jaccard", "bpe_stats",
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -93,6 +94,10 @@ def main(argv: list[str]) -> int:
         out = P.minhash_signatures(source)
     elif args.op == "lsh_pairs":
         out = P.lsh_candidate_pairs(source, max_bucket=args.max_bucket)
+    elif args.op == "minhash_jaccard":
+        out = P.minhash_jaccard_pairs(
+            source, threshold=opt(args.threshold, 0.0), max_bucket=args.max_bucket
+        )
     elif args.op == "simhash":
         out = P.simhash(source)
     elif args.op == "ngram_jaccard":
@@ -111,6 +116,8 @@ def main(argv: list[str]) -> int:
         out = P.lang_id(source)
     elif args.op == "gopher":
         out = P.gopher_quality(source)
+    elif args.op == "bpe_stats":
+        out = P.bpe_token_stats(source)
     elif args.op == "fingerprints":
         out = P.winnow_fingerprints(source, k=5, window=4)
     elif args.op == "sample":

@@ -13,6 +13,7 @@ image/audio libs are not in this sandbox).
 
 from linkgraph.pipeline.dedup import (
     dedup_clusters,
+    minhash_jaccard_pairs,
     exact_dup_groups,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -26,7 +27,12 @@ from linkgraph.pipeline.simsearch import (
     ivf_ann_topk,
     lsh_ann_topk,
 )
-from linkgraph.pipeline.textstats import gopher_quality, lang_id, token_stats
+from linkgraph.pipeline.textstats import (
+    bpe_token_stats,
+    gopher_quality,
+    lang_id,
+    token_stats,
+)
 from linkgraph.pipeline.embedcluster import (
     cluster_balanced_sample,
     kmeans,
@@ -38,6 +44,7 @@ __all__ = [
     "exact_dup_groups",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "minhash_jaccard_pairs",
     "simhash",
     "ngram_jaccard_pairs",
     "dedup_clusters",
@@ -46,6 +53,7 @@ __all__ = [
     "ivf_ann_topk",
     "embedding_near_dup_pairs",
     "token_stats",
+    "bpe_token_stats",
     "lang_id",
     "gopher_quality",
     "winnow_fingerprints",

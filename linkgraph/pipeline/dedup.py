@@ -87,6 +87,7 @@ def lsh_candidate_pairs(
     band_rows: int = 2,
     k: int = 3,
     max_bucket: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding: split the signature into bands of
     `band_rows` hashes; docs sharing ANY band signature become a
@@ -104,8 +105,13 @@ def lsh_candidate_pairs(
     near-duplicates of a template; at 100 TB route them to
     exact/cluster dedup (the bucket signature itself identifies the
     group) rather than pairwise-expanding them. Default None preserves
-    exact banding semantics (and the driver oracle)."""
-    sig = minhash_signatures(docs, num_hashes, k)
+    exact banding semantics (and the driver oracle).
+
+    `sig`: optionally pass a precomputed minhash_signatures() frame
+    (e.g. severed, when a caller also joins the signatures back —
+    see minhash_jaccard_pairs)."""
+    if sig is None:
+        sig = minhash_signatures(docs, num_hashes, k)
     bands = sig.groupBy(
         "doc_id", (F.col("hash_idx") / band_rows).cast("int").alias("band_id")
     ).agg(
@@ -128,6 +134,52 @@ def lsh_candidate_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def minhash_jaccard_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    k: int = 3,
+    threshold: float = 0.0,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The full MinHash dedup decision stage: LSH candidate pairs +
+    the ESTIMATED Jaccard = fraction of equal signature components
+    (the Broder'97 estimator — E[matches/num_hashes] = J). Returns
+    (doc_a, doc_b, jaccard_est) with jaccard_est >= threshold,
+    9-decimal-rounded (matches/num_hashes is exact in binary for the
+    default num_hashes=8, so both engines agree bit-for-bit).
+
+    This is what replaces ngram_jaccard_pairs at 100 TB: the exact
+    shingle-intersection join touches every shingle of every
+    candidate; this touches num_hashes rows per side — the signature
+    join is keyed on doc ids, candidates stay LSH-bounded
+    (`max_bucket` guards the template-mega-bucket regime)."""
+    from linkgraph.checkpoint import sever
+
+    # severed: the signature feeds banding AND both estimate-join sides
+    sig = sever(minhash_signatures(docs, num_hashes, k))
+    cand = lsh_candidate_pairs(
+        docs, num_hashes, band_rows, k, max_bucket=max_bucket, sig=sig
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "hash_idx", F.col("min_hash").alias("ha")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "hash_idx", F.col("min_hash").alias("hb")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "hash_idx"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg((F.col("ha") == F.col("hb")).cast("double")), 9
+            ).alias("jaccard_est")
+        )
+        .where(F.col("jaccard_est") >= threshold)
     )
 
 

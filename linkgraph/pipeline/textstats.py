@@ -85,6 +85,39 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer regex (the GPT-2 pattern's portable core:
+# optional leading space + letter run | digit run | punct run, else
+# whitespace runs). Deliberately NO lookahead and ASCII classes only,
+# so Java regex (Spark), RE2 (DuckDB), and Python `re` tokenize
+# byte-identically; alternation is first-match in all three.
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens_ws, n_tokens_bpe, chars_per_token): token
+    counting with both the whitespace tokenizer and a BPE-ish
+    pre-tokenizer regex — the LM-budgeting view of a corpus
+    (chars/token is the standard compression ratio proxy).
+    Whole-stage-codegen projection (regexp_extract_all + size), no
+    shuffle, trivially scan-parallel."""
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n_ws = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(ws)
+    )
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_tokens_ws"),
+        n_bpe.cast("long").alias("n_tokens_bpe"),
+        F.round(
+            F.when(
+                n_bpe > 0, F.length("text").cast("long") / n_bpe.cast("long")
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("chars_per_token"),
+    )
+
+
 def gopher_quality(
     docs: DataFrame,
     min_words: int = 50,

@@ -702,3 +702,84 @@ def test_cluster_balanced_sample_quota_and_determinism(spark, emb_df):
 
     with pytest.raises(ValueError):
         cluster_balanced_sample(emb_df, per_cluster=0)
+
+
+def test_bpe_token_stats_matches_python_re(spark):
+    """The BPE-ish pre-tokenizer counts == Python `re` replay (the
+    pattern is lookahead-free ASCII so Java regex, RE2, and `re`
+    tokenize identically); whitespace counts match .split()."""
+    import re
+
+    from linkgraph.pipeline import bpe_token_stats
+    from linkgraph.pipeline.textstats import BPE_ISH_PATTERN
+
+    texts = [
+        "",
+        "hello world",
+        "I'm fine... really, 100% fine!",
+        "  leading and   multiple   spaces  ",
+        "mixed123tokens and CAPS-dashes_underscores 3.14",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in bpe_token_stats(df).collect()}
+    pat = re.compile(BPE_ISH_PATTERN)
+    for i, t in enumerate(texts):
+        n_ws = len(t.split())
+        n_bpe = len(pat.findall(t))
+        assert out[i]["n_tokens_ws"] == n_ws, (i, out[i])
+        assert out[i]["n_tokens_bpe"] == n_bpe, (i, out[i])
+        want = round(len(t) / n_bpe, 9) if n_bpe else 0.0
+        assert out[i]["chars_per_token"] == pytest.approx(want, abs=1e-12)
+    # the BPE-ish tokenizer splits punctuation runs the ws one glues
+    assert out[2]["n_tokens_bpe"] > out[2]["n_tokens_ws"]
+
+
+def test_minhash_jaccard_pairs_estimator(spark):
+    """jaccard_est == (equal signature components)/num_hashes replayed
+    from the kernel's own signatures over the LSH candidate set; the
+    threshold prunes exactly; identical docs estimate 1.0."""
+    from linkgraph.pipeline import (
+        lsh_candidate_pairs,
+        minhash_jaccard_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # exact dup of 0 -> est 1.0
+            (2, base + " tail two"),
+            (3, base + " tail three"),
+            (4, "completely different words entirely unrelated"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs: dict[int, dict[int, int]] = {}
+    for r in minhash_signatures(docs, num_hashes=8, k=3).collect():
+        sigs.setdefault(r["doc_id"], {})[r["hash_idx"]] = r["min_hash"]
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(docs, num_hashes=8, band_rows=2, k=3).collect()
+    }
+    expect = {
+        (a, b): round(
+            sum(sigs[a][i] == sigs[b][i] for i in range(8)) / 8, 9
+        )
+        for a, b in cand
+    }
+    out = minhash_jaccard_pairs(docs, num_hashes=8, band_rows=2, k=3).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_est"] for r in out}
+    assert got == expect
+    assert got[(0, 1)] == 1.0
+    # threshold prunes exactly on the rounded estimate
+    thr = 0.5
+    pruned = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_est"]
+        for r in minhash_jaccard_pairs(
+            docs, num_hashes=8, band_rows=2, k=3, threshold=thr
+        ).collect()
+    }
+    assert pruned == {p: j for p, j in expect.items() if j >= thr}
