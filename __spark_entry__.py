@@ -1068,6 +1068,32 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(emb, per_cluster=20, n_clusters=8, rounds=3, seed=7)
 
 
+def q_feature_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SGC-style feature propagation (pipeline/embedprop.py, Wu et
+    al. ICML'19): 2 rounds of in-neighbor+self mean over a
+    deterministic ring+skip graph on the vec_ids (i -> i+1 mod n and
+    i -> 7i+3 mod n) — hyperlink-context pooling for page embeddings.
+    The operator is FIXED-POINT (int64 1e-9 units, exact sums, floor-
+    division means), so the unrolled SQL oracle reproduces every
+    value bit-for-bit; LONG-format output (vec_id, dim, x)."""
+    from pyspark.sql import functions as FF
+
+    from linkgraph.pipeline import feature_propagation
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    ids = emb.select("vec_id")
+    edges = ids.select(
+        FF.col("vec_id").alias("src"), ((FF.col("vec_id") + 1) % n).alias("dst")
+    ).union(
+        ids.select(
+            FF.col("vec_id").alias("src"),
+            ((7 * FF.col("vec_id") + 3) % n).alias("dst"),
+        )
+    )
+    return feature_propagation(edges, emb, rounds=2)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters = the engine's CC kernel over the exact
     n-gram-Jaccard pair graph (same sub-corpus + stop-shingle guard as
@@ -1158,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "gopher_quality": q_gopher_quality,
         "cluster_sample": q_cluster_sample,
+        "feature_prop": q_feature_prop,
         "pagerank_weighted_k": q_pagerank_weighted_k,
     }
 
@@ -1691,6 +1718,43 @@ SELECT vec_id, cluster FROM (
   FROM a{rounds}
 ) WHERE rn <= {per_cluster}
 """
+    )
+
+
+def _feature_prop_sql(rounds: int = 2, dim: int = 64) -> str:
+    """Mirrors q_feature_prop: ring+skip edges + self-loops, long
+    format state, and the kernel's FIXED-POINT contract — inputs
+    quantized once to int64 1e-9 units (floor, rounding-mode-free),
+    each round an exact int64 SUM + one floor-division mean, so the
+    values are bit-identical across engines by construction."""
+    sql = f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT vec_id AS src, (vec_id + 1) % (SELECT n FROM nn) AS dst FROM embeddings
+    UNION ALL
+    SELECT vec_id, (7 * vec_id + 3) % (SELECT n FROM nn) FROM embeddings
+    UNION ALL
+    SELECT vec_id, vec_id FROM embeddings
+  )
+),
+s0 AS MATERIALIZED (
+  SELECT e2.vec_id AS id, CAST(g.i - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(e2.vec[g.i] * 1000000000) AS BIGINT) AS q
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings) e2,
+       generate_series(1, {dim}) g(i)
+)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+s{r} AS MATERIALIZED (
+  SELECT e.dst AS id, s.dim,
+         CAST(FLOOR(CAST(SUM(s.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+  FROM e JOIN s{r - 1} s ON s.id = e.src
+  GROUP BY e.dst, s.dim
+)"""
+    return (
+        sql
+        + f"\nSELECT id AS vec_id, dim, CAST(q AS DOUBLE) / 1000000000 AS x FROM s{rounds}\n"
     )
 
 
@@ -3421,6 +3485,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "gopher_quality": _gopher_quality_sql(),
         "cluster_sample": _cluster_sample_sql(per_cluster=20, n_clusters=8, rounds=3, seed=7),
+        "feature_prop": _feature_prop_sql(rounds=2, dim=64),
         "pagerank_weighted_k": _pagerank_weighted_k_sql(3),
         "ego_net_2": _EGO_NET_SQL,
         "event_sessions_graph": """

@@ -18,7 +18,8 @@ Ops over --docs:        exact_dedup | minhash | lsh_pairs | simhash |
 Ops over --embeddings:  ann_topk | ann_lsh | ann_ivf | near_dup |
                         kmeans | semdedup (--threshold = cosine
                         cutoff, --k = n_clusters) | cluster_sample
-                        (--k = n_clusters, --per-cluster, --seed)
+                        (--k = n_clusters, --per-cluster, --seed) |
+                        feature_prop (--edges, --k = rounds)
 
 Writes the result as parquet to --output when given, else prints 20
 rows. Packaged-for-spark-submit per BASELINE.json:6.
@@ -43,7 +44,7 @@ DOC_OPS = {
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
-    "cluster_sample",
+    "cluster_sample", "feature_prop",
 }
 
 
@@ -61,6 +62,11 @@ def main(argv: list[str]) -> int:
     ap.add_argument(
         "--per-cluster", type=int, default=None,
         help="cluster_sample: items kept per kmeans cluster",
+    )
+    ap.add_argument(
+        "--edges", default=None,
+        help="feature_prop: parquet dir or table:<id> with (src, dst) "
+             "hyperlink edges over the embedding ids",
     )
     ap.add_argument(
         "--max-bucket", type=int, default=None,
@@ -142,6 +148,12 @@ def main(argv: list[str]) -> int:
     elif args.op == "semdedup":
         out = P.semantic_dedup(
             source, threshold=opt(args.threshold, 0.95), n_clusters=opt(args.k, 8)
+        )
+    elif args.op == "feature_prop":
+        if not args.edges:
+            ap.error("--op feature_prop needs --edges")
+        out = P.feature_propagation(
+            read_pages(spark, args.edges), source, rounds=opt(args.k, 2)
         )
     elif args.op == "cluster_sample":
         out = P.cluster_balanced_sample(

@@ -38,6 +38,7 @@ from linkgraph.pipeline.embedcluster import (
     kmeans,
     semantic_dedup,
 )
+from linkgraph.pipeline.embedprop import feature_propagation
 from linkgraph.pipeline.sampling import hash_sample, stratified_sample
 
 __all__ = [
@@ -60,6 +61,7 @@ __all__ = [
     "kmeans",
     "semantic_dedup",
     "cluster_balanced_sample",
+    "feature_propagation",
     "hash_sample",
     "stratified_sample",
 ]

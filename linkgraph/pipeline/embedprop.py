@@ -1,0 +1,91 @@
+"""Feature propagation over a link graph — SGC-style embedding
+smoothing (Wu et al., ICML'19 "Simplifying Graph Convolutional
+Networks"; the classic feature-smoothing half of GNN preprocessing):
+each round replaces a vertex's feature vector with the mean over its
+in-neighbors' vectors plus its own,
+
+    X_{r+1}(v) = mean( {X_r(u) : (u -> v) in E} ∪ {X_r(v)} ),
+
+i.e. the row-normalized (A + I) operator applied `rounds` times — the
+standard way to pool hyperlink context into page embeddings before
+clustering / dedup / retrieval (propagated embeddings feed the same
+kmeans / SemDeDup / ANN ops in this package).
+
+Determinism contract — FIXED-POINT, not rounded floats: inputs are
+quantized ONCE to int64 units of 1e-9 (floor(x * 1e9) — floor is
+rounding-mode-free, and float32→double widening then *1e9 is
+bit-identical on any engine), and each round's mean is an exact int64
+SUM plus one floor-division. Integer sums are partial-order-
+independent, so Spark, DuckDB, and a Python replay produce
+bit-identical values BY CONSTRUCTION — no ROUND(9) boundary flakes
+(a rounded-AVG prototype of this operator flipped a 9th decimal
+between engines at a .5e-9 boundary; fixed-point removes the failure
+class instead of shrinking it). The 1e-9 quantization error per round
+is far below embedding noise and is part of the operator's spec.
+The floor division itself is safe in doubles: operands are identical
+int64 (< 2^53) on every engine, IEEE division is correctly rounded,
+and a non-exact quotient sits >= 1/(deg+1) from the nearest integer
+while the division error is ~1e-7 at this scale.
+
+Scale shape: state is kept LONG — (id, dim, q) — for the whole loop,
+so a round is ONE m·dim-row equi-join (edges to state on src) and ONE
+partial+final SUM/COUNT keyed (dst, dim): map-side combine bounds hub
+fan-in by #partitions, no windows, no arrays rebuilt per round,
+lineage severed per round like every other iterative kernel here. The
+m·dim join row count is the honest cost of dense-feature propagation —
+at 100 TB you bound it by dim (or propagate a projected prefix), not
+by collecting anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000_000  # 1e-9 fixed-point units
+
+
+def feature_propagation(
+    edges: DataFrame,
+    emb: DataFrame,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Propagate `emb`'s vectors `rounds` times over `edges(src, dst)`
+    (message direction src -> dst; self-loop always included so every
+    vertex keeps a defined vector). Returns LONG format
+    (vec_id, dim, x) with dim 0-based and x = the fixed-point value
+    back in float units (q / 1e9 — one op on identical int64, still
+    engine-exact); feed it to a pivot/collect only if a caller
+    genuinely needs arrays back."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from linkgraph.checkpoint import sever
+
+    ids = emb.select(F.col(id_col).alias("id"))
+    e = (
+        edges.select(F.col("src"), F.col("dst"))
+        .union(ids.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+        .distinct()
+    )
+    state = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    ).select(
+        "id",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x") * QUANT).alias("q"),
+    )
+    for _ in range(rounds):
+        msg = e.join(state, e["src"] == state["id"]).select(
+            F.col("dst").alias("id"), "dim", "q"
+        )
+        state = sever(
+            msg.groupBy("id", "dim").agg(
+                F.floor(F.sum("q") / F.count("*")).alias("q")
+            )
+        )
+    return state.select(
+        F.col("id").alias(id_col), "dim", (F.col("q") / QUANT).alias("x")
+    )

@@ -783,3 +783,58 @@ def test_minhash_jaccard_pairs_estimator(spark):
         ).collect()
     }
     assert pruned == {p: j for p, j in expect.items() if j >= thr}
+
+
+def test_feature_propagation_matches_python_replay(spark, emb_df):
+    """2 rounds of in-neighbor+self mean == an exact integer replay of
+    the fixed-point contract (floor(x*1e9) quantize, int64 sums,
+    floor-division means); every (vec_id, dim) cell compared EXACTLY —
+    no float tolerance, that is the operator's whole point."""
+    import math
+
+    from linkgraph.pipeline import feature_propagation
+
+    n = 200
+    edge_list = [(i, (i + 1) % n) for i in range(n)] + [
+        (i, (7 * i + 3) % n) for i in range(n)
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    out = feature_propagation(edges, emb_df, rounds=2).collect()
+
+    Q: dict[int, list[int]] = {}
+    for r in emb_df.collect():
+        Q[r["vec_id"]] = [math.floor(float(x) * 1e9) for x in r["embedding"]]
+    incoming: dict[int, set[int]] = {v: {v} for v in range(n)}
+    for s, d in edge_list:
+        incoming[d].add(s)
+    for _ in range(2):
+        # floor of the double quotient == true floor here (see module
+        # docstring's error bound), which for ints is Python's //
+        Q = {
+            v: [
+                sum(Q[u][d] for u in incoming[v]) // len(incoming[v])
+                for d in range(16)
+            ]
+            for v in range(n)
+        }
+    assert len(out) == n * 16
+    for r in out:
+        assert r["x"] == Q[r["vec_id"]][r["dim"]] / 1e9, (r["vec_id"], r["dim"])
+
+
+def test_feature_propagation_closed_forms(spark):
+    """Directed path 0 -> 1: vertex 0 (no in-edges) keeps its vector
+    via the self-loop; vertex 1 averages both. rounds=0 is refused."""
+    from linkgraph.pipeline import feature_propagation
+
+    emb = spark.createDataFrame(
+        [(0, [2.0, 4.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {
+        (r["vec_id"], r["dim"]): r["x"]
+        for r in feature_propagation(edges, emb, rounds=1).collect()
+    }
+    assert got == {(0, 0): 2.0, (0, 1): 4.0, (1, 0): 1.0, (1, 1): 2.0}
+    with pytest.raises(ValueError):
+        feature_propagation(edges, emb, rounds=0)
