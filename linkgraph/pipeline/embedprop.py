@@ -45,6 +45,19 @@ from pyspark.sql import functions as F
 QUANT = 1_000_000_000  # 1e-9 fixed-point units
 
 
+def _prop_round(e: DataFrame, state: DataFrame) -> DataFrame:
+    """One unsevered propagation round: edges-to-state equi-join +
+    partial+final SUM/COUNT keyed (dst, dim) with the floor-division
+    mean. Factored out so plan tests can pin its shape (the kernel
+    severs each round, which truncates the inspectable plan)."""
+    msg = e.join(state, e["src"] == state["id"]).select(
+        F.col("dst").alias("id"), "dim", "q"
+    )
+    return msg.groupBy("id", "dim").agg(
+        F.floor(F.sum("q") / F.count("*")).alias("q")
+    )
+
+
 def feature_propagation(
     edges: DataFrame,
     emb: DataFrame,
@@ -78,14 +91,7 @@ def feature_propagation(
         F.floor(F.col("x") * QUANT).alias("q"),
     )
     for _ in range(rounds):
-        msg = e.join(state, e["src"] == state["id"]).select(
-            F.col("dst").alias("id"), "dim", "q"
-        )
-        state = sever(
-            msg.groupBy("id", "dim").agg(
-                F.floor(F.sum("q") / F.count("*")).alias("q")
-            )
-        )
+        state = sever(_prop_round(e, state))
     return state.select(
         F.col("id").alias(id_col), "dim", (F.col("q") / QUANT).alias("x")
     )

@@ -282,3 +282,38 @@ def test_matching_min_key_is_partial_final_agg_no_window(spark, tiny_graph):
     plan = _plan(inc.groupBy("vid").agg(F.min("k").alias("mk")))
     assert "Window" not in plan
     assert "partial_min" in plan  # map-side combine = hub-skew-safe
+
+
+def test_gopher_bigram_mode_is_two_hash_aggs_no_window(spark):
+    """gopher_quality's top-bigram stage must stay explode -> two hash
+    aggregations keyed by doc (map-side combinable) — a window/rank
+    rewrite would add a per-doc sort to every corpus scan; and no
+    per-row Python anywhere."""
+    from linkgraph.pipeline import gopher_quality
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b a b c", "x y"]})
+    )
+    plan = _plan(gopher_quality(docs))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two stages
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_feature_prop_round_is_equi_join_plus_hash_agg(spark):
+    """A feature_propagation round must plan the edges-to-state join
+    as an equi-join (never nested-loop) feeding a partial+final hash
+    aggregation — the m*dim shuffle is the op's documented cost, a
+    BNLJ or a Window would be a different (broken) operator."""
+    from linkgraph.pipeline.embedprop import _prop_round
+
+    state = spark.createDataFrame(
+        [(i, 0, i * 1000) for i in range(6)], "id long, dim long, q long"
+    )
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    plan = _plan(_prop_round(edges, state))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
