@@ -1094,6 +1094,24 @@ def q_feature_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_propagation(edges, emb, rounds=2)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline/decontam.decontaminate):
+    every 25th document stands in for an eval suite; each corpus doc
+    is flagged with the count of distinct word 4-grams it shares with
+    that set (GPT-3/PaLM-style n-gram contamination screening — they
+    use 13-grams on real text; the synthetic corpus draws from a tiny
+    vocabulary, and n=4 is where cross-doc hits appear beyond the
+    benchmark's trivial self-matches: 47 contaminated / 453 clean at
+    sf0.01, vs 21/479 at n>=5)."""
+    from pyspark.sql import functions as FF
+
+    from linkgraph.pipeline import decontaminate
+
+    docs = _documents(spark, sf_dir)
+    benchmark = docs.where(FF.col("doc_id") % 25 == 0)
+    return decontaminate(docs, benchmark, n=4)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters = the engine's CC kernel over the exact
     n-gram-Jaccard pair graph (same sub-corpus + stop-shingle guard as
@@ -1185,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "cluster_sample": q_cluster_sample,
         "feature_prop": q_feature_prop,
+        "decontaminate": q_decontaminate,
         "pagerank_weighted_k": q_pagerank_weighted_k,
     }
 
@@ -3383,6 +3402,35 @@ SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <
 """
 
 
+def _decontaminate_sql(n: int = 8, bench_mod: int = 25) -> str:
+    """Mirrors pipeline/decontam.decontaminate over the driver's
+    every-`bench_mod`-th-doc benchmark: DISTINCT word n-grams per doc
+    (1-based inclusive list_slice == Spark's slice(w, i, n)), the
+    benchmark gram set distinct-collapsed, per-doc shared-gram counts,
+    and a LEFT JOIN so clean docs report 0/false."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, array_length(w) - {n - 1}),
+                               i -> array_to_string(w[i : i + {n - 1}], ' '))) AS ngram
+  FROM tok WHERE array_length(w) >= {n}
+),
+bench AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % {bench_mod} = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_shared
+  FROM grams g JOIN bench USING (ngram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """
@@ -3486,6 +3534,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "gopher_quality": _gopher_quality_sql(),
         "cluster_sample": _cluster_sample_sql(per_cluster=20, n_clusters=8, rounds=3, seed=7),
         "feature_prop": _feature_prop_sql(rounds=2, dim=64),
+        "decontaminate": _decontaminate_sql(n=4, bench_mod=25),
         "pagerank_weighted_k": _pagerank_weighted_k_sql(3),
         "ego_net_2": _EGO_NET_SQL,
         "event_sessions_graph": """

@@ -40,7 +40,7 @@ def opt(val, default):
 DOC_OPS = {
     "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
     "dedup_clusters", "token_stats", "lang_id", "gopher", "fingerprints",
-    "sample", "minhash_jaccard", "bpe_stats",
+    "sample", "minhash_jaccard", "bpe_stats", "decontam",
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -67,6 +67,11 @@ def main(argv: list[str]) -> int:
         "--edges", default=None,
         help="feature_prop: parquet dir or table:<id> with (src, dst) "
              "hyperlink edges over the embedding ids",
+    )
+    ap.add_argument(
+        "--benchmark", default=None,
+        help="decontam: parquet dir or table:<id> with the eval-suite "
+             "documents (a `text` column) to screen the corpus against",
     )
     ap.add_argument(
         "--max-bucket", type=int, default=None,
@@ -154,6 +159,12 @@ def main(argv: list[str]) -> int:
             ap.error("--op feature_prop needs --edges")
         out = P.feature_propagation(
             read_pages(spark, args.edges), source, rounds=opt(args.k, 2)
+        )
+    elif args.op == "decontam":
+        if not args.benchmark:
+            ap.error("--op decontam needs --benchmark")
+        out = P.decontaminate(
+            source, read_pages(spark, args.benchmark), n=opt(args.k, 13)
         )
     elif args.op == "cluster_sample":
         out = P.cluster_balanced_sample(

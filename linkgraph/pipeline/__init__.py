@@ -38,6 +38,7 @@ from linkgraph.pipeline.embedcluster import (
     kmeans,
     semantic_dedup,
 )
+from linkgraph.pipeline.decontam import decontaminate, word_ngrams
 from linkgraph.pipeline.embedprop import feature_propagation
 from linkgraph.pipeline.sampling import hash_sample, stratified_sample
 
@@ -61,6 +62,8 @@ __all__ = [
     "kmeans",
     "semantic_dedup",
     "cluster_balanced_sample",
+    "decontaminate",
+    "word_ngrams",
     "feature_propagation",
     "hash_sample",
     "stratified_sample",

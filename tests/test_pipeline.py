@@ -838,3 +838,43 @@ def test_feature_propagation_closed_forms(spark):
     assert got == {(0, 0): 2.0, (0, 1): 4.0, (1, 0): 1.0, (1, 1): 2.0}
     with pytest.raises(ValueError):
         feature_propagation(edges, emb, rounds=0)
+
+
+def test_decontaminate_matches_python_replay(spark):
+    """decontaminate == a pure-Python set replay over a corpus with a
+    verbatim benchmark copy, a partial n-gram overlap, a disjoint-vocab
+    doc, and a too-short doc (< n words -> trivially clean)."""
+    from linkgraph.pipeline import decontaminate
+
+    bench_texts = [
+        "alpha beta gamma delta epsilon",
+        "one two three four five six",
+    ]
+    corpus = [
+        (0, "alpha beta gamma delta epsilon"),  # verbatim eval doc
+        (1, "x one two three four five six y"),  # embedded eval span
+        (2, "totally different vocabulary here okay"),  # clean
+        (3, "one two"),  # < n words, trivially clean
+        (4, "zero one two three four five seven"),  # shares one 3-gram run
+    ]
+    n = 3
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(t,) for t in bench_texts], "text string"
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=n).collect()}
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for t in bench_texts))
+    for doc_id, text in corpus:
+        shared = len(grams(text) & bench_grams)
+        assert out[doc_id]["n_shared_ngrams"] == shared, (doc_id, text)
+        assert out[doc_id]["contaminated"] == (shared > 0)
+    assert not out[2]["contaminated"] and not out[3]["contaminated"]
+    assert out[0]["contaminated"] and out[1]["contaminated"]
+
+    with pytest.raises(ValueError):
+        decontaminate(docs, bench, n=0)
