@@ -198,6 +198,18 @@ def q_hits_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eigen_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 3 eigenvector-centrality rounds (power iteration
+    x' = Aᵀx, L2-normalized each round — Bonacich 1972) on the
+    customer→supplier graph — beyond-reference link-analysis coverage
+    (SURVEY §2.9); scores rounded to 9 decimals."""
+    from linkgraph.kernels import eigenvector_centrality
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    res = eigenvector_centrality(g, tol=0.0, max_iter=3)
+    return res.df.select("id", F.round("score", 9).alias("score"))
+
+
 def q_katz_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 3 Katz rounds (x' = beta + alpha*Aᵀx from x0 = beta;
     attenuated-path centrality, NO degree normalization — Katz 1953)
@@ -1142,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "pagerank_k": q_pagerank_k,
         "hits_k": q_hits_k,
+        "eigen_k": q_eigen_k,
         "katz_k": q_katz_k,
         "spam_mass_k": q_spam_mass_k,
         "salsa_k": q_salsa_k,
@@ -2250,6 +2263,36 @@ s{i} AS MATERIALIZED (
 )"""
         prev = f"s{i}"
     sql += f"\nSELECT id, ROUND(hub, 9) AS hub, ROUND(auth, 9) AS auth FROM {prev}"
+    return sql
+
+
+def _eigen_k_sql(k: int = 3) -> str:
+    """Unrolled k-round eigenvector-centrality power iteration — per
+    round one in-edge gather SUM + L2 norm (scalar subquery), exactly
+    the kernel's single-phase form of the HITS update. MATERIALIZED
+    per memory-playbook (DuckDB 1.0 inlines CTEs by reference)."""
+    sql = f"""
+WITH e AS MATERIALIZED ({_CUST_SUPP_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+s0 AS (SELECT id, 1.0 AS score FROM v)
+"""
+    prev = "s0"
+    for i in range(1, k + 1):
+        sql += f""",
+g{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(s.score) AS raw
+  FROM e JOIN {prev} s ON e.src = s.id GROUP BY e.dst
+),
+n{i} AS (SELECT COALESCE(SQRT(SUM(raw * raw)), 0.0) AS nv FROM g{i}),
+s{i} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN (SELECT nv FROM n{i}) > 0
+              THEN COALESCE(g.raw, 0.0) / (SELECT nv FROM n{i})
+              ELSE 0.0 END AS score
+  FROM {prev} s LEFT JOIN g{i} g ON s.id = g.id
+)"""
+        prev = f"s{i}"
+    sql += f"\nSELECT id, ROUND(score, 9) AS score FROM {prev}"
     return sql
 
 
@@ -3508,6 +3551,7 @@ SELECT comp, COUNT(*) AS csize FROM (
 """,
         "pagerank_k": _pagerank_k_sql(3),
         "hits_k": _hits_k_sql(3),
+        "eigen_k": _eigen_k_sql(3),
         "katz_k": _katz_k_sql(3, alpha=0.1, beta=1.0),
         "spam_mass_k": _spam_mass_sql(3, n_seeds=4),
         "salsa_k": _salsa_k_sql(3),

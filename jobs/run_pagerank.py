@@ -32,7 +32,7 @@ def main(argv: list[str]) -> int:
         choices=[
             "pagerank", "pagerank_delta", "cc", "bfs", "labelprop",
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
-            "mis", "coloring", "anf", "hits", "katz", "salsa", "ppr", "scc", "bowtie",
+            "mis", "coloring", "anf", "hits", "katz", "eigen", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
             "modularity", "conductance", "walks", "sample", "condense",
             "matching", "msf", "jaccard", "pagerank_w", "coreness",
@@ -254,6 +254,16 @@ def main(argv: list[str]) -> int:
         out = res.df.orderBy(F.desc("katz"), "id")
         summary = {
             "kernel": "katz",
+            "rounds": res.iterations,
+            "converged": res.converged,
+        }
+    elif args.kernel == "eigen":
+        res = kernels.eigenvector_centrality(
+            graph, max_iter=args.max_iter, ckpt=ckpt
+        )
+        out = res.df.orderBy(F.desc("score"), "id")
+        summary = {
+            "kernel": "eigen",
             "rounds": res.iterations,
             "converged": res.converged,
         }

@@ -28,6 +28,8 @@ hits            Kleinberg hubs & authorities (two-phase L2-normalized
                 power iteration, forward + transpose gathers)
 katz            Katz attenuated-path centrality (x' = beta + alpha*Aᵀx,
                 no degree normalization — pagerank's skeleton)
+eigen           eigenvector centrality (power iteration toward the
+                principal eigenvector of Aᵀ, L2-normalized)
 salsa           Lempel-Moran SALSA (degree-normalized two-step random
                 walks, L1-normalized — the who-to-follow kernel)
 modularity      directed Leicht-Newman modularity Q of a partition
@@ -89,6 +91,7 @@ from linkgraph.kernels.mis import mis
 from linkgraph.kernels.coloring import coloring
 from linkgraph.kernels.anf import anf, effective_diameter
 from linkgraph.kernels.hits import hits
+from linkgraph.kernels.eigen import eigenvector_centrality
 from linkgraph.kernels.katz import katz
 from linkgraph.kernels.salsa import salsa
 from linkgraph.kernels.modularity import community_stats, conductance, modularity
@@ -130,6 +133,7 @@ __all__ = [
     "effective_diameter",
     "hits",
     "katz",
+    "eigenvector_centrality",
     "salsa",
     "modularity",
     "community_stats",

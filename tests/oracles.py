@@ -950,3 +950,27 @@ def msf_kruskal(
             parent[ru] = rv
             out.add((u, v, ew))
     return out
+
+
+def eigen_numpy(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+) -> tuple[np.ndarray, int]:
+    """L2-normalized power iteration x' = A^T x — must mirror
+    kernels/eigen.py update-for-update."""
+    x = np.ones(n)
+    iterations = 0
+    for _ in range(max_iter):
+        raw = np.zeros(n)
+        np.add.at(raw, dst, x[src])
+        nv = np.sqrt((raw * raw).sum())
+        new_x = raw / nv if nv > 0 else np.zeros(n)
+        diff = np.abs(new_x - x).max()
+        x = new_x
+        iterations += 1
+        if diff < tol:
+            break
+    return x, iterations

@@ -1716,3 +1716,46 @@ def test_pagerank_weighted_uniform_equals_unweighted(rmat_graph):
     assert set(gw) == set(gu)
     for v in gw:
         assert abs(gw[v] - gu[v]) < 1e-14
+
+
+def test_eigen_matches_numpy(rmat_graph):
+    """Eigenvector-centrality trajectory equals the NumPy replay at
+    float tolerance, convergence round included; the converged vector
+    has unit L2 norm."""
+    from linkgraph.kernels import eigenvector_centrality
+    from tests.oracles import eigen_numpy
+
+    g, pdf, n = rmat_graph
+    res = eigenvector_centrality(g, tol=1e-6, max_iter=60)
+    want, rounds = eigen_numpy(
+        n, pdf["src"].to_numpy(), pdf["dst"].to_numpy(), tol=1e-6, max_iter=60
+    )
+    got = {r["id"]: r["score"] for r in res.df.collect()}
+    assert res.iterations == rounds
+    for v, x in got.items():
+        assert x == pytest.approx(want[v], abs=1e-9)
+    assert sum(x * x for x in got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_eigen_closed_forms(spark):
+    """2-cycle 0<->1: both vertices at 1/sqrt(2) (the principal
+    eigenvector of a symmetric 2-cycle). DAG path 0->1->2: mass drains
+    off the source each round and the iteration collapses toward the
+    sink — a documented caveat, must converge rather than throw."""
+    from linkgraph.kernels import eigenvector_centrality
+
+    edges = pd.DataFrame({"src": [0, 1], "dst": [1, 0]})
+    g = _graph(spark, edges, 2)
+    res = eigenvector_centrality(g, tol=1e-12, max_iter=30)
+    assert res.converged
+    got = {r["id"]: r["score"] for r in res.df.collect()}
+    assert got[0] == pytest.approx(1.0 / np.sqrt(2.0))
+    assert got[1] == pytest.approx(1.0 / np.sqrt(2.0))
+    g.unpersist()
+
+    path = pd.DataFrame({"src": [0, 1], "dst": [1, 2]})
+    g2 = _graph(spark, path, 3)
+    res2 = eigenvector_centrality(g2, tol=1e-9, max_iter=30)
+    got2 = {r["id"]: r["score"] for r in res2.df.collect()}
+    assert got2[0] == pytest.approx(0.0)  # no in-edges
+    g2.unpersist()

@@ -368,3 +368,29 @@ def test_katz_resume_equals_uninterrupted(small_graph, tmp_path):
 
     again = katz(small_graph, alpha=0.05, tol=1e-8, max_iter=60, ckpt=ckpt)
     assert {(r["id"], r["katz"]) for r in again.df.collect()} == want
+
+
+def test_eigen_resume_equals_uninterrupted(small_graph, tmp_path):
+    """Eigenvector-centrality checkpoints: parquet round-trips doubles
+    exactly, so a resumed run continues bit-identically; a converged
+    record short-circuits."""
+    from linkgraph.kernels import eigenvector_centrality
+
+    full = eigenvector_centrality(small_graph, tol=1e-8, max_iter=80)
+    want = {(r["id"], r["score"]) for r in full.df.collect()}
+
+    ckpt = CheckpointManager(str(tmp_path), "eigen")
+    interrupted = eigenvector_centrality(
+        small_graph, tol=1e-8, max_iter=4, ckpt=ckpt, ckpt_every=2
+    )
+    assert not interrupted.converged
+    assert ckpt.last_complete() == 3
+
+    resumed = eigenvector_centrality(
+        small_graph, tol=1e-8, max_iter=80, ckpt=ckpt, ckpt_every=2
+    )
+    assert {(r["id"], r["score"]) for r in resumed.df.collect()} == want
+    assert resumed.iterations == full.iterations
+
+    again = eigenvector_centrality(small_graph, tol=1e-8, max_iter=80, ckpt=ckpt)
+    assert {(r["id"], r["score"]) for r in again.df.collect()} == want
