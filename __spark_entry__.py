@@ -1124,6 +1124,55 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, benchmark, n=4)
 
 
+def _pii_augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus carries no PII, so the pii row plants it
+    deterministically from doc_id (the feature_prop pattern for
+    missing input features): 2 of 3 docs get an ' contact
+    user<id>@example.com from <ipv4> call 555-xxx-xxxx' suffix whose
+    phone separator alternates '-'/'.' by parity, and every 5th id a
+    second email — counts, flag, and masked text all vary and every
+    pattern branch fires."""
+    from pyspark.sql import functions as FF
+
+    docs = _documents(spark, sf_dir)
+    d = FF.col("doc_id")
+
+    def s(e):
+        return e.cast("string")
+
+    sep = FF.when(d % 2 == 0, FF.lit("-")).otherwise(FF.lit("."))
+    suffix = FF.concat(
+        FF.lit(" contact user"), s(d), FF.lit("@example.com"),
+        FF.when(
+            d % 5 == 1,
+            FF.concat(FF.lit(" cc admin"), s(d), FF.lit("@test.org")),
+        ).otherwise(FF.lit("")),
+        FF.lit(" from "),
+        s(d % 256), FF.lit("."), s((d * 7) % 256), FF.lit("."),
+        s((d * 13) % 256), FF.lit("."), s(d % 100 + 1),
+        FF.lit(" call 555"), sep,
+        FF.lpad(s(d % 1000), 3, "0"), sep,
+        FF.lpad(s((d * 31) % 10000), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        FF.when(d % 3 == 0, FF.col("text"))
+        .otherwise(FF.concat(FF.col("text"), suffix))
+        .alias("text"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (pipeline/pii.pii_redact): Dolma-/ROOTS-style
+    email → IPv4 → phone masking with typed placeholders, counts
+    taken sequentially so an email's digits never double-count as a
+    phone. Pure codegen projection — the hash compares the full
+    redacted text of all 500 docs plus the per-type counts."""
+    from linkgraph.pipeline import pii_redact
+
+    return pii_redact(_pii_augmented_docs(spark, sf_dir))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters = the engine's CC kernel over the exact
     n-gram-Jaccard pair graph (same sub-corpus + stop-shingle guard as
@@ -1217,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sample": q_cluster_sample,
         "feature_prop": q_feature_prop,
         "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
         "pagerank_weighted_k": q_pagerank_weighted_k,
     }
 
@@ -3474,6 +3524,55 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def _pii_redact_sql() -> str:
+    """Mirrors pipeline/pii.pii_redact over the driver's
+    deterministic PII augmentation: the same lookahead-free ASCII
+    patterns (imported, zero drift — Java regex == RE2 by the
+    repo-wide portability rule), counted and masked in the same
+    email → ip → phone sequence via chained CTEs; DuckDB
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all semantics."""
+    from linkgraph.pipeline.pii import PII_PATTERNS
+
+    sql = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text ELSE
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             || CASE WHEN doc_id % 5 = 1
+                     THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@test.org'
+                     ELSE '' END
+             || ' from ' || CAST(doc_id % 256 AS VARCHAR)
+             || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+             || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+             || '.' || CAST(doc_id % 100 + 1 AS VARCHAR)
+             || ' call 555' || sep
+             || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || sep
+             || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0')
+         END AS t
+  FROM (SELECT doc_id, text,
+               CASE WHEN doc_id % 2 = 0 THEN '-' ELSE '.' END AS sep
+        FROM documents)
+)"""
+    prev = "aug"
+    for i, (name, pattern, placeholder) in enumerate(PII_PATTERNS, 1):
+        sql += f""",
+s{i} AS (
+  SELECT doc_id, {"" if i == 1 else f"{', '.join(f'n_{n}s' for n, _, _ in PII_PATTERNS[: i - 1])}, "}
+         CAST(len(regexp_extract_all(t, '{pattern}')) AS BIGINT) AS n_{name}s,
+         regexp_replace(t, '{pattern}', '{placeholder}', 'g') AS t
+  FROM {prev}
+)"""
+        prev = f"s{i}"
+    count_cols = ", ".join(f"n_{name}s" for name, _, _ in PII_PATTERNS)
+    total = " + ".join(f"n_{name}s" for name, _, _ in PII_PATTERNS)
+    sql += f"""
+SELECT doc_id, {count_cols}, ({total}) > 0 AS has_pii, t AS redacted
+FROM {prev}
+"""
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """
@@ -3579,6 +3678,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "cluster_sample": _cluster_sample_sql(per_cluster=20, n_clusters=8, rounds=3, seed=7),
         "feature_prop": _feature_prop_sql(rounds=2, dim=64),
         "decontaminate": _decontaminate_sql(n=4, bench_mod=25),
+        "pii_redact": _pii_redact_sql(),
         "pagerank_weighted_k": _pagerank_weighted_k_sql(3),
         "ego_net_2": _EGO_NET_SQL,
         "event_sessions_graph": """

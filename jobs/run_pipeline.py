@@ -40,7 +40,7 @@ def opt(val, default):
 DOC_OPS = {
     "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
     "dedup_clusters", "token_stats", "lang_id", "gopher", "fingerprints",
-    "sample", "minhash_jaccard", "bpe_stats", "decontam",
+    "sample", "minhash_jaccard", "bpe_stats", "decontam", "pii",
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -129,6 +129,8 @@ def main(argv: list[str]) -> int:
         out = P.gopher_quality(source)
     elif args.op == "bpe_stats":
         out = P.bpe_token_stats(source)
+    elif args.op == "pii":
+        out = P.pii_redact(source)
     elif args.op == "fingerprints":
         out = P.winnow_fingerprints(source, k=5, window=4)
     elif args.op == "sample":

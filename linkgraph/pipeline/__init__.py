@@ -39,6 +39,7 @@ from linkgraph.pipeline.embedcluster import (
     semantic_dedup,
 )
 from linkgraph.pipeline.decontam import decontaminate, word_ngrams
+from linkgraph.pipeline.pii import pii_redact
 from linkgraph.pipeline.embedprop import feature_propagation
 from linkgraph.pipeline.sampling import hash_sample, stratified_sample
 
@@ -64,6 +65,7 @@ __all__ = [
     "cluster_balanced_sample",
     "decontaminate",
     "word_ngrams",
+    "pii_redact",
     "feature_propagation",
     "hash_sample",
     "stratified_sample",

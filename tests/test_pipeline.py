@@ -878,3 +878,62 @@ def test_decontaminate_matches_python_replay(spark):
 
     with pytest.raises(ValueError):
         decontaminate(docs, bench, n=0)
+
+
+def test_pii_redact_matches_python_re(spark):
+    """pii_redact == Python `re` replay of the same sequential
+    email → ip → phone mask (patterns are lookahead-free ASCII so
+    Java regex, RE2, and `re` agree); placeholders carry no maskable
+    characters, so the op is idempotent."""
+    import re
+
+    from linkgraph.pipeline import pii_redact
+    from linkgraph.pipeline.pii import PII_PATTERNS
+
+    texts = [
+        "",
+        "no pii here at all",
+        "mail me at first.last+tag@sub.example.co or x9@y.io",
+        "server 10.0.0.1 and 255.255.255.255 but not 1.2.3",
+        "call 555-010-1234 or 555.987.6543 now",
+        "user5@example.com from 36.252.212.37 call 555-010-1234",
+        "version 1.2.3.4.5 strings and 1234-567-8901 long runs",
+        "already masked <EMAIL> <IP> <PHONE> stays put",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in pii_redact(df).collect()}
+
+    for i, t in enumerate(texts):
+        cur = t
+        want_counts = {}
+        for name, pattern, placeholder in PII_PATTERNS:
+            want_counts[f"n_{name}s"] = len(re.findall(pattern, cur))
+            cur = re.sub(pattern, placeholder, cur)
+        got = out[i]
+        for k, v in want_counts.items():
+            assert got[k] == v, (i, k, got)
+        assert got["redacted"] == cur, (i, got["redacted"], cur)
+        assert got["has_pii"] == (sum(want_counts.values()) > 0)
+
+    # sequential-mask contract: the email's digits never double-count
+    assert out[5]["n_emails"] == 1 and out[5]["n_ips"] == 1
+    assert out[5]["n_phones"] == 1
+    # idempotence: redacting the redacted corpus is a no-op
+    redacted = pii_redact(df).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    twice = {r["doc_id"]: r["redacted"] for r in pii_redact(redacted).collect()}
+    for i in range(len(texts)):
+        assert twice[i] == out[i]["redacted"]
+
+
+def test_pii_redact_plan_is_scan_projection(spark):
+    """100 TB shape: the whole op is one codegen projection over the
+    scan — no Exchange anywhere in the plan."""
+    from linkgraph.pipeline import pii_redact
+
+    df = spark.createDataFrame([(0, "a@b.co")], "doc_id long, text string")
+    plan = pii_redact(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
