@@ -159,6 +159,26 @@ def q_ppr_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACL FOCS'06 local community detection (kernels/pprsweep.py):
+    3 PPR rounds from ppr_k's seeds, then the min-conductance sweep
+    cut over the ROUND(9) degree-normalized order on the symmetrized
+    graph. Output = the best prefix community (id, sweep_pos) with
+    the constant (best_k, phi ROUND 9) columns; cut/vol are exact
+    int64 once the order is fixed, so only phi carries float."""
+    from linkgraph.kernels import ppr_sweep
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    seeds = [
+        int(r["src"])
+        for r in g.edges.select("src").distinct().orderBy("src").limit(4).collect()
+    ]
+    res = ppr_sweep(g, seeds, tol=0.0, max_iter=3, max_sweep=128)
+    return res.df.select(
+        "id", "sweep_pos", "best_k", F.round("phi", 9).alias("phi")
+    )
+
+
 def q_spam_mass_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank + VLDB'06 spam mass (kernels/spammass.py): exactly 3
     rounds each of the uniform-teleport PageRank and the seed-PPR
@@ -1215,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample": q_neighbor_sample,
         "condensation_levels": q_condensation_levels,
         "ppr_k": q_ppr_k,
+        "ppr_sweep": q_ppr_sweep,
         "scc": q_scc,
         "bowtie_classes": q_bowtie_classes,
         "clustering_coeff": q_clustering_coeff,
@@ -2208,6 +2229,100 @@ r{i} AS MATERIALIZED (
 )"""
         prev = f"r{i}"
     sql += f"\nSELECT id, ROUND(rank, 9) AS rank FROM {prev}"
+    return sql
+
+
+def _ppr_sweep_sql(k: int = 3, n_seeds: int = 4, max_sweep: int = 128) -> str:
+    """Unrolled PPR chain (same recurrence as _ppr_k_sql) + the ACL
+    sweep: ROUND(9) degree-normalized order, difference-array cut
+    prefix sums, min-conductance prefix. cut/vol/positions are exact
+    integers; phi is one fixed-order double division ROUND(9)ed."""
+    sql = f"""
+WITH e AS MATERIALIZED ({_CUST_SUPP_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+seeds AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT {n_seeds}),
+od AS MATERIALIZED (
+  SELECT v.id, COALESCE(d.c, 0) AS out_deg,
+         CASE WHEN s.id IS NOT NULL THEN 1.0 / {n_seeds} ELSE 0.0 END AS base
+  FROM v
+  LEFT JOIN (SELECT src, COUNT(*) AS c FROM e GROUP BY src) d ON v.id = d.src
+  LEFT JOIN seeds s ON v.id = s.id
+),
+r0 AS (SELECT id, out_deg, base, base AS rank FROM od)
+"""
+    prev = "r0"
+    for i in range(1, k + 1):
+        sql += f""",
+g{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(r.rank / r.out_deg) AS gathered
+  FROM e JOIN {prev} r ON e.src = r.id
+  GROUP BY e.dst
+),
+d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev} WHERE out_deg = 0),
+r{i} AS MATERIALIZED (
+  SELECT r.id, r.out_deg, r.base,
+         0.15 * r.base
+         + 0.85 * (COALESCE(g.gathered, 0.0) + (SELECT dm FROM d{i}) * r.base) AS rank
+  FROM {prev} r LEFT JOIN g{i} g ON r.id = g.id
+)"""
+        prev = f"r{i}"
+    sql += f""",
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e WHERE src <> dst
+),
+deg AS (
+  SELECT id, COUNT(*) AS deg
+  FROM (SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+  GROUP BY id
+),
+ranked AS MATERIALIZED (
+  SELECT id, deg,
+         ROW_NUMBER() OVER (ORDER BY ROUND(rank / deg, 9) DESC, id ASC) AS pos
+  FROM {prev} JOIN deg USING (id)
+  WHERE rank > 0
+  QUALIFY pos <= {max_sweep}
+),
+tagged AS (
+  SELECT a.pos AS pu, b.pos AS pv
+  FROM und
+  LEFT JOIN ranked a ON und.u = a.id
+  LEFT JOIN ranked b ON und.v = b.id
+  WHERE a.pos IS NOT NULL OR b.pos IS NOT NULL
+),
+deltas AS (
+  SELECT LEAST(pu, pv) AS kk, CAST(1 AS BIGINT) AS d FROM tagged
+  WHERE pu IS NOT NULL AND pv IS NOT NULL
+  UNION ALL
+  SELECT GREATEST(pu, pv), CAST(-1 AS BIGINT) FROM tagged
+  WHERE pu IS NOT NULL AND pv IS NOT NULL
+  UNION ALL
+  SELECT COALESCE(pu, pv), CAST(1 AS BIGINT) FROM tagged
+  WHERE pu IS NULL OR pv IS NULL
+),
+cutd AS (SELECT kk, SUM(d) AS delta FROM deltas GROUP BY kk),
+twom AS (SELECT 2 * COUNT(*) AS tm FROM und),
+sweep AS MATERIALIZED (
+  SELECT r.id, r.pos,
+         SUM(r.deg) OVER (ORDER BY r.pos) AS vol,
+         SUM(COALESCE(c.delta, 0)) OVER (ORDER BY r.pos) AS cut
+  FROM ranked r LEFT JOIN cutd c ON r.pos = c.kk
+),
+phis AS (
+  SELECT pos,
+         CAST(cut AS DOUBLE)
+         / NULLIF(CAST(LEAST(vol, (SELECT tm FROM twom) - vol) AS DOUBLE), 0.0)
+           AS phi
+  FROM sweep
+),
+best AS (
+  SELECT pos AS best_k, phi FROM phis
+  WHERE phi IS NOT NULL ORDER BY phi ASC, pos ASC LIMIT 1
+)
+SELECT s.id, CAST(s.pos AS BIGINT) AS sweep_pos,
+       CAST(b.best_k AS BIGINT) AS best_k, ROUND(b.phi, 9) AS phi
+FROM sweep s, best b WHERE s.pos <= b.best_k
+"""
     return sql
 
 
@@ -3662,6 +3777,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),
         "condensation_levels": _CONDENSE_SQL,
         "ppr_k": _ppr_k_sql(3),
+        "ppr_sweep": _ppr_sweep_sql(3, 4, 128),
         "scc": _SCC_SQL,
         "bowtie_classes": _BOWTIE_SQL,
         "clustering_coeff": _CLUSTERING_SQL,

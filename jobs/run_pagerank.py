@@ -36,7 +36,7 @@ def main(argv: list[str]) -> int:
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
             "modularity", "conductance", "walks", "sample", "condense",
             "matching", "msf", "jaccard", "pagerank_w", "coreness",
-            "degrees", "alpha", "spam",
+            "degrees", "alpha", "spam", "sweep",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -224,6 +224,22 @@ def main(argv: list[str]) -> int:
             "seeds": len(sources),
             "rounds": res.iterations,
             "converged": res.converged,
+        }
+    elif args.kernel == "sweep":
+        if args.sources:
+            sources = [int(s) for s in args.sources.split(",")]
+        else:
+            sources = [
+                int(r["id"]) for r in graph.vertices.orderBy("id").limit(4).collect()
+            ]
+        res = kernels.ppr_sweep(graph, sources, max_iter=args.max_iter, ckpt=ckpt)
+        out = res.df.orderBy("sweep_pos")
+        summary = {
+            "kernel": "sweep",
+            "seeds": len(sources),
+            "ppr_rounds": res.ppr_iterations,
+            "best_k": res.best_k,
+            "phi": res.phi,
         }
     elif args.kernel == "spam":
         if args.sources:

@@ -44,6 +44,8 @@ condensation    SCC condensation DAG + longest-path topo levels
                 (the web hierarchy view; Kahn layering by relaxation)
 ppr             personalized PageRank / random walk with restart
                 (seed-restricted teleport, dangling mass to seeds)
+ppr_sweep       local community detection: ACL FOCS'06 sweep cut over
+                degree-normalized PPR scores (min-conductance prefix)
 spam_mass       TrustRank + VLDB'06 spam-mass estimate (pagerank and
                 seed-PPR composed; rel_mass ~ 1 flags link spam)
 scc             strongly connected components (trim + forward-max
@@ -99,6 +101,7 @@ from linkgraph.kernels.walks import random_walks
 from linkgraph.kernels.sampling import neighbor_sample
 from linkgraph.kernels.condense import condensation
 from linkgraph.kernels.ppr import ppr
+from linkgraph.kernels.pprsweep import ppr_sweep
 from linkgraph.kernels.spammass import spam_mass
 from linkgraph.kernels.scc import scc
 from linkgraph.kernels.bowtie import bowtie
@@ -142,6 +145,7 @@ __all__ = [
     "neighbor_sample",
     "condensation",
     "ppr",
+    "ppr_sweep",
     "spam_mass",
     "scc",
     "bowtie",

@@ -974,3 +974,58 @@ def eigen_numpy(
         if diff < tol:
             break
     return x, iterations
+
+
+def ppr_sweep_replay(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    sources: list[int],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    max_sweep: int = 1024,
+) -> tuple[list[int], int | None, float | None]:
+    """Sequential replay of kernels/pprsweep.py (ACL FOCS'06 sweep):
+    PPR scores -> degree-normalized order (ROUND-half-up 9, matching
+    Spark's ROUND) -> incremental prefix cut/vol -> min-conductance
+    prefix. Returns (sweep order, best_k, best_phi)."""
+    from collections import defaultdict
+    import math
+
+    rank, _ = ppr_numpy(n, src, dst, sources, damping, tol, max_iter)
+    und: set[tuple[int, int]] = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    deg: dict[int, int] = defaultdict(int)
+    adj: dict[int, set] = defaultdict(set)
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+        adj[u].add(v)
+        adj[v].add(u)
+
+    def round9(x: float) -> float:  # HALF_UP for x >= 0, like Spark ROUND
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    cands = sorted(
+        ((-round9(float(rank[i]) / deg[i]), i) for i in deg if rank[i] > 0)
+    )[:max_sweep]
+    order = [i for _, i in cands]
+    twom = 2 * len(und)
+    in_s: set[int] = set()
+    vol = cut = 0
+    best_phi: float | None = None
+    best_k: int | None = None
+    for k, v in enumerate(order, start=1):
+        in_s.add(v)
+        vol += deg[v]
+        for w in adj[v]:
+            cut += -1 if w in in_s else 1
+        den = min(vol, twom - vol)
+        if den > 0:
+            phi = cut / den
+            if best_phi is None or phi < best_phi:
+                best_phi, best_k = phi, k
+    return order, best_k, best_phi

@@ -1759,3 +1759,66 @@ def test_eigen_closed_forms(spark):
     got2 = {r["id"]: r["score"] for r in res2.df.collect()}
     assert got2[0] == pytest.approx(0.0)  # no in-edges
     g2.unpersist()
+
+
+def test_ppr_sweep_matches_replay(rmat_graph):
+    """ACL sweep on the rMAT fixture: member set, sweep positions,
+    best_k, and phi all equal the sequential replay."""
+    from linkgraph.kernels import ppr_sweep
+    from tests.oracles import ppr_sweep_replay
+
+    g, pdf, n = rmat_graph
+    sources = [0, 1, 2, 3]
+    res = ppr_sweep(g, sources, tol=1e-6, max_iter=30)
+    order, best_k, best_phi = ppr_sweep_replay(
+        n, pdf["src"].to_numpy(), pdf["dst"].to_numpy(), sources,
+        tol=1e-6, max_iter=30,
+    )
+    rows = res.df.collect()
+    assert res.best_k == best_k
+    assert res.phi == pytest.approx(best_phi, abs=1e-12)
+    assert len(rows) == best_k
+    got_pos = {r["id"]: r["sweep_pos"] for r in rows}
+    want_pos = {v: k for k, v in enumerate(order[:best_k], start=1)}
+    assert got_pos == want_pos
+    for r in rows:
+        assert r["best_k"] == best_k
+        assert r["phi"] == pytest.approx(best_phi, abs=1e-12)
+
+
+def test_ppr_sweep_barbell_closed_form(spark):
+    """Two triangles joined by one bridge, seeded in the left one:
+    the sweep recovers exactly the left triangle with phi = 1/7
+    (cut 1, vol 7 < 2m - vol)."""
+    from linkgraph.kernels import ppr_sweep
+
+    tri_a = [(0, 1), (1, 2), (2, 0)]
+    tri_b = [(3, 4), (4, 5), (5, 3)]
+    bridge = [(2, 3)]
+    und = tri_a + tri_b + bridge
+    edges = pd.DataFrame(
+        {
+            "src": [u for u, v in und] + [v for u, v in und],
+            "dst": [v for u, v in und] + [u for u, v in und],
+        }
+    )
+    g = _graph(spark, edges, 6)
+    res = ppr_sweep(g, [0], tol=1e-10, max_iter=60)
+    members = {r["id"] for r in res.df.collect()}
+    assert members == {0, 1, 2}
+    assert res.best_k == 3
+    assert res.phi == pytest.approx(1.0 / 7.0, abs=1e-12)
+    g.unpersist()
+
+
+def test_ppr_sweep_guards(rmat_graph):
+    """max_sweep bounds the candidate order; bad params raise."""
+    from linkgraph.kernels import ppr_sweep
+
+    g, pdf, n = rmat_graph
+    res = ppr_sweep(g, [0], tol=1e-6, max_iter=10, max_sweep=5)
+    assert res.best_k <= 5
+    with pytest.raises(ValueError):
+        ppr_sweep(g, [0], max_sweep=0)
+    with pytest.raises(ValueError):
+        ppr_sweep(g, [])
