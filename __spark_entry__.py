@@ -983,6 +983,19 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_documents(spark, sf_dir), k=5, window=4)
 
 
+def q_copy_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage-copy pairs via shared winnowing
+    fingerprints (pipeline/fingerprint.copy_candidates — the MOSS
+    composition over doc_fingerprints). min_shared=2 drops single-
+    collision noise; max_df=64 is the boilerplate guard, mirrored in
+    the oracle so the comparison stays exact."""
+    from linkgraph.pipeline import copy_candidates
+
+    return copy_candidates(
+        _documents(spark, sf_dir), k=5, window=4, min_shared=2, max_df=64
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline import cosine_topk
 
@@ -1275,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "copy_candidates": q_copy_candidates,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3472,6 +3486,19 @@ FROM w WHERE pos <= GREATEST(n_grams - 4, 0)
 """
 
 
+_COPY_CANDIDATES_SQL = f"""
+WITH fps AS MATERIALIZED (SELECT * FROM ({_DOC_FINGERPRINTS_SQL}) t),
+keep AS (SELECT fingerprint FROM fps GROUP BY fingerprint HAVING COUNT(*) <= 64),
+kf AS MATERIALIZED (
+  SELECT f.doc_id, f.fingerprint FROM fps f JOIN keep USING (fingerprint)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+FROM kf a JOIN kf b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 def _occ(needle: str) -> str:
     target = f" {needle} "
     return (
@@ -3703,6 +3730,7 @@ FROM documents GROUP BY md5(text)
         "token_stats": _token_stats_sql(),
         "lang_id": _lang_id_sql(),
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
+        "copy_candidates": _COPY_CANDIDATES_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ivf_ann_sql(k=5, max_queries=10, n_clusters=8, nprobe=3, rounds=3),

@@ -20,7 +20,7 @@ from linkgraph.pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from linkgraph.pipeline.fingerprint import winnow_fingerprints
+from linkgraph.pipeline.fingerprint import copy_candidates, winnow_fingerprints
 from linkgraph.pipeline.simsearch import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -60,6 +60,7 @@ __all__ = [
     "lang_id",
     "gopher_quality",
     "winnow_fingerprints",
+    "copy_candidates",
     "kmeans",
     "semantic_dedup",
     "cluster_balanced_sample",

@@ -64,3 +64,48 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, window: int = 4) -> DataFra
         .select("doc_id", F.col("fp").alias("fingerprint"))
         .distinct()
     )
+
+
+def copy_candidates(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 64,
+) -> DataFrame:
+    """Cross-document passage-copy detection — the MOSS use-case of
+    winnowing (SIGMOD'03 §4): documents sharing winnowed fingerprints
+    share literal token runs of length >= window + k - 1, so the pair
+    count of shared fingerprints localizes COPIED PASSAGES, which
+    shingle-set Jaccard (dedup.ngram_jaccard_pairs) dilutes away on
+    long documents.
+
+    Returns (doc_a, doc_b, shared_fps long) with doc_a < doc_b and
+    shared_fps >= min_shared.
+
+    Scale shape: inverted-index self-join keyed on the fingerprint —
+    never n². The quadratic degeneracy is a fingerprint shared by many
+    documents (boilerplate: Σ df² pairs), the same failure mode as
+    dedup's hot shingles; `max_df` drops fingerprints appearing in
+    more than that many documents BEFORE the join (df is one hash agg;
+    a boilerplate passage is not evidence of copying anyway). The pair
+    count aggregates map-side on (doc_a, doc_b).
+    """
+    fps = winnow_fingerprints(docs, k=k, window=window)
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fingerprint")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("fingerprint")
+        )
+        fps = fps.join(keep, "fingerprint")
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

@@ -937,3 +937,62 @@ def test_pii_redact_plan_is_scan_projection(spark):
     df = spark.createDataFrame([(0, "a@b.co")], "doc_id long, text string")
     plan = pii_redact(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_copy_candidates_matches_python_oracle(spark):
+    """Pair shared-fingerprint counts equal the _winnow_py set replay;
+    min_shared and max_df guards behave."""
+    from itertools import combinations
+
+    from linkgraph.pipeline import copy_candidates
+
+    texts = [
+        "a b c d e f g h i j k l m n o p",       # 0
+        "z y x a b c d e f g h i w v u",          # 1: shares a long run with 0
+        "q r s a b c d e f g h i t u v",          # 2: shares the same run
+        "one two three four five six seven",      # 3: unrelated
+        "a b c d e f g h i j k l m n o p",        # 4: verbatim copy of 0
+        "tiny doc",                                # 5: below k tokens
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    fps = {i: _winnow_py(t, 5, 4) for i, t in enumerate(texts)}
+
+    def expect(min_shared, max_df):
+        cnt = {}
+        for f in set().union(*fps.values()):
+            cnt[f] = sum(f in s for s in fps.values())
+        kept = {
+            i: {f for f in s if max_df is None or cnt[f] <= max_df}
+            for i, s in fps.items()
+        }
+        out = {}
+        for a, b in combinations(range(len(texts)), 2):
+            shared = len(kept[a] & kept[b])
+            if shared >= min_shared:
+                out[(a, b)] = shared
+        return out
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in copy_candidates(df, k=5, window=4, min_shared=1,
+                                 max_df=None).collect()
+    }
+    assert got == expect(1, None)
+    # the verbatim copy shares EVERY fingerprint
+    assert got[(0, 4)] == len(fps[0])
+    # min_shared prunes weak pairs
+    got2 = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in copy_candidates(df, k=5, window=4, min_shared=2,
+                                 max_df=None).collect()
+    }
+    assert got2 == expect(2, None)
+    # a fingerprint in >max_df docs is boilerplate: dropped pre-join
+    got3 = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in copy_candidates(df, k=5, window=4, min_shared=1,
+                                 max_df=2).collect()
+    }
+    assert got3 == expect(1, 2)
