@@ -983,6 +983,17 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_documents(spark, sf_dir), k=5, window=4)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM sequence packing (pipeline/packing.pack_sequences): docs in
+    doc_id order, exclusive token prefix sums, seq = floor(c/budget).
+    The Spark side runs the two-phase distributed prefix sum (range
+    partition + P-row offsets + Arrow cumsum); the oracle is one SQL
+    window — equality IS the parallelism-independence proof."""
+    from linkgraph.pipeline import pack_sequences
+
+    return pack_sequences(_documents(spark, sf_dir), budget=512)
+
+
 def q_copy_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document passage-copy pairs via shared winnowing
     fingerprints (pipeline/fingerprint.copy_candidates — the MOSS
@@ -1289,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "copy_candidates": q_copy_candidates,
+        "pack_sequences": q_pack_sequences,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3499,6 +3511,25 @@ HAVING COUNT(*) >= 2
 """
 
 
+_PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+              END AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, cum // 512 AS seq_id, cum % 512 AS seq_off FROM c
+"""
+
+
 def _occ(needle: str) -> str:
     target = f" {needle} "
     return (
@@ -3731,6 +3762,7 @@ FROM documents GROUP BY md5(text)
         "lang_id": _lang_id_sql(),
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "copy_candidates": _COPY_CANDIDATES_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ivf_ann_sql(k=5, max_queries=10, n_clusters=8, nprobe=3, rounds=3),

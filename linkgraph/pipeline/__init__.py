@@ -41,6 +41,7 @@ from linkgraph.pipeline.embedcluster import (
 from linkgraph.pipeline.decontam import decontaminate, word_ngrams
 from linkgraph.pipeline.pii import pii_redact
 from linkgraph.pipeline.embedprop import feature_propagation
+from linkgraph.pipeline.packing import pack_sequences
 from linkgraph.pipeline.sampling import hash_sample, stratified_sample
 
 __all__ = [
@@ -61,6 +62,7 @@ __all__ = [
     "gopher_quality",
     "winnow_fingerprints",
     "copy_candidates",
+    "pack_sequences",
     "kmeans",
     "semantic_dedup",
     "cluster_balanced_sample",

@@ -996,3 +996,54 @@ def test_copy_candidates_matches_python_oracle(spark):
                                  max_df=2).collect()
     }
     assert got3 == expect(1, 2)
+
+
+def test_pack_sequences_matches_python_replay(spark):
+    """Packing equals the sequential doc_id-order replay, is invariant
+    to parallelism (the two-phase prefix sum is layout-independent),
+    and overflow stays below one document."""
+    from linkgraph.pipeline import pack_sequences
+
+    rng = np.random.default_rng(11)
+    texts = [" ".join(["w"] * int(rng.integers(0, 40))) for _ in range(200)]
+    ids = list(range(0, 400, 2))  # sparse ids: order is by id, not position
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids, "text": texts}))
+
+    budget = 64
+    toks = [len(t.split()) if t.strip() else 0 for t in texts]
+    cum = 0
+    want = {}
+    for i, t in sorted(zip(ids, toks)):
+        want[i] = (t, cum // budget, cum % budget)
+        cum += t
+
+    for p in (3, 8):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_off"])
+            for r in pack_sequences(df, budget=budget, num_partitions=p).collect()
+        }
+        assert got == want, f"num_partitions={p}"
+
+    # overflow bound: a sequence exceeds the budget by < its straddling
+    # doc's length, i.e. every doc STARTS strictly inside its sequence
+    for i, (t, s, off) in want.items():
+        assert 0 <= off < budget
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
+
+
+def test_pack_sequences_empty_and_zero_docs(spark):
+    """Zero-token docs consume no budget; empty input yields no rows."""
+    from linkgraph.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b c", "", "d e"]})
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_off"])
+        for r in pack_sequences(df, budget=4).collect()
+    }
+    assert got == {1: (3, 0, 0), 2: (0, 0, 3), 3: (2, 0, 3)}
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(empty, budget=4).count() == 0
