@@ -27,6 +27,12 @@ def main(argv: list[str]) -> int:
     src.add_argument("--pages", help="parquet dir with pages(url, warc_ts, html, text, lang)")
     src.add_argument("--synth", type=int, help="generate N synthetic pages instead")
     ap.add_argument("--output", required=True)
+    ap.add_argument(
+        "--update",
+        help="incremental mode: existing graph (dir or table:<id>) to "
+        "merge the --pages/--synth snapshot into — re-crawled pages "
+        "replace their out-edges, surviving urls keep their ids",
+    )
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument(
         "--host-graph",
@@ -35,7 +41,13 @@ def main(argv: list[str]) -> int:
     )
     args = ap.parse_args(argv)
 
-    from linkgraph.build import build_graph_from_pages, host_rollup, write_graph
+    from linkgraph.build import (
+        build_graph_from_pages,
+        host_rollup,
+        read_graph,
+        update_graph,
+        write_graph,
+    )
     from linkgraph.session import get_spark
 
     spark = get_spark(app_name="linkgraph-build")
@@ -52,7 +64,11 @@ def main(argv: list[str]) -> int:
     phases["load"] = time.time() - t0
 
     t1 = time.time()
-    g = build_graph_from_pages(pages, num_partitions=args.buckets)
+    if args.update:
+        base = read_graph(spark, args.update)
+        g = update_graph(base, pages, num_partitions=args.buckets)
+    else:
+        g = build_graph_from_pages(pages, num_partitions=args.buckets)
     phases["extract_build"] = time.time() - t1
 
     t2 = time.time()

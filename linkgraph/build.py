@@ -318,3 +318,127 @@ def host_rollup(g: Graph, keep_self_loops: bool = False) -> DataFrame:
     return rolled.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).alias("weight")
     )
+
+
+def assign_ordered_ids(
+    urls: DataFrame,
+    key: str = "url",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distinct `key` values -> (id long, <key>) with ids dense
+    start..start+n-1 in GLOBAL ascending key order.
+
+    Unlike assign_dense_ids (hash-partitioned: deterministic given the
+    value set AND P), the range-partitioned variant is a pure function
+    of the value set alone — partition boundaries move with P but the
+    (sorted-order) ids do not — so a SQL ROW_NUMBER reproduces it.
+    Same two-phase scan: P-row count collect + broadcast offsets +
+    Arrow per-partition enumeration. Used by the incremental-update
+    path where new-vertex ids must be engine-reproducible.
+    """
+    spark = urls.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        urls.select(key)
+        .distinct()
+        .repartitionByRange(p, F.col(key))
+        .sortWithinPartitions(key)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in part.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets = {}
+    acc = int(start)
+    for pid in range(p):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    offsets_bc = spark.sparkContext.broadcast(offsets)
+    out_schema = f"id long, {key} string"
+
+    def assign(iterator):
+        pid = TaskContext.get().partitionId()
+        pos = offsets_bc.value[pid]
+        for pdf in iterator:
+            n = len(pdf)
+            yield pdf.assign(id=np.arange(pos, pos + n, dtype="int64"))[
+                ["id", key]
+            ]
+            pos += n
+
+    return part.mapInPandas(assign, schema=out_schema)
+
+
+def update_graph(
+    graph: Graph,
+    new_pages: DataFrame,
+    num_partitions: int | None = None,
+) -> Graph:
+    """Incremental crawl ingestion: merge a re-crawl snapshot into an
+    existing url graph WITHOUT a full rebuild — at 10^12 pages a crawl
+    delta is a small fraction of the corpus, and rebuilding the whole
+    id space would also orphan every checkpointed score table.
+
+    Semantics:
+      * a page PRESENT in `new_pages` replaces its out-edges with its
+        current href set (re-crawl wins, including "now links nowhere");
+      * pages absent from the snapshot keep their edges;
+      * existing urls KEEP their ids — PageRank/CC checkpoints stay
+        joinable across updates;
+      * urls first seen in this snapshot (as pages or href targets) get
+        dense ids max_id+1.. in global url order (assign_ordered_ids,
+        engine-reproducible).
+
+    Cost shape: extraction on the DELTA only; one anti-join over the
+    old edge table (src-bucketed cache, broadcast when the re-crawled
+    page-id set is small); degree rebuild — no url re-mapping of the
+    surviving edges.
+
+    The returned Graph owns fresh persisted tables; the caller decides
+    when to unpersist the input graph.
+    """
+    if "url" not in graph.vertices.columns:
+        raise ValueError("update_graph needs a url-mapped graph "
+                         "(vertices must carry a url column)")
+    spark = graph.vertices.sparkSession
+    url_edges = edges_from_pages(new_pages).persist(StorageLevel.MEMORY_AND_DISK)
+
+    seen = (
+        new_pages.select("url")
+        .union(url_edges.select(F.col("dst_url").alias("url")))
+        .distinct()
+    )
+    novel = seen.join(graph.vertices.select("url"), "url", "left_anti")
+    start = (graph.vertices.agg(F.max("id")).first()[0] or -1) + 1
+    new_ids = assign_ordered_ids(novel, "url", start=start,
+                                 num_partitions=num_partitions)
+    vertices = (
+        graph.vertices.select("id", "url")
+        .union(new_ids.select("id", "url"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    recrawled_ids = vertices.join(
+        new_pages.select("url").distinct(), "url"
+    ).select(F.col("id").alias("src"))
+    kept = graph.edges.join(recrawled_ids, "src", "left_anti")
+    fresh = (
+        url_edges.join(
+            vertices.withColumnRenamed("url", "src_url").withColumnRenamed("id", "src"),
+            "src_url",
+        )
+        .join(
+            vertices.withColumnRenamed("url", "dst_url").withColumnRenamed("id", "dst"),
+            "dst_url",
+        )
+        .select("src", "dst")
+    )
+    g = build_graph_from_edges(
+        kept.union(fresh), vertices=vertices, num_partitions=num_partitions
+    )
+    url_edges.unpersist()
+    return g

@@ -292,3 +292,95 @@ def test_host_pagerank_composition(spark):
     assert sum(got.values()) == _pytest.approx(1.0, abs=1e-9)
     g.unpersist()
     hg.unpersist()
+
+
+def test_assign_ordered_ids_sorted_dense_p_independent(spark):
+    from linkgraph.build import assign_ordered_ids
+
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url": [f"u{i:03d}" for i in range(101, 0, -1)]})
+    )
+    a = assign_ordered_ids(urls, start=10, num_partitions=3).toPandas()
+    b = assign_ordered_ids(urls, start=10, num_partitions=8).toPandas()
+    want = {f"u{i:03d}": 10 + i - 1 for i in range(1, 102)}  # sorted order
+    assert dict(zip(a["url"], a["id"])) == want
+    assert dict(zip(b["url"], b["id"])) == want  # P-independent
+
+
+def test_update_graph_equals_full_rebuild(spark):
+    """Incremental crawl merge == full rebuild of the merged snapshot,
+    compared at the url level (edge set exact, pagerank allclose), and
+    surviving urls keep their ids."""
+    import pytest as _pytest
+
+    from linkgraph.build import update_graph
+    from linkgraph.kernels import pagerank
+
+    snap1 = generate_pages(PagesSpec(n_pages=80, seed=3))
+    # re-crawl of the first 40 urls with different link structure, via
+    # a different seed at n_pages=40 (urls are position-derived)
+    snap2 = generate_pages(PagesSpec(n_pages=40, seed=11))
+    assert set(snap2["url"]) <= set(snap1["url"])
+
+    g1 = build_graph_from_pages(spark.createDataFrame(snap1), num_partitions=4)
+    old_ids = {r["url"]: r["id"] for r in g1.vertices.collect()}
+    g2 = update_graph(g1, spark.createDataFrame(snap2), num_partitions=4)
+
+    merged = pd.concat(
+        [snap2, snap1[~snap1["url"].isin(set(snap2["url"]))]]
+    ).reset_index(drop=True)
+    gf = build_graph_from_pages(spark.createDataFrame(merged), num_partitions=4)
+
+    def url_edges(g):
+        v = g.vertices
+        return {
+            (r["su"], r["du"])
+            for r in g.edges.join(
+                v.withColumnRenamed("id", "src").withColumnRenamed("url", "su"), "src"
+            )
+            .join(
+                v.withColumnRenamed("id", "dst").withColumnRenamed("url", "du"), "dst"
+            )
+            .collect()
+        }
+
+    assert url_edges(g2) == url_edges(gf)
+    assert g2.n == gf.n and g2.m == gf.m
+
+    # id stability: every pre-existing url keeps its id; new ids are
+    # dense above the old max, in url order
+    new_ids = {r["url"]: r["id"] for r in g2.vertices.collect()}
+    for u, i in old_ids.items():
+        assert new_ids[u] == i
+    novel = sorted(set(new_ids) - set(old_ids))
+    assert [new_ids[u] for u in novel] == list(
+        range(len(old_ids), len(old_ids) + len(novel))
+    )
+
+    # semantics carry to the kernels: pagerank per url matches
+    pr2 = {r["id"]: r["rank"] for r in pagerank(g2, tol=0.0, max_iter=5).df.collect()}
+    prf = {r["id"]: r["rank"] for r in pagerank(gf, tol=0.0, max_iter=5).df.collect()}
+    fid = {r["url"]: r["id"] for r in gf.vertices.collect()}
+    for u, i in new_ids.items():
+        assert pr2[i] == _pytest.approx(prf[fid[u]], abs=1e-12)
+
+    # replace semantics: a re-crawled page's OLD edges are gone
+    snap2_edges = expected_edges(snap2)
+    for su, du in url_edges(g2):
+        if su in set(snap2["url"]):
+            assert (su, du) in snap2_edges
+    for g in (g1, g2, gf):
+        g.unpersist()
+
+
+def test_update_graph_requires_url_vertices(spark):
+    import pytest as _pytest
+
+    from linkgraph.build import update_graph
+
+    edges = spark.createDataFrame(pd.DataFrame({"src": [0], "dst": [1]}))
+    g = build_graph_from_edges(edges, n=2)
+    pages = spark.createDataFrame(generate_pages(PagesSpec(n_pages=4)))
+    with _pytest.raises(ValueError):
+        update_graph(g, pages)
+    g.unpersist()
