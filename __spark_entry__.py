@@ -495,6 +495,21 @@ def q_msbfs_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(g, sources, max_iter=15)
 
 
+def q_closeness_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled closeness centrality (kernels/msbfs.closeness_centrality)
+    over the symmetrized cust→supp graph — msbfs_harmonic's sweep with
+    the reciprocal-mean-distance rollup. sum_dist/reached are exact
+    int64; closeness is ONE int64/int64 double division, hash-exact
+    with no rounding (the edge_jaccard contract)."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import closeness_centrality
+
+    edges = symmetrize(_cust_supp_edges(spark, sf_dir))
+    g = _graph(edges)
+    sources = [int(r["id"]) for r in g.vertices.orderBy("id").limit(4).collect()]
+    return closeness_centrality(g, sources, max_iter=15)
+
+
 def q_graph_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ligra's Radii app: per-sample-source eccentricity + reach size
     over the symmetrized cust→supp graph (same 4-lane msbfs sweep as
@@ -1260,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation_levels": q_condensation_levels,
         "ppr_k": q_ppr_k,
         "ppr_sweep": q_ppr_sweep,
+        "closeness_k": q_closeness_k,
         "scc": q_scc,
         "bowtie_classes": q_bowtie_classes,
         "clustering_coeff": q_clustering_coeff,
@@ -2895,6 +2911,32 @@ GROUP BY id
 """
 
 
+def _closeness_sql(max_level: int = 15) -> str:
+    """msbfs_harmonic's bounded recursive sweep with the closeness
+    rollup; SUM(dist) cast from DuckDB's HUGEINT to BIGINT before the
+    single fixed-order division."""
+    return f"""
+WITH RECURSIVE {_SYM_CUST_SUPP},
+v AS (SELECT src AS id FROM sym UNION SELECT dst AS id FROM sym),
+srcs AS (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4),
+walk(id, source, dist) AS (
+  SELECT id, id, 0 FROM srcs
+  UNION
+  SELECT s.dst, w.source, w.dist + 1
+  FROM walk w JOIN sym s ON w.id = s.src
+  WHERE w.dist < {max_level}
+),
+d AS (SELECT id, source, MIN(dist) AS dist FROM walk GROUP BY id, source),
+agg AS (
+  SELECT id, CAST(SUM(dist) AS BIGINT) AS sum_dist, COUNT(*) AS reached
+  FROM d WHERE dist > 0 GROUP BY id
+)
+SELECT id, sum_dist, reached,
+       CAST(reached AS DOUBLE) / CAST(sum_dist AS DOUBLE) AS closeness
+FROM agg
+"""
+
+
 def _betweenness_sql(max_level: int = 15) -> str:
     """Brandes BC fully unrolled (no recursion, so the DuckDB RECURSIVE
     UNION quirk is moot): forward levels bf0..bfL accumulate σ per
@@ -3838,6 +3880,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "condensation_levels": _CONDENSE_SQL,
         "ppr_k": _ppr_k_sql(3),
         "ppr_sweep": _ppr_sweep_sql(3, 4, 128),
+        "closeness_k": _closeness_sql(15),
         "scc": _SCC_SQL,
         "bowtie_classes": _BOWTIE_SQL,
         "clustering_coeff": _CLUSTERING_SQL,

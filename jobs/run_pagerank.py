@@ -36,7 +36,7 @@ def main(argv: list[str]) -> int:
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
             "modularity", "conductance", "walks", "sample", "condense",
             "matching", "msf", "jaccard", "pagerank_w", "coreness",
-            "degrees", "alpha", "spam", "sweep",
+            "degrees", "alpha", "spam", "sweep", "closeness",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -116,7 +116,7 @@ def main(argv: list[str]) -> int:
         res = kernels.bfs(graph, root=args.root, ckpt=ckpt)
         out = res.df.orderBy("level", "id")
         summary = {"kernel": "bfs", "levels": res.iterations}
-    elif args.kernel in ("msbfs", "harmonic", "radii", "bc"):
+    elif args.kernel in ("msbfs", "harmonic", "radii", "bc", "closeness"):
         if args.sources:
             sources = [int(s) for s in args.sources.split(",")]
         else:
@@ -136,6 +136,11 @@ def main(argv: list[str]) -> int:
             res = kernels.betweenness(graph, sources, max_iter=args.max_iter)
             out = res.df.orderBy(F.desc("bc"), "id")
             summary = {"kernel": "bc", "lanes": len(sources), "levels": res.iterations}
+        elif args.kernel == "closeness":
+            out = kernels.closeness_centrality(
+                graph, sources, max_iter=args.max_iter, ckpt=ckpt
+            ).orderBy(F.desc("closeness"), "id")
+            summary = {"kernel": "closeness", "lanes": len(sources)}
         else:
             out = kernels.harmonic_centrality(
                 graph, sources, max_iter=args.max_iter, ckpt=ckpt

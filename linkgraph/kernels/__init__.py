@@ -8,7 +8,7 @@ bfs             frontier BFS (levels + min-parent tree)
 labelprop       community label propagation (most-frequent in-neighbor label)
 triangles       triangle count via degree-ordered edge-intersection join
 msbfs           multi-source BFS (all lanes in one frontier loop) +
-                sampled harmonic centrality rollup
+                sampled harmonic + closeness centrality rollups
 coreness        full k-core decomposition: per-vertex core numbers +
                 degeneracy via level-synchronous bucket peeling
                 (Batagelj-Zaveršnik / Julienne KCore)
@@ -84,7 +84,7 @@ from linkgraph.kernels.bfs import bfs
 from linkgraph.kernels.labelprop import label_propagation
 from linkgraph.kernels.triangles import triangle_count
 from linkgraph.kernels.pagerank_delta import pagerank_delta
-from linkgraph.kernels.msbfs import msbfs, harmonic_centrality, radii
+from linkgraph.kernels.msbfs import msbfs, harmonic_centrality, radii, closeness_centrality
 from linkgraph.kernels.kcore import kcore
 from linkgraph.kernels.coreness import coreness
 from linkgraph.kernels.betweenness import betweenness
@@ -125,6 +125,7 @@ __all__ = [
     "triangle_count",
     "msbfs",
     "harmonic_centrality",
+    "closeness_centrality",
     "radii",
     "kcore",
     "coreness",

@@ -203,3 +203,41 @@ def radii(
         F.max("dist").alias("ecc"),
         F.count(F.lit(1)).alias("reached"),
     )
+
+
+def closeness_centrality(
+    graph: Graph,
+    sources: list[int],
+    max_iter: int = 10_000,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """(id, sum_dist long, reached long, closeness double): sampled
+    (inward) closeness — over the sample lanes that reach `id` at
+    dist > 0, closeness = reached / Σ dist, the reciprocal mean
+    distance (Boldi & Vigna 2014 §3.1's c(x) restricted to the
+    sample; with sources = all vertices it is exact, with a uniform
+    sample it estimates the same ranking — the unreachable-lane
+    pathology that motivates harmonic is visible in `reached`).
+
+    sum_dist/reached are exact int64 rollups of the one msbfs sweep;
+    closeness is ONE int64/int64 double division — hash-identical
+    across engines with no rounding, the edge_jaccard contract.
+    """
+    res = msbfs(graph, sources, max_iter=max_iter, ckpt=ckpt)
+    return (
+        res.df.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.sum("dist").alias("sum_dist"),
+            F.count(F.lit(1)).alias("reached"),
+        )
+        .select(
+            "id",
+            "sum_dist",
+            "reached",
+            (
+                F.col("reached").cast("double")
+                / F.col("sum_dist").cast("double")
+            ).alias("closeness"),
+        )
+    )

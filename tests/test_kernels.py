@@ -1822,3 +1822,50 @@ def test_ppr_sweep_guards(rmat_graph):
         ppr_sweep(g, [0], max_sweep=0)
     with pytest.raises(ValueError):
         ppr_sweep(g, [])
+
+
+def test_closeness_matches_bfs_replay(rmat_graph):
+    """Sampled closeness == the per-source BFS replay rollup; the
+    division is bit-exact (one int64/int64 double division)."""
+    from collections import defaultdict
+
+    from linkgraph.kernels import closeness_centrality
+
+    g, pdf, n = rmat_graph
+    sources = [0, 1, 5, 9]
+    acc = defaultdict(lambda: [0, 0])  # id -> [sum_dist, reached]
+    for s in sources:
+        for v, lvl in bfs_levels_numpy(
+            n, pdf["src"].to_numpy(), pdf["dst"].to_numpy(), s
+        ).items():
+            if lvl > 0:
+                acc[v][0] += lvl
+                acc[v][1] += 1
+    got = {r["id"]: r for r in closeness_centrality(g, sources).collect()}
+    assert set(got) == set(acc)
+    for v, (sd, rc) in acc.items():
+        assert got[v]["sum_dist"] == sd
+        assert got[v]["reached"] == rc
+        assert got[v]["closeness"] == rc / sd  # exact IEEE division
+
+
+def test_closeness_path_graph(spark):
+    """Undirected 4-path, all sources: ends see distances {1,2,3}
+    (closeness 3/6), middles {1,1,2} (closeness 3/4)."""
+    from linkgraph.kernels import closeness_centrality
+
+    pdf = pd.DataFrame(
+        {"src": [0, 1, 1, 2, 2, 3], "dst": [1, 0, 2, 1, 3, 2]}
+    )
+    g = _graph(spark, pdf, 4)
+    got = {
+        r["id"]: (r["sum_dist"], r["reached"], r["closeness"])
+        for r in closeness_centrality(g, [0, 1, 2, 3]).collect()
+    }
+    assert got == {
+        0: (6, 3, 0.5),
+        1: (4, 3, 0.75),
+        2: (4, 3, 0.75),
+        3: (6, 3, 0.5),
+    }
+    g.unpersist()
