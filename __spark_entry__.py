@@ -998,6 +998,30 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_documents(spark, sf_dir), k=5, window=4)
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (pipeline/urlnorm.canonicalize_urls):
+    messy urls synthesized deterministically from o_orderkey (mixed-
+    case scheme/host, default and non-default ports, tracking params,
+    fragments, empty paths, one invalid form), then the frontier
+    normalization rules. The oracle synthesizes the identical strings
+    and mirrors every rule in RE2/SQL."""
+    from linkgraph.pipeline import canonicalize_urls
+
+    k = F.col("o_orderkey")
+    h = (k % 50).cast("string")
+    ks = k.cast("string")
+    url = (
+        F.when(k % 6 == 0, F.concat(F.lit("HTTP://Host"), h, F.lit(".Example.COM:80/page/"), ks, F.lit("?utm_source=x&id="), ks, F.lit("#frag")))
+        .when(k % 6 == 1, F.concat(F.lit("https://host"), h, F.lit(".example.com:443/page/"), ks))
+        .when(k % 6 == 2, F.concat(F.lit("http://host"), h, F.lit(".example.com/page/"), ks, F.lit("?utm_campaign=c&utm_medium=m")))
+        .when(k % 6 == 3, F.concat(F.lit("https://HOST"), h, F.lit(".example.com:8443/p/"), ks, F.lit("?a=1&fbclid=zz&b=2")))
+        .when(k % 6 == 4, F.concat(F.lit("http://host"), h, F.lit(".example.com")))
+        .otherwise(F.concat(F.lit("page "), ks, F.lit(" has no scheme")))
+    )
+    urls = _orders(spark, sf_dir).select(url.alias("url"))
+    return canonicalize_urls(urls)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM sequence packing (pipeline/packing.pack_sequences): docs in
     doc_id order, exclusive token prefix sums, seq = floor(c/budget).
@@ -1317,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "copy_candidates": q_copy_candidates,
         "pack_sequences": q_pack_sequences,
+        "url_canon": q_url_canon,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3572,6 +3597,61 @@ SELECT doc_id, n_tokens, cum // 512 AS seq_id, cum % 512 AS seq_off FROM c
 """
 
 
+_URL_CANON_SQL = """
+WITH u AS (
+  SELECT CASE o_orderkey % 6
+    WHEN 0 THEN 'HTTP://Host' || (o_orderkey % 50) || '.Example.COM:80/page/'
+                || o_orderkey || '?utm_source=x&id=' || o_orderkey || '#frag'
+    WHEN 1 THEN 'https://host' || (o_orderkey % 50) || '.example.com:443/page/'
+                || o_orderkey
+    WHEN 2 THEN 'http://host' || (o_orderkey % 50) || '.example.com/page/'
+                || o_orderkey || '?utm_campaign=c&utm_medium=m'
+    WHEN 3 THEN 'https://HOST' || (o_orderkey % 50) || '.example.com:8443/p/'
+                || o_orderkey || '?a=1&fbclid=zz&b=2'
+    WHEN 4 THEN 'http://host' || (o_orderkey % 50) || '.example.com'
+    ELSE 'page ' || o_orderkey || ' has no scheme'
+  END AS url
+  FROM orders
+),
+c AS (SELECT url, regexp_replace(url, '#.*$', '') AS no_frag FROM u),
+p AS (
+  SELECT url,
+    lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport0,
+    regexp_replace(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS rest
+  FROM c
+),
+q AS (
+  SELECT url, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hostport0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hostport0, ':443$', '')
+         ELSE hostport0 END AS hostport,
+    CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+         ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+    regexp_extract(rest, '\\?(.*)$', 1) AS query
+  FROM p
+),
+r AS (
+  SELECT url, scheme, hostport, path,
+    array_to_string(
+      list_filter(string_split(query, '&'),
+        x -> x <> '' AND NOT regexp_matches(x,
+          '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)(=.*)?$')),
+      '&') AS kept
+  FROM q
+)
+SELECT url,
+  CASE WHEN scheme <> ''
+       THEN scheme || '://' || hostport || path
+            || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+       ELSE url END AS canonical,
+  CASE WHEN scheme <> '' THEN regexp_replace(hostport, ':[0-9]+$', '')
+       ELSE '' END AS host,
+  scheme <> '' AS is_valid
+FROM r
+"""
+
+
 def _occ(needle: str) -> str:
     target = f" {needle} "
     return (
@@ -3805,6 +3885,7 @@ FROM documents GROUP BY md5(text)
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "copy_candidates": _COPY_CANDIDATES_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
+        "url_canon": _URL_CANON_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ivf_ann_sql(k=5, max_queries=10, n_clusters=8, nprobe=3, rounds=3),

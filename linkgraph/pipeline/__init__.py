@@ -43,6 +43,7 @@ from linkgraph.pipeline.pii import pii_redact
 from linkgraph.pipeline.embedprop import feature_propagation
 from linkgraph.pipeline.packing import pack_sequences
 from linkgraph.pipeline.sampling import hash_sample, stratified_sample
+from linkgraph.pipeline.urlnorm import canonicalize_urls
 
 __all__ = [
     "exact_dup_groups",
@@ -63,6 +64,7 @@ __all__ = [
     "winnow_fingerprints",
     "copy_candidates",
     "pack_sequences",
+    "canonicalize_urls",
     "kmeans",
     "semantic_dedup",
     "cluster_balanced_sample",

@@ -1047,3 +1047,61 @@ def test_pack_sequences_empty_and_zero_docs(spark):
     assert got == {1: (3, 0, 0), 2: (0, 0, 3), 3: (2, 0, 3)}
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert pack_sequences(empty, budget=4).count() == 0
+
+
+def test_canonicalize_urls_rules_and_python_replay(spark):
+    """Each canonicalization rule in isolation + a Python `re` replay
+    (the cross-engine portability pin for the shared patterns)."""
+    import re
+
+    from linkgraph.pipeline import canonicalize_urls
+    from linkgraph.pipeline.urlnorm import TRACKING_PARAM_RE
+
+    cases = {
+        # fragment stripped
+        "http://a.com/p#sec": ("http://a.com/p", "a.com", True),
+        # scheme+host lowercased, path case preserved
+        "HTTP://WWW.Ex.COM/Path/Q": ("http://www.ex.com/Path/Q", "www.ex.com", True),
+        # default ports dropped, non-default kept
+        "http://a.com:80/x": ("http://a.com/x", "a.com", True),
+        "https://a.com:443/x": ("https://a.com/x", "a.com", True),
+        "http://a.com:8080/x": ("http://a.com:8080/x", "a.com", True),
+        "https://a.com:80/x": ("https://a.com:80/x", "a.com", True),
+        # tracking params dropped, order of survivors preserved
+        "http://a.com/x?b=2&utm_source=s&a=1": ("http://a.com/x?b=2&a=1", "a.com", True),
+        "http://a.com/x?utm_campaign=c&fbclid=f&gclid=g&msclkid=m": ("http://a.com/x", "a.com", True),
+        # empty path -> "/"
+        "http://a.com": ("http://a.com/", "a.com", True),
+        "http://a.com?utm_source=s": ("http://a.com/", "a.com", True),
+        # no scheme -> pass-through, invalid
+        "not a url": ("not a url", "", False),
+        "/relative/path": ("/relative/path", "", False),
+    }
+    df = spark.createDataFrame(pd.DataFrame({"url": list(cases)}))
+    got = {
+        r["url"]: (r["canonical"], r["host"], r["is_valid"])
+        for r in canonicalize_urls(df).collect()
+    }
+    assert got == cases
+    # portability: Python re agrees with the JVM on the tracking pattern
+    assert re.match(TRACKING_PARAM_RE, "utm_source=x")
+    assert re.match(TRACKING_PARAM_RE, "fbclid")
+    assert not re.match(TRACKING_PARAM_RE, "mutm_source=x")
+    assert not re.match(TRACKING_PARAM_RE, "id=utm_source")
+
+
+def test_canonicalize_urls_idempotent(spark):
+    """Canonical output is a fixpoint: canonicalize(canonical) is the
+    identity (crawl frontiers re-normalize without harm)."""
+    from linkgraph.pipeline import canonicalize_urls
+
+    urls = [
+        "HTTP://A.com:80/p?utm_source=x&k=1#f",
+        "https://b.com",
+        "http://c.com:9090/q?z=9",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    once = canonicalize_urls(df).select(F.col("canonical").alias("url"))
+    twice = canonicalize_urls(once)
+    for r in twice.collect():
+        assert r["canonical"] == r["url"]
