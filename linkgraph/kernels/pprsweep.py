@@ -72,6 +72,7 @@ def ppr_sweep(
     max_iter: int = 100,
     max_sweep: int = 1024,
     ckpt: CheckpointManager | None = None,
+    ckpt_every: int = 5,
 ) -> SweepResult:
     """ACL sweep cut around `sources`. Returns the minimum-conductance
     prefix community: one row per member (id, sweep_pos) plus the
@@ -86,7 +87,7 @@ def ppr_sweep(
     spark = graph.edges.sparkSession
 
     res = ppr(graph, sources, damping=damping, tol=tol, max_iter=max_iter,
-              ckpt=ckpt)
+              ckpt=ckpt, ckpt_every=ckpt_every)
     scores = sever(res.df)  # (id, rank)
 
     # Undirected view: canonical u<v pairs, self-loops dropped.

@@ -16,9 +16,11 @@ Strings without a `scheme://` prefix pass through unchanged with
 is_valid = false (a crawl frontier quarantines those, it does not
 guess).
 
-Everything is a single whole-stage-codegen projection of JVM
-regexp/string expressions — zero shuffles, zero Python, trivially
-100 TB-safe — and every pattern is lookahead-free ASCII so Java regex
+Everything is ONE JVM projection of regexp/string expressions — zero
+shuffles, zero Python, trivially 100 TB-safe (the higher-order array
+filter keeps the projection out of whole-stage codegen, but it stays
+JVM-side; plan-pinned) — and every pattern is lookahead-free ASCII so
+Java regex
 (Spark), RE2 (DuckDB), and Python `re` agree match-for-match (the
 repo-wide portability rule, see textstats.BPE_ISH_PATTERN).
 """

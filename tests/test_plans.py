@@ -317,3 +317,69 @@ def test_feature_prop_round_is_equi_join_plus_hash_agg(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_url_canon_is_single_stage_no_exchange(spark):
+    """canonicalize_urls must stay one whole-stage-codegen projection:
+    any Exchange means someone added a shuffle to a per-row op."""
+    from linkgraph.pipeline import canonicalize_urls
+
+    # a Range-backed source: a literal local frame constant-folds to a
+    # LocalTableScan and hides the projection we want to pin
+    df = spark.range(10).select(
+        F.concat(
+            F.lit("http://a.com/x/"), F.col("id"), F.lit("?utm_source=1#f")
+        ).alias("url")
+    )
+    plan = _plan(canonicalize_urls(df))
+    assert "Exchange" not in plan  # zero shuffles
+    # one JVM Project (the higher-order array filter keeps the top
+    # projection out of codegen, but it is still JVM-side, no Python)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # two Projects max: the fixture's url builder + the canonicalizer
+    assert plan.count("Project") <= 2
+
+
+def test_pack_sequences_has_no_global_sort(spark):
+    """The packing prefix sum must be the two-phase range-partitioned
+    scan — a global Sort (single-partition window) would serialize the
+    100 TB path. RangePartitioning + mapInPandas is the pinned shape."""
+    from linkgraph.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20), "text": ["a b c"] * 20})
+    )
+    out = pack_sequences(df, budget=4, num_partitions=3)
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower()
+    assert "MapInPandas" in plan
+
+
+def test_copy_candidates_joins_on_fingerprint_no_cartesian(spark):
+    """The pair join must stay an equi-join keyed on the fingerprint —
+    a cartesian/nested-loop regression is the n² failure mode."""
+    from linkgraph.pipeline import copy_candidates
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d e f g h", "a b c d e f g h"]})
+    )
+    plan = _plan(copy_candidates(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ppr_sweep_edge_tagging_broadcasts_ranked_set(spark, tiny_graph):
+    """The sweep's one m-row pass must broadcast the <= max_sweep-row
+    ranked set onto the edges (never shuffle the edge table on a
+    rank key), and the prefix windows run over the bounded ranked
+    rows only."""
+    from linkgraph.kernels import ppr_sweep
+
+    res = ppr_sweep(tiny_graph, [0], tol=0.0, max_iter=2, max_sweep=8)
+    # result plan is downstream of the severed sweep frame; assert on
+    # the member output: no Cartesian anywhere, and the kernel ran the
+    # bounded path (best_k <= max_sweep)
+    plan = _plan(res.df)
+    assert "CartesianProduct" not in plan
+    assert res.best_k <= 8

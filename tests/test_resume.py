@@ -394,3 +394,41 @@ def test_eigen_resume_equals_uninterrupted(small_graph, tmp_path):
 
     again = eigenvector_centrality(small_graph, tol=1e-8, max_iter=80, ckpt=ckpt)
     assert {(r["id"], r["score"]) for r in again.df.collect()} == want
+
+
+def test_ppr_sweep_resume_equals_uninterrupted(small_graph, tmp_path):
+    """The sweep's only iterative state is the inner PPR: an
+    interrupted run resumes through the shared CheckpointManager and
+    the recomputed sweep (membership, best_k, phi) is identical; a
+    converged record short-circuits the PPR entirely."""
+    from linkgraph.kernels import ppr_sweep
+
+    seeds = [0, 1]
+    full = ppr_sweep(small_graph, seeds, tol=1e-8, max_iter=60)
+    want = {
+        (r["id"], r["sweep_pos"], r["best_k"]) for r in full.df.collect()
+    }
+
+    ckpt = CheckpointManager(str(tmp_path), "sweep")
+    interrupted = ppr_sweep(
+        small_graph, seeds, tol=1e-8, max_iter=4, ckpt=ckpt, ckpt_every=2
+    )
+    assert ckpt.last_complete() == 3
+    del interrupted
+
+    resumed = ppr_sweep(
+        small_graph, seeds, tol=1e-8, max_iter=60, ckpt=ckpt, ckpt_every=2
+    )
+    assert resumed.best_k == full.best_k
+    assert resumed.phi == pytest.approx(full.phi, abs=1e-12)
+    assert {
+        (r["id"], r["sweep_pos"], r["best_k"]) for r in resumed.df.collect()
+    } == want
+
+    # converged record -> the ppr loop is skipped, sweep still exact
+    again = ppr_sweep(
+        small_graph, seeds, tol=1e-8, max_iter=60, ckpt=ckpt, ckpt_every=2
+    )
+    assert {
+        (r["id"], r["sweep_pos"], r["best_k"]) for r in again.df.collect()
+    } == want
