@@ -1022,6 +1022,18 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_urls(urls)
 
 
+def q_group_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap sampling (pipeline/sampling.group_capped_sample):
+    at most 60 docs per lang, representatives ranked by the seeded
+    md5-prefix id hash (ties by id) — the per-domain/host cap op,
+    exactly reproducible by the oracle's ROW_NUMBER."""
+    from linkgraph.pipeline import group_capped_sample
+
+    return group_capped_sample(
+        _documents(spark, sf_dir), "lang", 60, seed=7
+    ).select("doc_id", "lang")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM sequence packing (pipeline/packing.pack_sequences): docs in
     doc_id order, exclusive token prefix sums, seq = floor(c/budget).
@@ -1342,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copy_candidates": q_copy_candidates,
         "pack_sequences": q_pack_sequences,
         "url_canon": q_url_canon,
+        "group_capped_sample": q_group_capped_sample,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3652,6 +3665,19 @@ FROM r
 """
 
 
+_GROUP_CAPPED_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                    doc_id ASC
+         ) AS rk
+  FROM documents
+) t WHERE rk <= 60
+"""
+
+
 def _occ(needle: str) -> str:
     target = f" {needle} "
     return (
@@ -3886,6 +3912,7 @@ FROM documents GROUP BY md5(text)
         "copy_candidates": _COPY_CANDIDATES_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "url_canon": _URL_CANON_SQL,
+        "group_capped_sample": _GROUP_CAPPED_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ivf_ann_sql(k=5, max_queries=10, n_clusters=8, nprobe=3, rounds=3),

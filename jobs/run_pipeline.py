@@ -41,7 +41,7 @@ DOC_OPS = {
     "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
     "dedup_clusters", "token_stats", "lang_id", "gopher", "fingerprints",
     "sample", "minhash_jaccard", "bpe_stats", "decontam", "pii",
-    "copy_spans", "pack", "url_canon",
+    "copy_spans", "pack", "url_canon", "group_cap",
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -134,6 +134,11 @@ def main(argv: list[str]) -> int:
         out = P.pii_redact(source)
     elif args.op == "fingerprints":
         out = P.winnow_fingerprints(source, k=5, window=4)
+    elif args.op == "group_cap":
+        out = P.group_capped_sample(
+            source, "lang", per_group=opt(args.per_cluster, 100),
+            seed=opt(args.seed, 0),
+        )
     elif args.op == "url_canon":
         out = P.canonicalize_urls(source)  # --docs: any parquet with a url column
     elif args.op == "pack":

@@ -42,7 +42,7 @@ from linkgraph.pipeline.decontam import decontaminate, word_ngrams
 from linkgraph.pipeline.pii import pii_redact
 from linkgraph.pipeline.embedprop import feature_propagation
 from linkgraph.pipeline.packing import pack_sequences
-from linkgraph.pipeline.sampling import hash_sample, stratified_sample
+from linkgraph.pipeline.sampling import group_capped_sample, hash_sample, stratified_sample
 from linkgraph.pipeline.urlnorm import canonicalize_urls
 
 __all__ = [
@@ -65,6 +65,7 @@ __all__ = [
     "copy_candidates",
     "pack_sequences",
     "canonicalize_urls",
+    "group_capped_sample",
     "kmeans",
     "semantic_dedup",
     "cluster_balanced_sample",

@@ -79,3 +79,44 @@ def stratified_sample(
         "long"
     )
     return docs.where(h < threshold)
+
+
+def group_capped_sample(
+    docs: DataFrame,
+    group_col: str,
+    per_group: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most `per_group` rows per `group_col` value — the
+    per-domain/per-host cap every crawl-derived corpus applies so one
+    mega-site cannot dominate training data (the classic CC-pipeline
+    host cap; same shape as cluster_balanced_sample's second stage but
+    keyed on an EXISTING column, no kmeans index).
+
+    Selection within a group ranks by the seeded md5-prefix id hash
+    shared with hash_sample (ties by id) — deterministic, layout- and
+    engine-independent: the kept set is exactly reproducible by a SQL
+    ROW_NUMBER. Different seeds keep different representatives;
+    membership is stable under repartitioning.
+
+    Scale shape: ONE rank window keyed on the group column — the
+    shuffle is on `group_col`, the per-group work is a bounded sort.
+    A pathologically hot group is one partition's sort, not a join
+    blowup; groups are typically hosts (millions of them), so the
+    shuffle is well-spread.
+    """
+    if per_group < 1:
+        raise ValueError(f"per_group must be >= 1, got {per_group}")
+    from pyspark.sql import Window
+
+    key = F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(F.encode(key, "utf-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= per_group)
+        .drop("_rk")
+    )

@@ -1105,3 +1105,55 @@ def test_canonicalize_urls_idempotent(spark):
     twice = canonicalize_urls(once)
     for r in twice.collect():
         assert r["canonical"] == r["url"]
+
+
+def test_group_capped_sample_matches_hashlib_replay(spark):
+    """Per-group kept sets equal the hashlib replay (seeded md5-prefix
+    rank, ties by id); caps hold; seeds move the representatives;
+    membership is repartition-stable."""
+    import hashlib
+
+    from linkgraph.pipeline import group_capped_sample
+
+    rng = np.random.default_rng(5)
+    n = 240
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "lang": [["en", "en", "en", "fr", "de"][int(rng.integers(5))] for _ in range(n)],
+            "text": ["x"] * n,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def replay(seed, cap):
+        def h(i):
+            return int(
+                hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16
+            )
+        kept = set()
+        for lang, grp in pdf.groupby("lang"):
+            order = sorted(grp["doc_id"], key=lambda i: (h(i), i))
+            kept.update(order[:cap])
+        return kept
+
+    for seed, cap in ((0, 10), (7, 25)):
+        got = {
+            r["doc_id"]
+            for r in group_capped_sample(df, "lang", cap, seed=seed).collect()
+        }
+        assert got == replay(seed, cap), (seed, cap)
+        sizes = (
+            group_capped_sample(df, "lang", cap, seed=seed)
+            .groupBy("lang").count().collect()
+        )
+        assert all(r["count"] <= cap for r in sizes)
+    assert replay(0, 10) != replay(7, 10)  # seed sensitivity
+    # repartition stability
+    got_rep = {
+        r["doc_id"]
+        for r in group_capped_sample(df.repartition(13), "lang", 10).collect()
+    }
+    assert got_rep == replay(0, 10)
+    with pytest.raises(ValueError):
+        group_capped_sample(df, "lang", 0)
