@@ -35,6 +35,11 @@ def main(argv: list[str]) -> int:
     )
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument(
+        "--anchors",
+        help="also write the anchor-text corpus (src_url, dst_url, "
+        "anchor) to this parquet dir / table:<id>",
+    )
+    ap.add_argument(
         "--host-graph",
         help="also write the host-level rollup (src_host, dst_host, "
         "weight) to this parquet dir / table:<id>",
@@ -74,6 +79,14 @@ def main(argv: list[str]) -> int:
     t2 = time.time()
     write_graph(g, args.output, buckets=args.buckets)
     phases["write"] = time.time() - t2
+
+    if args.anchors:
+        from linkgraph.extract import anchor_texts
+        from linkgraph.io import write_table
+
+        t4 = time.time()
+        write_table(anchor_texts(pages), args.anchors)
+        phases["anchors"] = time.time() - t4
 
     if args.host_graph:
         from linkgraph.io import write_table

@@ -112,3 +112,106 @@ def edges_from_pages(pages: DataFrame) -> DataFrame:
         F.col("url").alias("src_url"),
         F.explode("hrefs").alias("dst_url"),
     )
+
+
+class _AnchorParser(HTMLParser):
+    """Collects (href, anchor text) pairs in document order — the
+    anchor-text corpus extractor (anchor text is the classic external
+    page description signal: search ranking since Brin & Page '98,
+    anchor-based pretraining corpora since DeepCT/HN-gen). Kept
+    SEPARATE from _PageParser so the byte-identity contract of the
+    north-rule text extraction is untouched."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            # a nested/unclosed <a> implicitly closes the previous one
+            # (the HTML5 tree-building rule)
+            self._flush()
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self._href = v
+                    self._buf = []
+                    break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._buf.append(data)
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.anchors.append((self._href, "".join(self._buf).strip()))
+            self._href = None
+            self._buf = []
+
+    def close(self) -> None:  # flush a dangling open <a> at EOF
+        self._flush()
+        super().close()
+
+
+def extract_anchors_one(url: str, html: bytes) -> list[tuple[str, str]]:
+    """(dst_url, anchor_text) pairs for one page: hrefs resolved and
+    fragment-stripped exactly like extract_one, self-links dropped,
+    duplicates KEPT (the same target linked twice with different
+    anchor texts is signal, not noise)."""
+    parser = _AnchorParser()
+    parser.feed(html.decode("utf-8", errors="replace"))
+    parser.close()
+    out: list[tuple[str, str]] = []
+    for href, text in parser.anchors:
+        absolute = urljoin(url, href).split("#", 1)[0]
+        if absolute != url:
+            out.append((absolute, text))
+    return out
+
+
+_ANCHORS_SCHEMA = StructType(
+    [
+        StructField(
+            "anchors",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("dst_url", StringType()),
+                        StructField("anchor", StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+@pandas_udf(_ANCHORS_SCHEMA)
+def _anchors_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"anchors": [extract_anchors_one(u, h) for u, h in zip(url, html)]}
+    )
+
+
+def anchor_texts(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (src_url, dst_url, anchor): one row per
+    link occurrence, anchor = the link's visible text. The anchor-text
+    corpus op — at scale, `groupBy(dst_url)` + collect_list gives each
+    page its external description set (queries/training pairs).
+
+    Same Arrow-batched shape as the text extractor: column pruning
+    keeps the scan at (url, html); one explode, no joins, no shuffles
+    until the caller aggregates.
+    """
+    ex = pages.select(
+        F.col("url").alias("src_url"),
+        _anchors_udf("url", "html").alias("ex"),
+    )
+    return ex.select(
+        "src_url", F.explode("ex.anchors").alias("a")
+    ).select("src_url", F.col("a.dst_url").alias("dst_url"), F.col("a.anchor").alias("anchor"))
