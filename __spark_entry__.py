@@ -349,6 +349,18 @@ def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("u", "w", "cn", F.round("aa", 9).alias("aa"))
 
 
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (bipartite 4-cycle) count (kernels/butterflies.py,
+    Sanei-Mehri KDD'18) over the part→supplier bipartite graph.
+    center='auto' resolves to the part side (Σ C(deg,2): 661k vs
+    13.4M at sf0.01 — part degrees are bounded by the order mix while
+    supplier degrees grow with sf, so the choice is stable and the
+    oracle pins the left-center plan). All counts exact int64 —
+    hash-exact, no rounding."""
+    from linkgraph.kernels import butterfly_count
+
+    return butterfly_count(_part_supp_edges(spark, sf_dir), center="auto").df
+
 
 def q_densest_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bahmani parallel-peeling densest subgraph (kernels/densest.py,
@@ -986,6 +998,15 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_documents(spark, sf_dir))
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (pipeline/textstats.tfidf_topk,
+    smooth idf). Ranking is on the ROUND(9) score with term tiebreak,
+    so rank assignment is engine-reproducible."""
+    from linkgraph.pipeline import tfidf_topk
+
+    return tfidf_topk(_documents(spark, sf_dir), k=5)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline import lang_id
 
@@ -1316,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_classes": q_bowtie_classes,
         "clustering_coeff": q_clustering_coeff,
         "link_pred": q_link_pred,
+        "butterflies": q_butterflies,
         "densest_core": q_densest_core,
         "graph_stats": q_graph_stats,
         "ktruss_10": q_ktruss,
@@ -1349,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
+        "tfidf_topk": q_tfidf_topk,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "copy_candidates": q_copy_candidates,
@@ -1697,6 +1720,26 @@ SELECT p.u, p.w, p.cn, ROUND(p.aa, 9) AS aa
 FROM pairs p
 WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = p.u AND s.dst = p.w)
   AND p.cn >= 1
+"""
+
+# Butterfly count over the part→supplier bipartite graph, wedges
+# pivoting on the part (left) side — the side center='auto' resolves
+# to (see q_butterflies). DuckDB SUM(BIGINT) yields HUGEINT, so every
+# aggregate is cast back to BIGINT for the dtype-strict compare.
+_BUTTERFLIES_SQL = f"""
+WITH e AS MATERIALIZED ({_PART_SUPP_E}),
+cod AS (
+  SELECT a.dst AS u, b.dst AS w, COUNT(*) AS c
+  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst
+)
+SELECT
+  (SELECT COUNT(DISTINCT src) FROM e) AS n_left,
+  (SELECT COUNT(DISTINCT dst) FROM e) AS n_right,
+  (SELECT COUNT(*) FROM e) AS m,
+  CAST(COALESCE((SELECT SUM(c) FROM cod), 0) AS BIGINT) AS wedges,
+  CAST(COALESCE((SELECT SUM(c * (c - 1) // 2) FROM cod), 0) AS BIGINT)
+    AS butterflies
 """
 
 
@@ -3686,6 +3729,33 @@ def _occ(needle: str) -> str:
     )
 
 
+# Top-5 TF-IDF terms per doc — mirrors pipeline/textstats.tfidf_topk:
+# whitespace tokenization, smooth idf ln((1+n)/(1+df))+1 from int64
+# (n, df), ROUND(9) BEFORE the rank window, term tiebreak. ROW_NUMBER
+# is BIGINT in DuckDB and cast to long on the Spark side.
+_TFIDF_TOPK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * (LN((1.0 + n.n) / (1.0 + dfq.df)) + 1.0), 9) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, rank, tfidf FROM (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+           AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def _token_stats_sql() -> str:
     from linkgraph.pipeline.textstats import PUNCT, STOPWORDS
 
@@ -3907,6 +3977,7 @@ FROM documents GROUP BY md5(text)
         "simhash": _SIMHASH_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "token_stats": _token_stats_sql(),
+        "tfidf_topk": _TFIDF_TOPK_SQL,
         "lang_id": _lang_id_sql(),
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "copy_candidates": _COPY_CANDIDATES_SQL,
@@ -3993,6 +4064,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "bowtie_classes": _BOWTIE_SQL,
         "clustering_coeff": _CLUSTERING_SQL,
         "link_pred": _LINK_PRED_SQL,
+        "butterflies": _BUTTERFLIES_SQL,
         "densest_core": _densest_sql(10),
         "graph_stats": _GRAPH_STATS_SQL,
         "ktruss_10": _ktruss_sql(10, 10),

@@ -35,7 +35,7 @@ def main(argv: list[str]) -> int:
             "mis", "coloring", "anf", "hits", "katz", "eigen", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
             "modularity", "conductance", "walks", "sample", "condense",
-            "matching", "msf", "jaccard", "pagerank_w", "coreness",
+            "matching", "msf", "jaccard", "butterflies", "pagerank_w", "coreness",
             "degrees", "alpha", "spam", "sweep", "closeness",
         ],
     )
@@ -204,6 +204,17 @@ def main(argv: list[str]) -> int:
         res = kernels.edge_jaccard(graph)
         out = res.df.orderBy(F.desc("jaccard"), "u", "v")
         summary = {"kernel": "jaccard", "edges": out.count()}
+    elif args.kernel == "butterflies":
+        # bipartite motif count over the raw (src, dst) edge table —
+        # src/dst id spaces are the two sides (the package's offset-id
+        # convention); does not symmetrize
+        res = kernels.butterfly_count(graph.edges)
+        out = res.df
+        summary = {
+            "kernel": "butterflies",
+            "center": res.center,
+            "counts": {k: v for k, v in out.first().asDict().items()},
+        }
     elif args.kernel == "anf":
         from linkgraph.kernels.anf import effective_diameter
 

@@ -41,7 +41,7 @@ DOC_OPS = {
     "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
     "dedup_clusters", "token_stats", "lang_id", "gopher", "fingerprints",
     "sample", "minhash_jaccard", "bpe_stats", "decontam", "pii",
-    "copy_spans", "pack", "url_canon", "group_cap",
+    "copy_spans", "pack", "url_canon", "group_cap", "tfidf",
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -130,6 +130,8 @@ def main(argv: list[str]) -> int:
         out = P.gopher_quality(source)
     elif args.op == "bpe_stats":
         out = P.bpe_token_stats(source)
+    elif args.op == "tfidf":
+        out = P.tfidf_topk(source, k=opt(args.k, 5))
     elif args.op == "pii":
         out = P.pii_redact(source)
     elif args.op == "fingerprints":

@@ -113,6 +113,7 @@ from linkgraph.kernels.truss import ktruss
 from linkgraph.kernels.egonet import ego_net
 from linkgraph.kernels.matching import maximal_matching
 from linkgraph.kernels.msf import minimum_spanning_forest
+from linkgraph.kernels.butterflies import butterfly_count
 from linkgraph.kernels.nodesim import edge_jaccard
 from linkgraph.kernels.pagerank_w import pagerank_weighted
 
@@ -162,4 +163,5 @@ __all__ = [
     "minimum_spanning_forest",
     "edge_jaccard",
     "pagerank_weighted",
+    "butterfly_count",
 ]

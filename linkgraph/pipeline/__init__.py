@@ -31,6 +31,7 @@ from linkgraph.pipeline.textstats import (
     bpe_token_stats,
     gopher_quality,
     lang_id,
+    tfidf_topk,
     token_stats,
 )
 from linkgraph.pipeline.embedcluster import (
@@ -58,6 +59,7 @@ __all__ = [
     "ivf_ann_topk",
     "embedding_near_dup_pairs",
     "token_stats",
+    "tfidf_topk",
     "bpe_token_stats",
     "lang_id",
     "gopher_quality",

@@ -245,3 +245,48 @@ def lang_id(docs: DataFrame) -> DataFrame:
         cond = F.col(f"s_{k}") == best
         pred = F.when(cond, F.lit(k)) if pred is None else pred.when(cond, F.lit(k))
     return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic corpus-statistics
+    keyword/topic-signal op (Salton & Buckley 1988; smooth idf per
+    scikit-learn's TfidfTransformer: idf = ln((1+n)/(1+df)) + 1).
+
+    Output: (doc_id, term, tf long, rank long, tfidf double), rank
+    1..k per doc ordered by (tfidf DESC, term ASC). The score is
+    ROUND(_, 9) BEFORE ranking and idf derives from int64 (n, df)
+    through one fixed-order expression, so rank and score are
+    engine-reproducible bit-for-bit (the feature_prop determinism
+    lesson applied at the ranking boundary).
+
+    Plan shape: explode -> (doc, term) hash agg (map-side combine) ->
+    vocab-sized df agg -> broadcast join back -> per-doc rank window.
+    The window partitions on doc_id with per-doc state bounded by the
+    doc's distinct-term count — no global sort, 100 TB-safe. n_docs is
+    one scalar agg (the pagerank-scalar pattern)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * idf, 9).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "rank", "tfidf")
+    )

@@ -1869,3 +1869,126 @@ def test_closeness_path_graph(spark):
         3: (6, 3, 0.5),
     }
     g.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# butterfly counting (bipartite 4-cycles)
+# ---------------------------------------------------------------------------
+
+
+def _butterfly_replay(edges: list[tuple[int, int]], cap: int | None = None):
+    """Brute-force butterfly count: codeg over left pairs through
+    centers on the LEFT side (cap = center-degree guard)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+    codeg = defaultdict(int)
+    for u, right in nbrs.items():
+        if cap is not None and len(right) > cap:
+            continue
+        for a, b in combinations(sorted(right), 2):
+            codeg[(a, b)] += 1
+    wedges = sum(codeg.values())
+    bf = sum(c * (c - 1) // 2 for c in codeg.values())
+    return wedges, bf
+
+
+def test_butterflies_match_bruteforce(rmat_graph, spark):
+    """Butterfly count on a bipartite-ized rMAT graph (dst shifted to
+    a disjoint id space) == brute replay; count is side-invariant."""
+    from linkgraph.kernels import butterfly_count
+
+    _, pdf, n = rmat_graph
+    bip = pdf.copy()
+    bip = bip.drop_duplicates()
+    bip["dst"] = bip["dst"] + 1000
+    edges = spark.createDataFrame(bip, "src long, dst long")
+    elist = list({(int(r.src), int(r.dst)) for r in bip.itertuples()})
+
+    res_l = butterfly_count(edges, center="left")
+    res_r = butterfly_count(edges, center="right")
+    res_a = butterfly_count(edges, center="auto")
+    row_l = res_l.df.first()
+    row_r = res_r.df.first()
+    row_a = res_a.df.first()
+    # wedge totals differ per side; the butterfly count cannot
+    wedges_l, bf = _butterfly_replay(elist)
+    assert row_l["wedges"] == wedges_l
+    assert row_l["butterflies"] == bf
+    assert row_r["butterflies"] == bf
+    assert row_a["butterflies"] == bf
+    assert res_a.center in ("left", "right")
+    assert row_l["m"] == len(elist)
+    assert row_l["n_left"] == len({u for u, _ in elist})
+    assert row_l["n_right"] == len({v for _, v in elist})
+
+
+def test_butterflies_center_deg_cap(rmat_graph, spark):
+    """max_center_deg drops wedges through hub centers, exactly as the
+    capped replay does (the documented skew guard, not an approximation
+    of the uncapped count)."""
+    from linkgraph.kernels import butterfly_count
+
+    _, pdf, _ = rmat_graph
+    bip = pdf.drop_duplicates().copy()
+    bip["dst"] = bip["dst"] + 1000
+    edges = spark.createDataFrame(bip, "src long, dst long")
+    elist = list({(int(r.src), int(r.dst)) for r in bip.itertuples()})
+    cap = 4
+    row = butterfly_count(edges, center="left", max_center_deg=cap).df.first()
+    wedges, bf = _butterfly_replay(elist, cap=cap)
+    assert (row["wedges"], row["butterflies"]) == (wedges, bf)
+
+
+def test_butterflies_closed_forms(spark):
+    """K_{3,4}: C(3,2)*C(4,2) = 18 butterflies. A single 4-cycle: 1.
+    A star (one left hub): 0 (no second left vertex)."""
+    from linkgraph.kernels import butterfly_count
+
+    k34 = spark.createDataFrame(
+        pd.DataFrame(
+            [(u, 100 + v) for u in range(3) for v in range(4)],
+            columns=["src", "dst"],
+        ),
+        "src long, dst long",
+    )
+    row = butterfly_count(k34).df.first()
+    assert row["butterflies"] == 18
+    assert (row["n_left"], row["n_right"], row["m"]) == (3, 4, 12)
+
+    cyc = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 0, 1, 1], "dst": [100, 101, 100, 101]}),
+        "src long, dst long",
+    )
+    assert butterfly_count(cyc).df.first()["butterflies"] == 1
+
+    star = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 0, 0], "dst": [100, 101, 102]}),
+        "src long, dst long",
+    )
+    # through the hub (left) side: 3 wedges, still no butterfly;
+    # auto picks the right side (0 wedges) — count agrees either way
+    row = butterfly_count(star, center="left").df.first()
+    assert row["butterflies"] == 0 and row["wedges"] == 3
+    assert butterfly_count(star).df.first()["butterflies"] == 0
+
+
+def test_butterflies_pairs_table(spark):
+    """res.pairs is the codeg>=2 co-citation table."""
+    from linkgraph.kernels import butterfly_count
+
+    # 0 and 1 share {100, 101}; 2 shares only 100 with them
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": [0, 0, 1, 1, 2], "dst": [100, 101, 100, 101, 100]}
+        ),
+        "src long, dst long",
+    )
+    # pairs of LEFT vertices share right neighbors, so they surface
+    # when the wedges pivot on the RIGHT side
+    res = butterfly_count(e, center="right")
+    pairs = {(r["u"], r["w"]): r["codeg"] for r in res.pairs.collect()}
+    assert pairs == {(0, 1): 2}

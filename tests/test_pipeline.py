@@ -1157,3 +1157,77 @@ def test_group_capped_sample_matches_hashlib_replay(spark):
     assert got_rep == replay(0, 10)
     with pytest.raises(ValueError):
         group_capped_sample(df, "lang", 0)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_topk_matches_python_replay(spark):
+    """tfidf_topk == a Counter/math replay of the same smooth-idf
+    formula, including rank order (round-9 score, term tiebreak)."""
+    import math
+    from collections import Counter
+
+    from linkgraph.pipeline import tfidf_topk
+
+    texts = [
+        "spark spark spark join filter",
+        "join filter join scan",
+        "vector vector scan scan scan",
+        "spark join",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    k = 3
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["tfidf"])
+        for r in tfidf_topk(docs, k=k).collect()
+    }
+
+    n = len(texts)
+    tfs = {i: Counter(t.split()) for i, t in enumerate(texts)}
+    df_cnt = Counter(term for c in tfs.values() for term in c)
+    exp = {}
+    for i, c in tfs.items():
+        scored = [
+            (
+                round(tf * (math.log((1.0 + n) / (1.0 + df_cnt[t])) + 1.0), 9),
+                t,
+                tf,
+            )
+            for t, tf in c.items()
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (s, t, tf) in enumerate(scored[:k], start=1):
+            exp[(i, rank)] = (t, tf, s)
+    assert set(got) == set(exp)
+    for key in exp:
+        gt, gtf, gs = got[key]
+        et, etf, es = exp[key]
+        assert (gt, gtf) == (et, etf), key
+        assert gs == pytest.approx(es, abs=1e-12), key
+
+
+def test_tfidf_topk_rare_term_wins(spark):
+    """A unique term outranks a corpus-wide one at equal tf (idf)."""
+    from linkgraph.pipeline import tfidf_topk
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["rare common", "common here", "common there"],
+            }
+        )
+    )
+    top = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_topk(docs, k=1).collect()
+    }
+    assert top[0] == "rare"
+    with pytest.raises(ValueError):
+        tfidf_topk(docs, k=0)
