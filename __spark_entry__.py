@@ -1007,6 +1007,25 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_documents(spark, sf_dir), k=5)
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary by corpus frequency
+    (pipeline/textstats.vocab_stats). All int64 — hash-exact."""
+    from linkgraph.pipeline import vocab_stats
+
+    return vocab_stats(_documents(spark, sf_dir), k=100)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram-LM surprisal per doc
+    (pipeline/textstats.unigram_logprob, CCNet-style quality signal).
+    Per-term bits quantized to int64 micro-bits, so doc totals are
+    exact int64 sums and mean_bits is one correctly-rounded division —
+    engine-identical with no tolerance."""
+    from linkgraph.pipeline import unigram_logprob
+
+    return unigram_logprob(_documents(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline import lang_id
 
@@ -1372,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
         "tfidf_topk": q_tfidf_topk,
+        "vocab_stats": q_vocab_stats,
+        "unigram_logprob": q_unigram_logprob,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "copy_candidates": q_copy_candidates,
@@ -3756,6 +3777,60 @@ SELECT doc_id, term, tf, rank, tfidf FROM (
 """
 
 
+# Top-100 vocabulary — mirrors pipeline/textstats.vocab_stats: same
+# whitespace tokenization, (cf DESC, term) order, all counts cast to
+# BIGINT for the dtype-strict compare (DuckDB SUM -> HUGEINT).
+_VOCAB_STATS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+v AS (
+  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term
+)
+SELECT term, df, cf, rank FROM (
+  SELECT term, df, cf,
+         ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS rank
+  FROM v
+) WHERE rank <= 100
+"""
+
+# Unigram-LM surprisal — mirrors pipeline/textstats.unigram_logprob:
+# bits(t) = (LN(T)-LN(cf))/LN(2) quantized once per term to int64
+# micro-bits (ROUND half-up, positive domain), doc totals as exact
+# integer SUMs, mean = one fixed-order double division. LN(T) takes a
+# DOUBLE-cast argument to match Spark's log(lit(float(T))).
+_UNIGRAM_LOGPROB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+v AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS t FROM v),
+b AS (
+  SELECT term,
+         CAST(ROUND((LN(CAST(tot.t AS DOUBLE)) - LN(cf)) / LN(2.0)
+                    * 1000000.0, 0) AS BIGINT) AS bits_e6
+  FROM v CROSS JOIN tot
+),
+agg AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.tf * b.bits_e6) AS BIGINT) AS total_bits_e6
+  FROM tf JOIN b USING (term)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_tokens, total_bits_e6,
+       total_bits_e6 / (1000000.0 * n_tokens) AS mean_bits
+FROM agg
+"""
+
+
 def _token_stats_sql() -> str:
     from linkgraph.pipeline.textstats import PUNCT, STOPWORDS
 
@@ -3978,6 +4053,8 @@ FROM documents GROUP BY md5(text)
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "token_stats": _token_stats_sql(),
         "tfidf_topk": _TFIDF_TOPK_SQL,
+        "vocab_stats": _VOCAB_STATS_SQL,
+        "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "lang_id": _lang_id_sql(),
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "copy_candidates": _COPY_CANDIDATES_SQL,

@@ -42,6 +42,7 @@ DOC_OPS = {
     "dedup_clusters", "token_stats", "lang_id", "gopher", "fingerprints",
     "sample", "minhash_jaccard", "bpe_stats", "decontam", "pii",
     "copy_spans", "pack", "url_canon", "group_cap", "tfidf",
+    "vocab", "unigram",
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -132,6 +133,10 @@ def main(argv: list[str]) -> int:
         out = P.bpe_token_stats(source)
     elif args.op == "tfidf":
         out = P.tfidf_topk(source, k=opt(args.k, 5))
+    elif args.op == "vocab":
+        out = P.vocab_stats(source, k=opt(args.k, 100))
+    elif args.op == "unigram":
+        out = P.unigram_logprob(source)
     elif args.op == "pii":
         out = P.pii_redact(source)
     elif args.op == "fingerprints":

@@ -33,6 +33,8 @@ from linkgraph.pipeline.textstats import (
     lang_id,
     tfidf_topk,
     token_stats,
+    unigram_logprob,
+    vocab_stats,
 )
 from linkgraph.pipeline.embedcluster import (
     cluster_balanced_sample,
@@ -60,6 +62,8 @@ __all__ = [
     "embedding_near_dup_pairs",
     "token_stats",
     "tfidf_topk",
+    "vocab_stats",
+    "unigram_logprob",
     "bpe_token_stats",
     "lang_id",
     "gopher_quality",

@@ -290,3 +290,102 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "rank", "tfidf")
     )
+
+
+def _ws_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) whitespace tokenization — the shared tokenizer of
+    token_stats/tfidf_topk/vocab_stats/unigram_logprob (empty docs
+    yield no rows)."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+
+
+def vocab_stats(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Top-k corpus vocabulary: (term, df, cf, rank) — document
+    frequency, corpus frequency, rank 1..k by (cf DESC, term ASC).
+    The tokenizer-vocab / stopword-derivation view of a corpus (the
+    seed statistics for BPE training and marker-list construction).
+
+    Plan shape: explode -> (doc, term) hash agg -> vocab-sized
+    (df, cf) agg -> orderBy(cf DESC, term).limit(k) = TakeOrdered
+    (per-partition top-k + k-row driver merge, NO global sort) -> rank
+    window over the k surviving rows only. All int64 — hash-exact."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    tf = _ws_terms(docs).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    vocab = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+    top = vocab.orderBy(F.desc("cf"), F.asc("term")).limit(k)
+    # rank window runs over <= k rows (post-limit) — bounded state
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    return top.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document unigram-LM surprisal — the cheap analogue of
+    CCNet's perplexity quality filter (Wenzek et al. 2020), with the
+    LM trained on the corpus itself (MLE, so every token has cf >= 1
+    and there is no OOV/smoothing branch).
+
+    Output (docs with >= 1 token; empty docs vanish at the explode):
+      (doc_id, n_tokens, total_bits_e6, mean_bits)
+    where bits(t) = -log2(cf(t)/T) is quantized ONCE per vocab term to
+    int64 micro-bits (ROUND(bits*1e6) — HALF_UP, positive domain), so
+    the per-doc totals are exact order-independent int64 SUMs and
+    mean_bits = total_bits_e6 / (1e6 * n_tokens) is ONE correctly-
+    rounded division — bit-identical across engines by construction
+    (the feature_prop determinism contract; float summation across a
+    doc's terms would be partial-sum-order-dependent). The only
+    cross-engine float op is LN of int64 inputs inside the per-TERM
+    quantization, where a 1-ulp libm divergence flips an integer only
+    on a measure-zero boundary.
+
+    Plan shape: explode -> (doc, term) hash agg (severed: it feeds the
+    vocab agg, the T scalar, and the scoring join — one corpus scan,
+    not three) -> vocab-sized cf agg -> broadcast bits table -> one
+    doc-keyed agg. T is one scalar agg (the pagerank-scalar pattern).
+    High mean_bits = rare-token-heavy (boilerplate/garbage or highly
+    novel); low = repetitive/templated."""
+    from linkgraph.checkpoint import sever
+
+    tf = _ws_terms(docs).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tf = sever(tf)
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = vocab.agg(F.sum("cf")).first()[0]
+    if total is None:
+        total = 0  # empty corpus -> empty output below anyway
+    bits = (F.log(F.lit(float(total))) - F.log(F.col("cf"))) / F.log(
+        F.lit(2.0)
+    )
+    bits_tbl = vocab.select(
+        "term",
+        F.round(bits * F.lit(1000000.0), 0).cast("long").alias("bits_e6"),
+    )
+    agg = tf.join(F.broadcast(bits_tbl), "term").groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("bits_e6")).cast("long").alias("total_bits_e6"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "total_bits_e6",
+        (
+            F.col("total_bits_e6")
+            / (F.lit(1000000.0) * F.col("n_tokens"))
+        ).alias("mean_bits"),
+    )

@@ -1231,3 +1231,88 @@ def test_tfidf_topk_rare_term_wins(spark):
     assert top[0] == "rare"
     with pytest.raises(ValueError):
         tfidf_topk(docs, k=0)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary stats + unigram-LM surprisal
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_stats_matches_counter_replay(spark):
+    """vocab_stats == Counter replay of df/cf and the (cf DESC, term)
+    rank order."""
+    from collections import Counter
+
+    from linkgraph.pipeline import vocab_stats
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat",
+        "cat dog cat",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = [
+        (r["rank"], r["term"], r["df"], r["cf"])
+        for r in vocab_stats(docs, k=4).orderBy("rank").collect()
+    ]
+
+    cf = Counter(t for x in texts for t in x.split())
+    df_cnt = Counter(t for x in texts for t in set(x.split()))
+    exp_order = sorted(cf, key=lambda t: (-cf[t], t))[:4]
+    exp = [
+        (i + 1, t, df_cnt[t], cf[t]) for i, t in enumerate(exp_order)
+    ]
+    assert got == exp
+
+    with pytest.raises(ValueError):
+        vocab_stats(docs, k=0)
+
+
+def test_unigram_logprob_matches_python_replay(spark):
+    """unigram_logprob == an exact integer replay: same micro-bit
+    quantization (HALF_UP), exact int64 totals, one final division."""
+    import math
+    from collections import Counter
+
+    from linkgraph.pipeline import unigram_logprob
+
+    texts = [
+        "aa aa aa bb",
+        "bb cc",
+        "aa rare",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["total_bits_e6"], r["mean_bits"])
+        for r in unigram_logprob(docs).collect()
+    }
+
+    cf = Counter(t for x in texts for t in x.split())
+    T = sum(cf.values())
+    bits_e6 = {
+        t: math.floor((math.log(float(T)) - math.log(c)) / math.log(2.0)
+                      * 1e6 + 0.5)
+        for t, c in cf.items()
+    }
+    exp = {}
+    for i, x in enumerate(texts):
+        toks = x.split()
+        if not toks:
+            continue  # empty docs vanish at the explode
+        total = sum(bits_e6[t] for t in toks)
+        exp[i] = (len(toks), total, total / (1e6 * len(toks)))
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][:2] == exp[i][:2], i
+        assert got[i][2] == exp[i][2], i  # bit-exact division
+
+    # the common term carries fewer bits than the rare one
+    assert bits_e6["aa"] < bits_e6["rare"]
+    # doc 2 (aa + rare) scores higher mean surprisal than doc 0
+    assert got[2][2] > got[0][2]
