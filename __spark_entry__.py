@@ -412,6 +412,20 @@ def q_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_law_alpha(g, dmin=4)
 
 
+def q_knn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-nearest-neighbor-degree curve k_nn(k) of the
+    symmetrized part-succession graph (kernels/graphstats.knn_curve;
+    Pastor-Satorras et al. PRL 2001) — the degree-correlation plot
+    whose slope sign graph_stats' scalar assortativity summarizes.
+    deg / n_vertices / sum_nbr_deg are exact int64; knn is ONE
+    fixed-order double division of exact integers, hash-exact with
+    no rounding."""
+    from linkgraph.kernels import knn_curve
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    return knn_curve(g)
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-truss of the co-part graph (kernels/truss.py): canonical
     (u < w) surviving edges with their in-truss triangle support.
@@ -1346,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_lp": q_conductance_lp,
         "degree_dist": q_degree_dist,
         "power_law_alpha": q_power_law_alpha,
+        "knn_curve": q_knn_curve,
         "random_walks": q_random_walks,
         "neighbor_sample": q_neighbor_sample,
         "condensation_levels": q_condensation_levels,
@@ -3254,6 +3269,36 @@ FROM (
     )
 
 
+_KNN_CURVE_SQL = f"""
+WITH e0 AS MATERIALIZED ({_PART_SUCC_E}),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst
+),
+deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY src),
+nbr AS (
+  SELECT s.src, SUM(d.deg) AS s
+  FROM sym s JOIN deg d ON s.dst = d.v
+  GROUP BY s.src
+),
+pv AS (
+  SELECT n.src, n.s, d.deg
+  FROM nbr n JOIN deg d ON n.src = d.v
+),
+cls AS (
+  SELECT deg, COUNT(*) AS n_vertices, SUM(s) AS sum_nbr_deg
+  FROM pv GROUP BY deg
+)
+SELECT CAST(deg AS BIGINT) AS deg,
+       CAST(n_vertices AS BIGINT) AS n_vertices,
+       CAST(sum_nbr_deg AS BIGINT) AS sum_nbr_deg,
+       CAST(CAST(sum_nbr_deg AS DOUBLE)
+            / CAST(deg * n_vertices AS DOUBLE) AS DOUBLE) AS knn
+FROM cls
+"""
+
+
 def _conductance_sql(k: int = 3) -> str:
     """Per-community conductance of the k-round labelprop partition
     (kernels/modularity.conductance): identical integer aggregates to
@@ -4131,6 +4176,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "conductance_lp": _conductance_sql(3),
         "degree_dist": _DEGREE_DIST_SQL,
         "power_law_alpha": _power_law_sql(4),
+        "knn_curve": _KNN_CURVE_SQL,
         "random_walks": _random_walks_sql(4, 2, 7),
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),
         "condensation_levels": _CONDENSE_SQL,

@@ -36,7 +36,7 @@ def main(argv: list[str]) -> int:
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
             "modularity", "conductance", "walks", "sample", "condense",
             "matching", "msf", "jaccard", "butterflies", "pagerank_w", "coreness",
-            "degrees", "alpha", "spam", "sweep", "closeness",
+            "degrees", "alpha", "knn", "spam", "sweep", "closeness",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -415,6 +415,9 @@ def main(argv: list[str]) -> int:
     elif args.kernel == "alpha":
         out = kernels.power_law_alpha(graph, dmin=max(args.k, 1))
         summary = {"kernel": "alpha", "dmin": max(args.k, 1)}
+    elif args.kernel == "knn":
+        out = kernels.knn_curve(graph).orderBy("deg")
+        summary = {"kernel": "knn", "degree_classes": out.count()}
     elif args.kernel == "truss":
         res = kernels.ktruss(graph, k=args.k)
         out = res.df.orderBy(F.desc("support"), "u", "w")

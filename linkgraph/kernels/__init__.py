@@ -108,7 +108,12 @@ from linkgraph.kernels.bowtie import bowtie
 from linkgraph.kernels.clustering import local_clustering
 from linkgraph.kernels.linkpred import link_prediction
 from linkgraph.kernels.densest import densest_subgraph
-from linkgraph.kernels.graphstats import degree_distribution, graph_stats, power_law_alpha
+from linkgraph.kernels.graphstats import (
+    degree_distribution,
+    graph_stats,
+    knn_curve,
+    power_law_alpha,
+)
 from linkgraph.kernels.truss import ktruss
 from linkgraph.kernels.egonet import ego_net
 from linkgraph.kernels.matching import maximal_matching
@@ -157,6 +162,7 @@ __all__ = [
     "graph_stats",
     "degree_distribution",
     "power_law_alpha",
+    "knn_curve",
     "ktruss",
     "ego_net",
     "maximal_matching",

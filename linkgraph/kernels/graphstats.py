@@ -196,3 +196,57 @@ def power_law_alpha(graph: Graph, dmin: int = 4) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def knn_curve(graph: Graph) -> DataFrame:
+    """Average-nearest-neighbor-degree curve k_nn(k) (Pastor-Satorras,
+    Vazquez & Vespignani PRL 2001) over the symmetrized graph — the
+    degree-correlation PLOT whose slope sign `graph_stats`'s scalar
+    assortativity summarizes (web graphs: decreasing k_nn(k) =
+    disassortative, hubs attach to leaves).
+
+    Output: one row per occupied degree class,
+      (deg, n_vertices, sum_nbr_deg, knn)
+    with knn(k) = Sigma_{v: deg(v)=k} S(v) / (k * n_k), where
+    S(v) = Sigma_{u in N(v)} deg(u). Identical to the textbook
+    mean-over-vertices of S(v)/k because deg is constant within the
+    class — but THIS form keeps every aggregate an exact int64 SUM and
+    knn ONE fixed-order double division: hash-exact across engines
+    with no rounding (the graph_stats contract).
+
+    Scale shape: one degree agg, one m-row join tagging each edge's
+    dst degree, one src-keyed SUM, one join back to deg, then a
+    groupBy on the ~distinct-degree keys (tiny). All partial+final,
+    map-side combined; no windows, no driver loops."""
+    e = graph.edges.where(F.col("src") != F.col("dst")).distinct()
+    sym = symmetrize(e)
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    nbr_sum = (
+        sym.join(
+            deg.select(F.col("v").alias("dst"), F.col("deg").alias("nd")),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.sum("nd").alias("s"))
+    )
+    per_vertex = nbr_sum.join(
+        deg.select(F.col("v").alias("src"), "deg"), "src"
+    )
+    return (
+        per_vertex.groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("s").cast("long").alias("sum_nbr_deg"),
+        )
+        .select(
+            F.col("deg").cast("long").alias("deg"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            "sum_nbr_deg",
+            (
+                F.col("sum_nbr_deg")
+                / (F.col("deg") * F.col("n_vertices")).cast("double")
+            ).alias("knn"),
+        )
+    )

@@ -1006,6 +1006,41 @@ def test_power_law_alpha_matches_numpy_and_closed_form(rmat_graph, spark):
         power_law_alpha(star, dmin=0)
 
 
+def test_knn_curve_matches_bruteforce_and_star(rmat_graph, spark):
+    """k_nn(k) equals a brute-force symmetrized-adjacency replay on
+    the rMAT graph (doubles bit-exact: one division of exact int64s),
+    and the star closed form: leaves (deg 1) see knn = n-1, the
+    center (deg n-1) sees knn = 1."""
+    from linkgraph.kernels import knn_curve
+
+    g, pdf, n = rmat_graph
+    adj: dict[int, set[int]] = {}
+    for s, d in pdf[["src", "dst"]].to_numpy():
+        if s == d:
+            continue
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    by_deg: dict[int, tuple[int, int]] = {}
+    for v, nbrs in adj.items():
+        k = len(nbrs)
+        s = sum(len(adj[u]) for u in nbrs)
+        cnt, tot = by_deg.get(k, (0, 0))
+        by_deg[k] = (cnt + 1, tot + s)
+    got = {r["deg"]: r for r in knn_curve(g).collect()}
+    assert set(got) == set(by_deg)
+    for k, (cnt, tot) in by_deg.items():
+        assert got[k]["n_vertices"] == cnt
+        assert got[k]["sum_nbr_deg"] == tot
+        assert got[k]["knn"] == tot / float(k * cnt)  # bit-exact
+
+    edges = pd.DataFrame({"src": [0] * 8, "dst": list(range(1, 9))})
+    star = _graph(spark, edges, 9)
+    s = {r["deg"]: r for r in knn_curve(star).collect()}
+    assert s[1]["n_vertices"] == 8 and s[1]["knn"] == 8.0
+    assert s[8]["n_vertices"] == 1 and s[8]["knn"] == 1.0
+    star.unpersist()
+
+
 def test_conductance_matches_bruteforce(rmat_graph):
     """Per-community (cut, vol, phi) equals a brute-force edge-scan
     replay for the labelprop-3 partition of the rMAT graph — doubles
