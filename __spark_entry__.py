@@ -1029,6 +1029,37 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(_documents(spark, sf_dir), k=100)
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full inverted index over the documents table
+    (pipeline/retrieval.inverted_index): per-term serialized posting
+    list "doc:tf doc:tf ..." ordered by doc_id — integers and strings
+    only, hash-exact."""
+    from linkgraph.pipeline import inverted_index
+
+    return inverted_index(_documents(spark, sf_dir))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query "spark join window"
+    (pipeline/retrieval.bm25_topk, Lucene idf variant, k1=1.2
+    b=0.75). Per-(doc,term) weights quantized once to int64
+    micro-units; per-doc totals exact int64 SUMs; rank keys pure
+    integers — engine-reproducible with no tolerance."""
+    from linkgraph.pipeline import bm25_topk
+
+    return bm25_topk(_documents(spark, sf_dir), "spark join window", k=10)
+
+
+def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI collocations at window 2 / min_count 5
+    (pipeline/textstats.pmi_topk, Church & Hanks). pmi is the exact
+    left-to-right sum of LNs of int64-exact doubles, ROUND(9) BEFORE
+    ranking; ties on (a, b)."""
+    from linkgraph.pipeline import pmi_topk
+
+    return pmi_topk(_documents(spark, sf_dir), window=2, min_count=5, k=100)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained unigram-LM surprisal per doc
     (pipeline/textstats.unigram_logprob, CCNet-style quality signal).
@@ -1407,6 +1438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "tfidf_topk": q_tfidf_topk,
         "vocab_stats": q_vocab_stats,
+        "inverted_index": q_inverted_index,
+        "bm25_topk": q_bm25_topk,
+        "pmi_topk": q_pmi_topk,
         "unigram_logprob": q_unigram_logprob,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -3876,6 +3910,117 @@ FROM agg
 """
 
 
+# Full inverted index — mirrors pipeline/retrieval.inverted_index:
+# same whitespace tokenization, postings serialized "doc:tf ..." in
+# doc_id order (Spark array_sort on (doc_id, tf) structs == ORDER BY
+# doc_id: doc_id is unique per term).
+_INVERTED_INDEX_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                  ' ' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term
+"""
+
+
+def _bm25_sql(query: str, k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 oracle — mirrors pipeline/retrieval.bm25_topk term for
+    term: same Lucene idf, same fixed-order weight expression, same
+    int64 micro-unit quantization (ROUND half-away-from-zero on the
+    positive domain both engines), integer rank keys."""
+    terms = ", ".join(f"'{t}'" for t in query.strip().split())
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qtf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+wtd AS (
+  SELECT q.doc_id,
+         CAST(ROUND(
+           (LN(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+            * ((q.tf * {k1 + 1.0!r}) /
+               (q.tf + {k1!r} * ({1.0 - b!r} + ({b!r} * d.dl) / s.avgdl))))
+           * 1000000.0, 0) AS BIGINT) AS w_e6
+  FROM qtf q JOIN dfq f USING (term) JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS matched,
+         CAST(SUM(w_e6) AS BIGINT) AS total_e6
+  FROM wtd GROUP BY doc_id
+)
+SELECT doc_id, matched, total_e6 / 1000000.0 AS score, rank FROM (
+  SELECT doc_id, matched, total_e6,
+         ROW_NUMBER() OVER (ORDER BY total_e6 DESC, doc_id) AS rank
+  FROM tot
+) WHERE rank <= {k}
+"""
+
+
+def _pmi_topk_sql(window: int = 2, min_count: int = 5, k: int = 100) -> str:
+    """PMI oracle — same window pair generation (1-based positions,
+    distance 1..window, least/greatest canonical, identical-token
+    pairs kept), same slot marginals, and the same fixed-order
+    ln4 + lnN + lnC - ln sa - ln sb sum, ROUND(9) before ranking."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, i.i AS pos, t[i.i] AS term
+  FROM toks, UNNEST(generate_series(1, len(t))) AS i(i)
+  WHERE t[i.i] <> ''
+),
+pr AS (
+  SELECT LEAST(x.term, y.term) AS a, GREATEST(x.term, y.term) AS b
+  FROM pos x JOIN pos y
+    ON x.doc_id = y.doc_id AND y.pos > x.pos AND y.pos <= x.pos + {window}
+),
+c AS (SELECT a, b, COUNT(*) AS c FROM pr GROUP BY a, b),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+slots AS (
+  SELECT t, CAST(SUM(c) AS BIGINT) AS s FROM (
+    SELECT a AS t, c FROM c UNION ALL SELECT b AS t, c FROM c
+  ) GROUP BY t
+),
+scored AS (
+  SELECT c.a, c.b, CAST(c.c AS BIGINT) AS pair_count,
+         ROUND(LN(4.0) + LN(CAST(n.n AS DOUBLE)) + LN(CAST(c.c AS DOUBLE))
+               - LN(CAST(sa.s AS DOUBLE)) - LN(CAST(sb.s AS DOUBLE)), 9)
+           AS pmi
+  FROM c
+  JOIN slots sa ON c.a = sa.t
+  JOIN slots sb ON c.b = sb.t
+  CROSS JOIN n
+  WHERE c.c >= {min_count}
+)
+SELECT a, b, pair_count, pmi, rank FROM (
+  SELECT a, b, pair_count, pmi,
+         ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _token_stats_sql() -> str:
     from linkgraph.pipeline.textstats import PUNCT, STOPWORDS
 
@@ -4099,6 +4244,9 @@ FROM documents GROUP BY md5(text)
         "token_stats": _token_stats_sql(),
         "tfidf_topk": _TFIDF_TOPK_SQL,
         "vocab_stats": _VOCAB_STATS_SQL,
+        "inverted_index": _INVERTED_INDEX_SQL,
+        "bm25_topk": _bm25_sql("spark join window", k=10),
+        "pmi_topk": _pmi_topk_sql(window=2, min_count=5, k=100),
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "lang_id": _lang_id_sql(),
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,

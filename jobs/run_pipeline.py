@@ -42,7 +42,7 @@ DOC_OPS = {
     "dedup_clusters", "token_stats", "lang_id", "gopher", "fingerprints",
     "sample", "minhash_jaccard", "bpe_stats", "decontam", "pii",
     "copy_spans", "pack", "url_canon", "group_cap", "tfidf",
-    "vocab", "unigram",
+    "vocab", "unigram", "index", "bm25", "pmi",
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -61,6 +61,7 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--k", type=int, default=None, help="shingle size / top-k")
     ap.add_argument("--max-df", type=int, default=None, help="stop-shingle cutoff")
     ap.add_argument("--seed", type=int, default=None, help="sample: hash seed")
+    ap.add_argument("--query", help="bm25: whitespace-separated query terms")
     ap.add_argument(
         "--per-cluster", type=int, default=None,
         help="cluster_sample: items kept per kmeans cluster",
@@ -137,6 +138,14 @@ def main(argv: list[str]) -> int:
         out = P.vocab_stats(source, k=opt(args.k, 100))
     elif args.op == "unigram":
         out = P.unigram_logprob(source)
+    elif args.op == "index":
+        out = P.inverted_index(source, max_df=args.max_df)
+    elif args.op == "bm25":
+        if not args.query:
+            raise SystemExit("--op bm25 requires --query")
+        out = P.bm25_topk(source, args.query, k=opt(args.k, 10))
+    elif args.op == "pmi":
+        out = P.pmi_topk(source, window=2, min_count=5, k=opt(args.k, 100))
     elif args.op == "pii":
         out = P.pii_redact(source)
     elif args.op == "fingerprints":

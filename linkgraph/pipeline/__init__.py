@@ -31,11 +31,13 @@ from linkgraph.pipeline.textstats import (
     bpe_token_stats,
     gopher_quality,
     lang_id,
+    pmi_topk,
     tfidf_topk,
     token_stats,
     unigram_logprob,
     vocab_stats,
 )
+from linkgraph.pipeline.retrieval import bm25_topk, inverted_index
 from linkgraph.pipeline.embedcluster import (
     cluster_balanced_sample,
     kmeans,
@@ -64,6 +66,9 @@ __all__ = [
     "tfidf_topk",
     "vocab_stats",
     "unigram_logprob",
+    "pmi_topk",
+    "inverted_index",
+    "bm25_topk",
     "bpe_token_stats",
     "lang_id",
     "gopher_quality",

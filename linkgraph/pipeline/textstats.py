@@ -389,3 +389,107 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             / (F.lit(1000000.0) * F.col("n_tokens"))
         ).alias("mean_bits"),
     )
+
+
+def pmi_topk(
+    docs: DataFrame, window: int = 2, min_count: int = 5, k: int = 100
+) -> DataFrame:
+    """Top-k pointwise-mutual-information word pairs (Church & Hanks
+    CL'90) over sliding-window co-occurrence — the distributional-
+    semantics / collocation-mining op (the count table word2vec-style
+    embeddings factorize; Levy & Goldberg NIPS'14).
+
+    Pairs: within each document, unordered token pairs at distance
+    1..window (canonicalized least/greatest; identical-token pairs
+    kept — they are the diagonal of the symmetric co-occurrence
+    matrix). With N = total pair count and slot marginals
+    s(t) = occurrences of t across both pair slots (Σ s = 2N),
+
+        pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+                 = ln 4 + ln N + ln c(a,b) − ln s(a) − ln s(b)
+
+    evaluated as that EXACT left-to-right sum of LNs of int64-exact
+    doubles, then ROUND(_, 9) BEFORE ranking (the tfidf_topk
+    determinism contract at the ranking boundary); ties break on
+    (a, b). Output: (a, b, pair_count, pmi, rank), rank 1..k by
+    (pmi DESC, a, b).
+
+    Plan shape: pair generation is one whole-stage-codegen projection
+    (nested transform over sequence — per-doc O(len·window) rows, NO
+    join, NO shuffle); then one (a,b)-keyed count (map-side combine),
+    a slot-marginal explode + term-keyed count, two broadcast-sized
+    joins back, and orderBy().limit(k) = TakeOrdered. `min_count`
+    drops noise pairs before ranking. At 100 TB the only large
+    relation is the pair-count table, bounded by vocab² but in
+    practice Zipf-thin past min_count."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pair_t = "array<struct<a:string,b:string>>"
+    pairs_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.transform(
+                F.sequence(
+                    i + 1, F.least(i + F.lit(window), F.size(toks))
+                ),
+                lambda j: F.struct(
+                    F.least(
+                        F.element_at(toks, i), F.element_at(toks, j)
+                    ).alias("a"),
+                    F.greatest(
+                        F.element_at(toks, i), F.element_at(toks, j)
+                    ).alias("b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        docs.select(
+            F.explode(
+                F.when(F.size(toks) >= 2, pairs_expr).otherwise(
+                    F.array().cast(pair_t)
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .where((F.length("a") > 0) & (F.length("b") > 0))
+    )
+    c = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    c = c.persist()
+    n_pairs = c.agg(F.sum("c")).collect()[0][0] or 0
+    if n_pairs == 0:
+        c.unpersist()
+        raise ValueError("no co-occurrence pairs (all documents < 2 tokens)")
+    slots = (
+        c.select(F.explode(F.array("a", "b")).alias("t"), "c")
+        .groupBy("t")
+        .agg(F.sum("c").alias("s"))
+    )
+    pmi = F.round(
+        F.log(F.lit(4.0))
+        + F.log(F.lit(float(n_pairs)))
+        + F.log(F.col("c"))
+        - F.log(F.col("sa"))
+        - F.log(F.col("sb")),
+        9,
+    )
+    scored = (
+        c.where(F.col("c") >= min_count)
+        .join(F.broadcast(slots.select(F.col("t").alias("a"), F.col("s").alias("sa"))), "a")
+        .join(F.broadcast(slots.select(F.col("t").alias("b"), F.col("s").alias("sb"))), "b")
+        .select("a", "b", F.col("c").cast("long").alias("pair_count"), pmi.alias("pmi"))
+    )
+    top = scored.orderBy(F.desc("pmi"), "a", "b").limit(k)
+    w = Window.orderBy(F.desc("pmi"), "a", "b")
+    out = top.select(
+        "a", "b", "pair_count", "pmi",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    out = out.localCheckpoint(eager=True)
+    c.unpersist()
+    return out

@@ -1316,3 +1316,163 @@ def test_unigram_logprob_matches_python_replay(spark):
     assert bits_e6["aa"] < bits_e6["rare"]
     # doc 2 (aa + rare) scores higher mean surprisal than doc 0
     assert got[2][2] > got[0][2]
+
+
+# ---------------------------------------------------------------------------
+# Inverted index / BM25 / PMI (retrieval + collocations)
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_matches_python_replay(spark):
+    """Posting lists == a Counter replay: df/cf exact, postings
+    serialized in doc_id order; max_df drops stopword-grade terms."""
+    from collections import Counter
+
+    from linkgraph.pipeline import inverted_index
+
+    texts = [
+        "spark spark join filter",
+        "join filter join scan",
+        "vector vector scan scan scan",
+        "spark join",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {r["term"]: r for r in inverted_index(docs).collect()}
+
+    tfs = {i: Counter(t.split()) for i, t in enumerate(texts)}
+    exp: dict[str, list[tuple[int, int]]] = {}
+    for i, c in tfs.items():
+        for t, tf in c.items():
+            exp.setdefault(t, []).append((i, tf))
+    assert set(got) == set(exp)
+    for t, plist in exp.items():
+        plist.sort()
+        assert got[t]["df"] == len(plist)
+        assert got[t]["cf"] == sum(tf for _, tf in plist)
+        assert got[t]["postings"] == " ".join(f"{d}:{tf}" for d, tf in plist)
+
+    capped = {r["term"] for r in inverted_index(docs, max_df=2).collect()}
+    assert capped == {t for t, p in exp.items() if len(p) <= 2}
+    with pytest.raises(ValueError):
+        inverted_index(docs, max_df=0)
+
+
+def test_bm25_topk_matches_python_replay(spark):
+    """Ranking and scores == a pure-Python BM25 replay with the same
+    micro-unit quantization; a query term unique to one doc puts that
+    doc first."""
+    import math
+    from collections import Counter
+
+    from linkgraph.pipeline import bm25_topk
+
+    texts = [
+        "spark spark join filter",
+        "join filter join scan scan scan scan scan",
+        "vector vector scan scan scan",
+        "spark join",
+        "needle spark",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    query, k1, b = "spark scan needle", 1.2, 0.75
+    got = [
+        (r["doc_id"], r["matched"], r["score"], r["rank"])
+        for r in bm25_topk(docs, query, k=10).collect()
+    ]
+
+    tfs = {i: Counter(t.split()) for i, t in enumerate(texts)}
+    dls = {i: sum(c.values()) for i, c in tfs.items()}
+    n = len(texts)
+    avgdl = sum(dls.values()) / n
+    terms = query.split()
+    dfq = {t: sum(1 for c in tfs.values() if c[t] > 0) for t in terms}
+    rows = []
+    for i, c in tfs.items():
+        tot, matched = 0, 0
+        for t in terms:
+            tf = c[t]
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n - dfq[t] + 0.5) / (dfq[t] + 0.5))
+            w = idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * dls[i]) / avgdl))
+            # Python round is HALF_EVEN; Spark/DuckDB are HALF_UP — use floor(x+0.5)
+            tot += math.floor(w * 1e6 + 0.5)
+        if matched:
+            rows.append((-tot, i, matched))
+    rows.sort()
+    exp = [
+        (i, m, -negtot / 1e6, r + 1)
+        for r, (negtot, i, m) in enumerate(rows[:10])
+    ]
+    assert got == exp
+    assert got[0][0] == 4  # 'needle' is unique to doc 4 -> highest idf
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "   ")
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "spark", k=0)
+
+
+def test_pmi_topk_matches_python_replay(spark):
+    """Pair counts, marginals, pmi, and rank order == a brute-force
+    window replay; planted collocation ranks first."""
+    import math
+    from collections import Counter
+
+    from linkgraph.pipeline import pmi_topk
+
+    texts = [
+        "zig zag spark join filter zig zag",
+        "join filter join scan zig zag",
+        "vector vector scan scan scan",
+        "spark join zig zag",
+        "x",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    window, min_count, k = 2, 2, 50
+    got = [
+        (r["a"], r["b"], r["pair_count"], r["pmi"], r["rank"])
+        for r in pmi_topk(docs, window=window, min_count=min_count, k=k).collect()
+    ]
+
+    pairs: Counter = Counter()
+    for t in texts:
+        toks = t.split()
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                a, b = sorted((toks[i], toks[j]))
+                pairs[(a, b)] += 1
+    n_pairs = sum(pairs.values())
+    slots: Counter = Counter()
+    for (a, b), c in pairs.items():
+        slots[a] += c
+        slots[b] += c
+    scored = []
+    for (a, b), c in pairs.items():
+        if c < min_count:
+            continue
+        pmi = round(
+            math.log(4.0) + math.log(float(n_pairs)) + math.log(c)
+            - math.log(slots[a]) - math.log(slots[b]),
+            9,
+        )
+        scored.append((-pmi, a, b, c))
+    scored.sort()
+    exp = [
+        (a, b, c, -negpmi, r + 1)
+        for r, (negpmi, a, b, c) in enumerate(scored[:k])
+    ]
+    assert got == exp
+    assert ("zag", "zig") in {(a, b) for a, b, *_ in got}  # planted collocation
+    with pytest.raises(ValueError):
+        pmi_topk(docs, window=0)
+    with pytest.raises(ValueError):
+        pmi_topk(docs, k=0)
