@@ -1050,6 +1050,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_documents(spark, sf_dir), "spark join window", k=10)
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalized dedup (pipeline/dedup.normalized_dup_
+    groups): documents unioned with deterministic messy variants of
+    every 10th doc (uppercased, punctuation-wrapped, extra spaces,
+    doc_id + 1,000,000) so normalization performs REAL merges — 50
+    groups of 2 at sf0.01, keep_id = the original id. Hash groups are
+    md5 over the normalized text; all output int64/string."""
+    from linkgraph.pipeline import normalized_dup_groups
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    messy = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" !! ")).alias("text"),
+    )
+    return normalized_dup_groups(docs.unionByName(messy))
+
+
 def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 PMI collocations at window 2 / min_count 5
     (pipeline/textstats.pmi_topk, Church & Hanks). pmi is the exact
@@ -1441,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "bm25_topk": q_bm25_topk,
         "pmi_topk": q_pmi_topk,
+        "dedup_normalized": q_dedup_normalized,
         "unigram_logprob": q_unigram_logprob,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -3910,6 +3928,36 @@ FROM agg
 """
 
 
+def _dedup_normalized_sql() -> str:
+    """Normalized-dedup oracle — the SAME NORM_* patterns imported
+    from pipeline/dedup (no drift), applied in the same order
+    (lower -> digits -> punct -> whitespace -> trim), over the same
+    messy-variant union; DuckDB regexp_replace needs the 'g' flag
+    (Spark replaces all matches by default)."""
+    from linkgraph.pipeline.dedup import NORM_DIGITS, NORM_PUNCT, NORM_WS
+
+    return rf"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, '  ' || upper(text) || ' !! ' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             lower(text), '{NORM_DIGITS}', '0', 'g'),
+             '{NORM_PUNCT}', '', 'g'),
+             '{NORM_WS}', ' ', 'g')) AS n
+  FROM d
+)
+SELECT md5(n) AS norm_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM norm GROUP BY md5(n)
+"""
+
+
 # Full inverted index — mirrors pipeline/retrieval.inverted_index:
 # same whitespace tokenization, postings serialized "doc:tf ..." in
 # doc_id order (Spark array_sort on (doc_id, tf) structs == ORDER BY
@@ -4247,6 +4295,7 @@ FROM documents GROUP BY md5(text)
         "inverted_index": _INVERTED_INDEX_SQL,
         "bm25_topk": _bm25_sql("spark join window", k=10),
         "pmi_topk": _pmi_topk_sql(window=2, min_count=5, k=100),
+        "dedup_normalized": _dedup_normalized_sql(),
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "lang_id": _lang_id_sql(),
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,

@@ -42,7 +42,7 @@ DOC_OPS = {
     "dedup_clusters", "token_stats", "lang_id", "gopher", "fingerprints",
     "sample", "minhash_jaccard", "bpe_stats", "decontam", "pii",
     "copy_spans", "pack", "url_canon", "group_cap", "tfidf",
-    "vocab", "unigram", "index", "bm25", "pmi",
+    "vocab", "unigram", "index", "bm25", "pmi", "norm_dedup",
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -140,6 +140,8 @@ def main(argv: list[str]) -> int:
         out = P.unigram_logprob(source)
     elif args.op == "index":
         out = P.inverted_index(source, max_df=args.max_df)
+    elif args.op == "norm_dedup":
+        out = P.normalized_dup_groups(source)
     elif args.op == "bm25":
         if not args.query:
             raise SystemExit("--op bm25 requires --query")

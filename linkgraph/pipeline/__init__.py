@@ -18,6 +18,8 @@ from linkgraph.pipeline.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    normalize_text,
+    normalized_dup_groups,
     simhash,
 )
 from linkgraph.pipeline.fingerprint import copy_candidates, winnow_fingerprints
@@ -52,6 +54,8 @@ from linkgraph.pipeline.urlnorm import canonicalize_urls
 
 __all__ = [
     "exact_dup_groups",
+    "normalize_text",
+    "normalized_dup_groups",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_jaccard_pairs",

@@ -314,3 +314,49 @@ def dedup_clusters(
         )
     finally:
         g.unpersist()
+
+
+# CCNet-style normalization (Wenzek et al. LREC'20 §4.1), restricted
+# to its portable-ASCII subset so Java regex (Spark), RE2 (DuckDB) and
+# Python `re` transform identically: lowercase, digits -> 0, ASCII
+# punctuation stripped, whitespace collapsed, trimmed. (CCNet also
+# strips accents via NFD — locale/ICU-dependent, deliberately out of
+# the cross-engine contract and documented here.)
+NORM_DIGITS = "[0-9]"
+NORM_PUNCT = "[!-/:-@\\[-`{-~]"  # the four ASCII punctuation runs
+NORM_WS = "[ \\t\\n\\r\\f]+"
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, norm) — the CCNet-normalized text (one codegen
+    projection, no shuffle; patterns shared with the oracle and the
+    pytest replay via the NORM_* constants)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), NORM_DIGITS, "0"),
+                NORM_PUNCT,
+                "",
+            ),
+            NORM_WS,
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm"))
+
+
+def normalized_dup_groups(docs: DataFrame) -> DataFrame:
+    """Normalized exact dedup (the CCNet paragraph-hash move): md5
+    groups over normalize_text -> (norm_hash, n_docs, keep_id), the
+    exact_dup_groups shape — documents differing only in case, ASCII
+    punctuation, digits, or whitespace collapse into one group.
+
+    Plan shape: one codegen normalization projection on the scan +
+    one hash-keyed groupBy (map-side combine) — identical 100 TB
+    profile to exact_dup_groups."""
+    return (
+        normalize_text(docs)
+        .select("doc_id", F.md5(F.encode("norm", "utf-8")).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )

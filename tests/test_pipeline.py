@@ -1476,3 +1476,43 @@ def test_pmi_topk_matches_python_replay(spark):
         pmi_topk(docs, window=0)
     with pytest.raises(ValueError):
         pmi_topk(docs, k=0)
+
+
+def test_normalized_dedup_matches_python_replay(spark):
+    """normalize_text == a Python `re` replay of the shared NORM_*
+    patterns; normalization is idempotent; case/punct/digit/space
+    variants collapse into one group with the minimum keep_id."""
+    import re
+
+    from linkgraph.pipeline import normalize_text, normalized_dup_groups
+    from linkgraph.pipeline.dedup import NORM_DIGITS, NORM_PUNCT, NORM_WS
+
+    def norm_py(s: str) -> str:
+        s = s.lower()
+        s = re.sub(NORM_DIGITS, "0", s)
+        s = re.sub(NORM_PUNCT, "", s)
+        s = re.sub(NORM_WS, " ", s)
+        return s.strip()
+
+    texts = [
+        "Spark joins FAST!",
+        "  spark   joins fast ",
+        "spark, joins; fast...",
+        "call me at 555 1234",
+        "call me at 999 0000",  # digits->0 and punct-strip merge these
+        "totally different",
+        "",
+        "!!!",  # normalizes to empty -> merges with ""
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got_norm = {r["doc_id"]: r["norm"] for r in normalize_text(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got_norm[i] == norm_py(t)
+        assert norm_py(norm_py(t)) == norm_py(t)  # idempotent
+
+    groups = {
+        r["keep_id"]: r["n_docs"] for r in normalized_dup_groups(docs).collect()
+    }
+    assert groups == {0: 3, 3: 2, 5: 1, 6: 2}
