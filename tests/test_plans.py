@@ -383,3 +383,73 @@ def test_ppr_sweep_edge_tagging_broadcasts_ranked_set(spark, tiny_graph):
     plan = _plan(res.df)
     assert "CartesianProduct" not in plan
     assert res.best_k <= 8
+
+
+def test_pmi_pair_generation_is_projection_no_join(spark):
+    """pmi_topk's window pair generation must stay a codegen
+    projection (nested transform over sequence) — a positions
+    self-join would shuffle the token table on doc_id."""
+    from linkgraph.pipeline import pmi_topk
+
+    df = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c d e "), F.col("id") % 3).alias("text"),
+    )
+    plan = _plan(pmi_topk(df, window=2, min_count=1, k=10))
+    # joins allowed only for the two broadcast marginal lookups and
+    # the one-row N cross join — never a SortMerge/ShuffledHash pair
+    # expansion keyed on doc_id
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bm25_no_unbounded_cartesian_and_scan_side_filter(spark):
+    """bm25_topk: the only nested-loop join is the one-row avgdl
+    broadcast; the query-vocab IN must reach the term filter before
+    any shuffle (no full-vocab tf relation)."""
+    from linkgraph.pipeline import bm25_topk
+
+    df = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c d e "), F.col("id") % 3).alias("text"),
+    )
+    plan = _plan(bm25_topk(df, "a e", k=5))
+    assert "CartesianProduct" not in plan
+    # the stats cross join is broadcast nested-loop over ONE row —
+    # any other nested loop is a regression
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "EvalPython" not in plan
+    # term IN (...) appears as a Filter, not post-aggregation
+    assert plan.count("Exchange") <= 6  # aggs + TakeOrdered, no extras
+
+
+def test_inverted_index_single_term_keyed_shuffle(spark):
+    """inverted_index: exactly the (doc,term) agg + term agg exchanges
+    — posting-list assembly must not add sorts/joins."""
+    from linkgraph.pipeline import inverted_index
+
+    df = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c d e "), F.col("id") % 3).alias("text"),
+    )
+    plan = _plan(inverted_index(df))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_normalized_dedup_is_projection_plus_one_shuffle(spark):
+    """normalized_dup_groups: one JVM normalization projection + the
+    hash-keyed partial+final agg — no Python, no joins, <= 1
+    exchange (exact_dup_groups' profile)."""
+    from linkgraph.pipeline import normalized_dup_groups
+
+    df = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("A  b!! 5 "), F.col("id") % 3).alias("text"),
+    )
+    plan = _plan(normalized_dup_groups(df))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 1
