@@ -1050,6 +1050,33 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_documents(spark, sf_dir), "spark join window", k=10)
 
 
+def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (kernels/redirects.py, pointer
+    doubling): a deterministic functional map over the distinct
+    o_orderkey space — r = key % 16: r%8 in 1..6 -> key-1 (descending
+    chains to the r%8==0 terminals), r==7 -> key+8 and r==15 ->
+    key-8 (2-cycles where both partners exist, terminals where not).
+    Output (src, target, chain_len, is_cycle), NULLs on loop rows —
+    all int64/bool, hash-exact. The oracle walks the same map with a
+    recursive CTE capped at 40 hops (measured max acyclic chain 6)."""
+    from linkgraph.kernels import resolve_redirects
+
+    keys = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("i"))
+        .distinct()
+    )
+    r = F.col("i") % 16
+    rmap = keys.where(r % 8 != 0).select(
+        F.col("i").alias("src"),
+        F.when(r == 7, F.col("i") + 8)
+        .when(r == 15, F.col("i") - 8)
+        .otherwise(F.col("i") - 1)
+        .alias("dst"),
+    )
+    return resolve_redirects(rmap)
+
+
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style normalized dedup (pipeline/dedup.normalized_dup_
     groups): documents unioned with deterministic messy variants of
@@ -1459,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "pmi_topk": q_pmi_topk,
         "dedup_normalized": q_dedup_normalized,
+        "resolve_redirects": q_resolve_redirects,
         "unigram_logprob": q_unigram_logprob,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -3928,6 +3956,34 @@ FROM agg
 """
 
 
+_RESOLVE_REDIRECTS_SQL = """
+WITH RECURSIVE keys AS (SELECT DISTINCT o_orderkey AS i FROM orders),
+r AS (
+  SELECT i AS src,
+         CASE WHEN i % 16 = 7 THEN i + 8
+              WHEN i % 16 = 15 THEN i - 8
+              ELSE i - 1 END AS dst
+  FROM keys WHERE (i % 16) % 8 <> 0
+),
+walk AS (
+  SELECT src AS origin, dst AS cur, CAST(1 AS BIGINT) AS d FROM r
+  UNION ALL
+  SELECT w.origin, r.dst, w.d + 1
+  FROM walk w JOIN r ON w.cur = r.src
+  WHERE w.d < 40
+),
+term AS (
+  SELECT origin, cur, d FROM walk
+  WHERE cur NOT IN (SELECT src FROM r)
+)
+SELECT r.src,
+       t.cur AS target,
+       t.d AS chain_len,
+       t.origin IS NULL AS is_cycle
+FROM r LEFT JOIN term t ON r.src = t.origin
+"""
+
+
 def _dedup_normalized_sql() -> str:
     """Normalized-dedup oracle — the SAME NORM_* patterns imported
     from pipeline/dedup (no drift), applied in the same order
@@ -4296,6 +4352,7 @@ FROM documents GROUP BY md5(text)
         "bm25_topk": _bm25_sql("spark join window", k=10),
         "pmi_topk": _pmi_topk_sql(window=2, min_count=5, k=100),
         "dedup_normalized": _dedup_normalized_sql(),
+        "resolve_redirects": _RESOLVE_REDIRECTS_SQL,
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "lang_id": _lang_id_sql(),
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,

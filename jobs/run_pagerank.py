@@ -37,6 +37,7 @@ def main(argv: list[str]) -> int:
             "modularity", "conductance", "walks", "sample", "condense",
             "matching", "msf", "jaccard", "butterflies", "pagerank_w", "coreness",
             "degrees", "alpha", "knn", "spam", "sweep", "closeness",
+            "redirects",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -418,6 +419,18 @@ def main(argv: list[str]) -> int:
     elif args.kernel == "knn":
         out = kernels.knn_curve(graph).orderBy("deg")
         summary = {"kernel": "knn", "degree_classes": out.count()}
+    elif args.kernel == "redirects":
+        # CLI convenience: reduce the edge input to a functional map
+        # (min dst per src) — reported so the reduction is visible
+        n_edges = graph.edges.count()
+        rmap = graph.edges.groupBy("src").agg(F.min("dst").alias("dst"))
+        out = kernels.resolve_redirects(rmap).orderBy("src")
+        summary = {
+            "kernel": "redirects",
+            "n_edges": n_edges,
+            "n_src": rmap.count(),
+            "cycles": out.where("is_cycle").count(),
+        }
     elif args.kernel == "truss":
         res = kernels.ktruss(graph, k=args.k)
         out = res.df.orderBy(F.desc("support"), "u", "w")

@@ -76,6 +76,8 @@ edge_jaccard    per-edge neighborhood Jaccard / embeddedness
                 (common neighbors via the truss support enumeration)
 pagerank_weighted rank distributed proportionally to edge weight
                 (href multiplicity on host graphs; row-normalized once)
+resolve_redirects redirect-chain resolution over the functional crawl
+                map (pointer doubling, O(log n) rounds, loop flagging)
 """
 
 from linkgraph.kernels.pagerank import pagerank
@@ -108,6 +110,7 @@ from linkgraph.kernels.bowtie import bowtie
 from linkgraph.kernels.clustering import local_clustering
 from linkgraph.kernels.linkpred import link_prediction
 from linkgraph.kernels.densest import densest_subgraph
+from linkgraph.kernels.redirects import resolve_redirects
 from linkgraph.kernels.graphstats import (
     degree_distribution,
     graph_stats,
@@ -163,6 +166,7 @@ __all__ = [
     "degree_distribution",
     "power_law_alpha",
     "knn_curve",
+    "resolve_redirects",
     "ktruss",
     "ego_net",
     "maximal_matching",

@@ -2027,3 +2027,51 @@ def test_butterflies_pairs_table(spark):
     res = butterfly_count(e, center="right")
     pairs = {(r["u"], r["w"]): r["codeg"] for r in res.pairs.collect()}
     assert pairs == {(0, 1): 2}
+
+
+def test_resolve_redirects_matches_python_replay(spark):
+    """Pointer-doubling resolution == a sequential chain-walk replay
+    on a random functional map (chains, loops, loop-feeders), plus
+    closed forms: chain / 2-cycle / self-loop / empty."""
+    from linkgraph.kernels import resolve_redirects
+
+    rng = np.random.default_rng(11)
+    srcs = list(range(100))
+    dsts = [int(rng.integers(0, 130)) for _ in srcs]  # 100..129 = terminals
+    rmap = {s: d for s, d in zip(srcs, dsts) if s != d}
+    df = spark.createDataFrame(
+        pd.DataFrame({"src": list(rmap), "dst": [rmap[s] for s in rmap]})
+    )
+    got = {
+        r["src"]: (r["target"], r["chain_len"], r["is_cycle"])
+        for r in resolve_redirects(df).collect()
+    }
+
+    def walk(s: int):
+        cur, d, seen = rmap[s], 1, {s}
+        while cur in rmap:
+            if cur in seen:
+                return (None, None, True)  # on or into a loop
+            seen.add(cur)
+            cur, d = rmap[cur], d + 1
+        return (cur, d, False)
+
+    assert got == {s: walk(s) for s in rmap}
+
+    # closed forms
+    rows = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (12, 12)]
+    small = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst"]))
+    g = {
+        r["src"]: (r["target"], r["chain_len"], r["is_cycle"])
+        for r in resolve_redirects(small).collect()
+    }
+    assert g == {
+        1: (4, 3, False),
+        2: (4, 2, False),
+        3: (4, 1, False),
+        10: (None, None, True),
+        11: (None, None, True),
+        12: (None, None, True),  # self-loop
+    }
+    empty = spark.createDataFrame(pd.DataFrame(columns=["src", "dst"]), "src long, dst long")
+    assert resolve_redirects(empty).count() == 0
