@@ -1050,6 +1050,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_documents(spark, sf_dir), "spark join window", k=10)
 
 
+def q_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session co-visitation item graph (pipeline/covisit.py, the
+    Amazon item-to-item CF count table) over the events table: item =
+    the numeric props.k field (regexp both engines), 120-min gap
+    sessions (the gaps-and-islands rule shared with the streaming
+    sessionizer), min_count 2 — 302 pairs at sf0.01. cnt/marginals
+    exact int64; score = ONE fixed-order cnt/(sqrt·sqrt) division,
+    ROUND(9)."""
+    from linkgraph.pipeline import covisitation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "ts",
+        F.regexp_extract("props", r'"k": ([0-9]+)', 1)
+        .cast("long")
+        .alias("item"),
+    )
+    return covisitation(ev, gap_minutes=120, min_count=2)
+
+
 def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (kernels/redirects.py, pointer
     doubling): a deterministic functional map over the distinct
@@ -1487,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_topk": q_pmi_topk,
         "dedup_normalized": q_dedup_normalized,
         "resolve_redirects": q_resolve_redirects,
+        "covisitation": q_covisitation,
         "unigram_logprob": q_unigram_logprob,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -3956,6 +3977,50 @@ FROM agg
 """
 
 
+def _covisitation_sql(gap_minutes: int = 120, min_count: int = 2) -> str:
+    """Co-visitation oracle — same epoch-us gaps-and-islands
+    sessionization (LAG + running SUM ordered (us, item)), same
+    distinct/self-join/marginal aggregates, same fixed-order
+    cnt / (sqrt(ma)·sqrt(mb)) ROUND(9) score."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return rf"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS item
+  FROM events
+),
+lagd AS (
+  SELECT user_id, item, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, item)
+                   >= {gap_us} THEN 1 ELSE 0 END AS ns
+  FROM ev
+),
+sess AS (
+  SELECT user_id, item,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY us, item
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM lagd
+),
+items AS (SELECT DISTINCT user_id, session_id, item FROM sess),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS cnt
+  FROM items a
+  JOIN items b ON a.user_id = b.user_id AND a.session_id = b.session_id
+              AND a.item < b.item
+  GROUP BY 1, 2
+),
+marg AS (SELECT item, COUNT(*) AS m FROM items GROUP BY item)
+SELECT p.item_a, p.item_b, CAST(p.cnt AS BIGINT) AS cnt,
+       ROUND(p.cnt / (SQRT(CAST(ma.m AS DOUBLE)) * SQRT(CAST(mb.m AS DOUBLE))), 9)
+         AS score
+FROM pairs p
+JOIN marg ma ON p.item_a = ma.item
+JOIN marg mb ON p.item_b = mb.item
+WHERE p.cnt >= {min_count}
+"""
+
+
 _RESOLVE_REDIRECTS_SQL = """
 WITH RECURSIVE keys AS (SELECT DISTINCT o_orderkey AS i FROM orders),
 r AS (
@@ -4353,6 +4418,7 @@ FROM documents GROUP BY md5(text)
         "pmi_topk": _pmi_topk_sql(window=2, min_count=5, k=100),
         "dedup_normalized": _dedup_normalized_sql(),
         "resolve_redirects": _RESOLVE_REDIRECTS_SQL,
+        "covisitation": _covisitation_sql(gap_minutes=120, min_count=2),
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "lang_id": _lang_id_sql(),
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,

@@ -43,6 +43,7 @@ DOC_OPS = {
     "sample", "minhash_jaccard", "bpe_stats", "decontam", "pii",
     "copy_spans", "pack", "url_canon", "group_cap", "tfidf",
     "vocab", "unigram", "index", "bm25", "pmi", "norm_dedup",
+    "covisit",  # --docs: events-shaped parquet (user_id, ts, props)
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -142,6 +143,17 @@ def main(argv: list[str]) -> int:
         out = P.inverted_index(source, max_df=args.max_df)
     elif args.op == "norm_dedup":
         out = P.normalized_dup_groups(source)
+    elif args.op == "covisit":
+        from pyspark.sql import functions as F
+
+        ev = source.select(
+            "user_id", "ts",
+            F.regexp_extract("props", r'"k": ([0-9]+)', 1)
+            .cast("long").alias("item"),
+        )
+        out = P.covisitation(
+            ev, gap_minutes=120, min_count=opt(args.k, 2)
+        )
     elif args.op == "bm25":
         if not args.query:
             raise SystemExit("--op bm25 requires --query")

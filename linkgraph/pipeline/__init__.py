@@ -40,6 +40,7 @@ from linkgraph.pipeline.textstats import (
     vocab_stats,
 )
 from linkgraph.pipeline.retrieval import bm25_topk, inverted_index
+from linkgraph.pipeline.covisit import covisitation
 from linkgraph.pipeline.embedcluster import (
     cluster_balanced_sample,
     kmeans,
@@ -73,6 +74,7 @@ __all__ = [
     "pmi_topk",
     "inverted_index",
     "bm25_topk",
+    "covisitation",
     "bpe_token_stats",
     "lang_id",
     "gopher_quality",

@@ -1516,3 +1516,78 @@ def test_normalized_dedup_matches_python_replay(spark):
         r["keep_id"]: r["n_docs"] for r in normalized_dup_groups(docs).collect()
     }
     assert groups == {0: 3, 3: 2, 5: 1, 6: 2}
+
+
+def test_covisitation_matches_python_replay(spark):
+    """Session pairing, counts, marginals, and cosine scores == a
+    sequential gaps-and-islands replay; power-session guard and param
+    guards enforced."""
+    import itertools
+    import math
+    from collections import Counter
+
+    from linkgraph.pipeline import covisitation
+
+    # user 1: two sessions (gap at 40 min); user 2: one long session
+    rows = [
+        (1, "2024-01-01 00:00:00", 10),
+        (1, "2024-01-01 00:05:00", 11),
+        (1, "2024-01-01 00:10:00", 10),  # dup item, same session
+        (1, "2024-01-01 00:50:00", 12),  # >= 30-min gap -> new session
+        (1, "2024-01-01 00:55:00", 10),
+        (2, "2024-01-01 00:00:00", 10),
+        (2, "2024-01-01 00:10:00", 11),
+        (2, "2024-01-01 00:20:00", 12),
+        (2, "2024-01-01 00:29:59", 13),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "item"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    df = spark.createDataFrame(pdf)
+
+    def replay(gap_min, min_count, max_items=None):
+        sessions = []
+        for u in sorted({r[0] for r in rows}):
+            evs = sorted((pd.Timestamp(t), i) for uu, t, i in rows if uu == u)
+            cur = {evs[0][1]}
+            last = evs[0][0]
+            for t, i in evs[1:]:
+                if (t - last).total_seconds() >= gap_min * 60:
+                    sessions.append(cur)
+                    cur = set()
+                cur.add(i)
+                last = t
+            sessions.append(cur)
+        if max_items is not None:
+            sessions = [s for s in sessions if len(s) <= max_items]
+        cnt: Counter = Counter()
+        marg: Counter = Counter()
+        for s in sessions:
+            for i in s:
+                marg[i] += 1
+            for a, b in itertools.combinations(sorted(s), 2):
+                cnt[(a, b)] += 1
+        return {
+            (a, b): (c, round(c / (math.sqrt(marg[a]) * math.sqrt(marg[b])), 9))
+            for (a, b), c in cnt.items()
+            if c >= min_count
+        }
+
+    for gap, mc in ((30, 1), (30, 2), (120, 1)):
+        got = {
+            (r["item_a"], r["item_b"]): (r["cnt"], r["score"])
+            for r in covisitation(df, gap_minutes=gap, min_count=mc).collect()
+        }
+        assert got == replay(gap, mc), (gap, mc)
+
+    # power-session guard: user 2's 4-item session drops at max 3
+    got_g = {
+        (r["item_a"], r["item_b"]): (r["cnt"], r["score"])
+        for r in covisitation(
+            df, gap_minutes=30, min_count=1, max_session_items=3
+        ).collect()
+    }
+    assert got_g == replay(30, 1, max_items=3)
+    with pytest.raises(ValueError):
+        covisitation(df, gap_minutes=0)
+    with pytest.raises(ValueError):
+        covisitation(df, max_session_items=1)
