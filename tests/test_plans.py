@@ -453,3 +453,39 @@ def test_normalized_dedup_is_projection_plus_one_shuffle(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_covisitation_pair_join_keyed_on_session(spark):
+    """The pair expansion must be an equi-join on (user, session) —
+    never cartesian/nested-loop; the marginal lookups broadcast."""
+    import pandas as pd
+
+    from linkgraph.pipeline import covisitation
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00"] * 2 + ["2024-01-01 01:00:00"] * 2
+            ),
+            "item": [1, 2, 1, 3],
+        }
+    )
+    plan = _plan(covisitation(spark.createDataFrame(pdf), min_count=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_resolve_redirects_equi_joins_only(spark):
+    """Pointer doubling must stay equi-joins on the pointer key."""
+    import pandas as pd
+
+    from linkgraph.kernels import resolve_redirects
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4]})
+    )
+    plan = _plan(resolve_redirects(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
