@@ -1050,6 +1050,35 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_documents(spark, sf_dir), "spark join window", k=10)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel (pipeline/funnel.funnel_counts)
+    signup→view→click→purchase over the deterministically thinned
+    event log (event_id % 7 == 0 — the full log is saturated: every
+    user completes everything). First-touch semantics: step k = the
+    earliest step-k event strictly after the user's step-k-1
+    completion. 134→86→50→22 users at sf0.01 — all int64."""
+    from linkgraph.pipeline import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id") % 7 == 0
+    )
+    return funnel_counts(ev, ["signup", "view", "click", "purchase"])
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention cohorts (pipeline/funnel.retention_cohorts)
+    over the thinned event log: cohort = first active absolute day
+    (epoch-us integer `div` — exact on both engines), offset = days
+    since; 225 (cohort, offset) cells with real decay at sf0.01 —
+    all int64, hash-exact."""
+    from linkgraph.pipeline import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id") % 7 == 0
+    )
+    return retention_cohorts(ev, period_days=1)
+
+
 def q_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session co-visitation item graph (pipeline/covisit.py, the
     Amazon item-to-item CF count table) over the events table: item =
@@ -1508,6 +1537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "resolve_redirects": q_resolve_redirects,
         "covisitation": q_covisitation,
+        "funnel_steps": q_funnel,
+        "retention_cohorts": q_retention,
         "unigram_logprob": q_unigram_logprob,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -3977,6 +4008,48 @@ FROM agg
 """
 
 
+def _funnel_sql(steps: list[str]) -> str:
+    """Funnel oracle — the same first-touch join chain: step k's
+    completion = MIN(us) of step-k events strictly after the step-k-1
+    completion, over the same thinned log."""
+    sql = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type
+  FROM events WHERE event_id % 7 = 0
+),
+s1 AS (
+  SELECT user_id, MIN(us) AS t FROM ev
+  WHERE event_type = '{0}' GROUP BY user_id
+)""".format(steps[0])
+    for k, step in enumerate(steps[1:], start=2):
+        sql += f""",
+s{k} AS (
+  SELECT e.user_id, MIN(e.us) AS t
+  FROM ev e JOIN s{k - 1} p ON e.user_id = p.user_id AND e.us > p.t
+  WHERE e.event_type = '{step}' GROUP BY e.user_id
+)"""
+    selects = [
+        f"SELECT CAST({k} AS BIGINT) AS step, '{step}' AS event_type,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM s{k}) AS users"
+        for k, step in enumerate(steps, start=1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_RETENTION_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS period
+  FROM events WHERE event_id % 7 = 0
+),
+first AS (SELECT user_id, MIN(period) AS cohort FROM act GROUP BY user_id)
+SELECT CAST(f.cohort AS BIGINT) AS cohort,
+       CAST(a.period - f.cohort AS BIGINT) AS "offset",
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def _covisitation_sql(gap_minutes: int = 120, min_count: int = 2) -> str:
     """Co-visitation oracle — same epoch-us gaps-and-islands
     sessionization (LAG + running SUM ordered (us, item)), same
@@ -4419,6 +4492,8 @@ FROM documents GROUP BY md5(text)
         "dedup_normalized": _dedup_normalized_sql(),
         "resolve_redirects": _RESOLVE_REDIRECTS_SQL,
         "covisitation": _covisitation_sql(gap_minutes=120, min_count=2),
+        "funnel_steps": _funnel_sql(["signup", "view", "click", "purchase"]),
+        "retention_cohorts": _RETENTION_SQL,
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "lang_id": _lang_id_sql(),
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,

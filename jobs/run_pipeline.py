@@ -44,6 +44,7 @@ DOC_OPS = {
     "copy_spans", "pack", "url_canon", "group_cap", "tfidf",
     "vocab", "unigram", "index", "bm25", "pmi", "norm_dedup",
     "covisit",  # --docs: events-shaped parquet (user_id, ts, props)
+    "funnel", "retention",  # --docs: events-shaped parquet
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -154,6 +155,11 @@ def main(argv: list[str]) -> int:
         out = P.covisitation(
             ev, gap_minutes=120, min_count=opt(args.k, 2)
         )
+    elif args.op == "funnel":
+        steps = (args.query or "signup view click purchase").split()
+        out = P.funnel_counts(source, steps)
+    elif args.op == "retention":
+        out = P.retention_cohorts(source, period_days=opt(args.k, 7))
     elif args.op == "bm25":
         if not args.query:
             raise SystemExit("--op bm25 requires --query")

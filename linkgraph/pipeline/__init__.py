@@ -41,6 +41,7 @@ from linkgraph.pipeline.textstats import (
 )
 from linkgraph.pipeline.retrieval import bm25_topk, inverted_index
 from linkgraph.pipeline.covisit import covisitation
+from linkgraph.pipeline.funnel import funnel_counts, retention_cohorts
 from linkgraph.pipeline.embedcluster import (
     cluster_balanced_sample,
     kmeans,
@@ -75,6 +76,8 @@ __all__ = [
     "inverted_index",
     "bm25_topk",
     "covisitation",
+    "funnel_counts",
+    "retention_cohorts",
     "bpe_token_stats",
     "lang_id",
     "gopher_quality",

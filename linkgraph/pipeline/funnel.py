@@ -1,0 +1,107 @@
+"""Event-log product analytics: conversion funnels and retention
+cohorts — the two bread-and-butter OLAP queries an events table
+implies (the batch twins of streaming.sessionize_events' world).
+
+Both operate on int64 epoch-micros (unix_micros over a cast that
+accepts TIMESTAMP_NTZ under the engine's pinned UTC session timezone)
+and emit ONLY int64 columns — hash-exact across engines with no
+tolerance.
+
+Scale shape: funnel is `len(steps)` user-keyed equi-join + min-agg
+rounds (steps is small and fixed — the plan is a short static chain,
+no iteration state); retention is one scan + two hash aggs, both
+map-side combined. No windows, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _micros(events: DataFrame) -> DataFrame:
+    return events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    horizon_minutes: int | None = None,
+) -> DataFrame:
+    """Strict-order conversion funnel: a user completes step k at the
+    EARLIEST event of type steps[k] strictly after their step-k-1
+    completion (classic first-touch semantics); `horizon_minutes`
+    optionally bounds the whole funnel from the step-1 completion.
+
+    Output: (step, event_type, users) — step 1..len(steps), users =
+    how many users reached that step."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if horizon_minutes is not None and horizon_minutes < 1:
+        raise ValueError(
+            f"horizon_minutes must be >= 1, got {horizon_minutes}"
+        )
+    from linkgraph.checkpoint import sever
+
+    ev = _micros(events)
+    spark = events.sparkSession
+    cur = sever(
+        ev.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t"))
+        .select("user_id", "t", F.col("t").alias("t0"))
+    )
+    counts = [(1, steps[0], cur.count())]
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col("event_type") == step).join(cur, "user_id")
+        nxt = nxt.where(F.col("us") > F.col("t"))
+        if horizon_minutes is not None:
+            nxt = nxt.where(
+                F.col("us") <= F.col("t0") + F.lit(horizon_minutes * 60_000_000)
+            )
+        cur = sever(
+            nxt.groupBy("user_id", "t0")
+            .agg(F.min("us").alias("t"))
+            .select("user_id", "t", "t0")
+        )
+        counts.append((k, step, cur.count()))
+    return spark.createDataFrame(
+        counts, "step long, event_type string, users long"
+    )
+
+
+def retention_cohorts(events: DataFrame, period_days: int = 7) -> DataFrame:
+    """Cohort retention matrix: cohort = a user's first active period
+    (absolute floor(epoch_us / period) index), offset = periods since
+    the cohort period. Output: (cohort, offset, users) — all int64.
+
+    One scan → distinct (user, period) → min-period per user →
+    (cohort, offset) count. The standard triangle: offset 0 rows equal
+    cohort sizes."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    period_us = period_days * 86_400 * 1_000_000
+    # integer division (div), not floor(x / y): float division can
+    # round across the boundary at scale; div is exact on both engines
+    active = (
+        _micros(events)
+        .select("user_id", F.expr(f"us div {period_us}").alias("period"))
+        .distinct()
+    )
+    first = active.groupBy("user_id").agg(F.min("period").alias("cohort"))
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort", (F.col("period") - F.col("cohort")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .select(
+            F.col("cohort").cast("long").alias("cohort"),
+            F.col("offset").cast("long").alias("offset"),
+            "users",
+        )
+    )

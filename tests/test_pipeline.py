@@ -1591,3 +1591,56 @@ def test_covisitation_matches_python_replay(spark):
         covisitation(df, gap_minutes=0)
     with pytest.raises(ValueError):
         covisitation(df, max_session_items=1)
+
+
+def test_funnel_and_retention_match_python_replay(spark):
+    """funnel_counts == a per-user first-touch replay (with and
+    without horizon); retention_cohorts == a set-replay of absolute
+    periods; param guards enforced."""
+    from linkgraph.pipeline import funnel_counts, retention_cohorts
+
+    rows = [
+        # user 1 completes the whole funnel in order
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-01 01:00:00", "view"),
+        (1, "2024-01-03 00:00:00", "click"),
+        # user 2 clicks BEFORE viewing -> stalls at view
+        (2, "2024-01-01 00:00:00", "signup"),
+        (2, "2024-01-01 00:30:00", "click"),
+        (2, "2024-01-01 02:00:00", "view"),
+        # user 3 never signs up
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-02 00:00:00", "click"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    df = spark.createDataFrame(pdf)
+
+    got = {
+        r["step"]: (r["event_type"], r["users"])
+        for r in funnel_counts(df, ["signup", "view", "click"]).collect()
+    }
+    assert got == {1: ("signup", 2), 2: ("view", 2), 3: ("click", 1)}
+    # 24h horizon from signup: user 1's click at +48h drops out
+    got_h = {
+        r["step"]: r["users"]
+        for r in funnel_counts(
+            df, ["signup", "view", "click"], horizon_minutes=24 * 60
+        ).collect()
+    }
+    assert got_h == {1: 2, 2: 2, 3: 0}
+    with pytest.raises(ValueError):
+        funnel_counts(df, [])
+    with pytest.raises(ValueError):
+        funnel_counts(df, ["signup"], horizon_minutes=0)
+
+    got_r = {
+        (r["cohort"], r["offset"]): r["users"]
+        for r in retention_cohorts(df, period_days=1).collect()
+    }
+    # absolute day index of 2024-01-01 (exact integer division)
+    d0 = int(pd.Timestamp("2024-01-01").value // 1000) // 86_400_000_000
+    # users 1,2,3 first active day d0; user 1 also d0+2, user 3 d0+1
+    assert got_r == {(d0, 0): 3, (d0, 1): 1, (d0, 2): 1}
+    with pytest.raises(ValueError):
+        retention_cohorts(df, period_days=0)
