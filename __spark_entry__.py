@@ -1050,6 +1050,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_documents(spark, sf_dir), "spark join window", k=10)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (pipeline/sampling.
+    weighted_sample, the DCLM-style resampling move): per-doc keep
+    probability = clamp(n_chars/400, 0, 1), membership by the seeded
+    md5-prefix id hash — EXACT membership oracle (same hash idiom as
+    stratified_sample; the threshold is one double product both
+    engines)."""
+    from linkgraph.pipeline import weighted_sample
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") / F.lit(400.0)).alias("w"),
+    )
+    return weighted_sample(docs, "w", seed=7).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order conversion funnel (pipeline/funnel.funnel_counts)
     signup→view→click→purchase over the deterministically thinned
@@ -1539,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covisitation": q_covisitation,
         "funnel_steps": q_funnel,
         "retention_cohorts": q_retention,
+        "weighted_sample": q_weighted_sample,
         "unigram_logprob": q_unigram_logprob,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2031,6 +2052,14 @@ ec{r} AS MATERIALIZED (
 SELECT e.u, e.w, COALESCE(s.support, CAST(0 AS BIGINT)) AS support
 FROM ec{rounds - 1} e LEFT JOIN su{rounds} s ON e.u = s.u AND e.w = s.w
 WHERE COALESCE(s.support, 0) >= {k - 2}
+"""
+
+
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < LEAST(GREATEST(CAST(n_chars AS DOUBLE) / 400.0, 0.0), 1.0)
+        * 4294967296.0
 """
 
 
@@ -4494,6 +4523,7 @@ FROM documents GROUP BY md5(text)
         "covisitation": _covisitation_sql(gap_minutes=120, min_count=2),
         "funnel_steps": _funnel_sql(["signup", "view", "click", "purchase"]),
         "retention_cohorts": _RETENTION_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "lang_id": _lang_id_sql(),
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,

@@ -45,6 +45,7 @@ DOC_OPS = {
     "vocab", "unigram", "index", "bm25", "pmi", "norm_dedup",
     "covisit",  # --docs: events-shaped parquet (user_id, ts, props)
     "funnel", "retention",  # --docs: events-shaped parquet
+    "weighted_sample",  # --query names the weight column
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -160,6 +161,10 @@ def main(argv: list[str]) -> int:
         out = P.funnel_counts(source, steps)
     elif args.op == "retention":
         out = P.retention_cohorts(source, period_days=opt(args.k, 7))
+    elif args.op == "weighted_sample":
+        if not args.query:
+            raise SystemExit("--op weighted_sample requires --query <weight column>")
+        out = P.weighted_sample(source, args.query, seed=opt(args.seed, 0))
     elif args.op == "bm25":
         if not args.query:
             raise SystemExit("--op bm25 requires --query")

@@ -51,7 +51,12 @@ from linkgraph.pipeline.decontam import decontaminate, word_ngrams
 from linkgraph.pipeline.pii import pii_redact
 from linkgraph.pipeline.embedprop import feature_propagation
 from linkgraph.pipeline.packing import pack_sequences
-from linkgraph.pipeline.sampling import group_capped_sample, hash_sample, stratified_sample
+from linkgraph.pipeline.sampling import (
+    group_capped_sample,
+    hash_sample,
+    stratified_sample,
+    weighted_sample,
+)
 from linkgraph.pipeline.urlnorm import canonicalize_urls
 
 __all__ = [
@@ -95,4 +100,5 @@ __all__ = [
     "feature_propagation",
     "hash_sample",
     "stratified_sample",
+    "weighted_sample",
 ]

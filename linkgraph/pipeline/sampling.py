@@ -120,3 +120,30 @@ def group_capped_sample(
         .where(F.col("_rk") <= per_group)
         .drop("_rk")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance sampling: each row is kept with ITS OWN probability
+    — `weight_col` clamped to [0, 1] — selected by the same seeded
+    md5-prefix id hash as hash_sample (the DCLM-style quality-weighted
+    corpus resampling move: keep probability proportional to a quality
+    score). Membership is exact, engine-reproducible, and stable under
+    repartitioning; E[kept] = Σ clamp(w). Same one-codegen-filter
+    100 TB profile as hash_sample.
+
+    Cross-engine note: the comparison is int64 h < w·2^32 with w·2^32
+    ONE double product — both sides exactly agree (h ≤ 2^32 is
+    double-exact; the product is a single correctly-rounded op)."""
+    key = F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(F.encode(key, "utf-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    p = F.least(
+        F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0)
+    )
+    return docs.where(h < p * F.lit(float(HASH_SPACE)))

@@ -1644,3 +1644,38 @@ def test_funnel_and_retention_match_python_replay(spark):
     assert got_r == {(d0, 0): 3, (d0, 1): 1, (d0, 2): 1}
     with pytest.raises(ValueError):
         retention_cohorts(df, period_days=0)
+
+
+def test_weighted_sample_matches_hashlib_replay(spark):
+    """Per-row keep probability == an exact hashlib membership replay;
+    w<=0 keeps nothing, w>=1 keeps everything; stable under
+    repartitioning; seed-sensitive."""
+    from linkgraph.pipeline import weighted_sample
+
+    n = 200
+    pdf = pd.DataFrame(
+        {"doc_id": range(n), "w": [(i % 11) / 10.0 for i in range(n)]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    def replay(seed):
+        kept = set()
+        for i in range(n):
+            h = int(
+                hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16
+            )
+            w = min(max((i % 11) / 10.0, 0.0), 1.0)
+            if h < w * 2**32:
+                kept.add(i)
+        return kept
+
+    got = {r["doc_id"] for r in weighted_sample(df, "w", seed=3).collect()}
+    assert got == replay(3)
+    assert {i for i in got if i % 11 == 0} == set()  # w=0 rows never kept
+    assert {i for i in range(n) if i % 11 == 10} <= got  # w=1 rows always
+    got_rep = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "w", seed=3).collect()
+    }
+    assert got_rep == got
+    assert {r["doc_id"] for r in weighted_sample(df, "w", seed=4).collect()} != got
