@@ -232,8 +232,13 @@ def run_level(edges_path: str, cpus: int, args) -> dict:
             capture_output=True,
             text=True,
             cwd=REPO,
-            check=True,
         )
+        if out.returncode != 0:
+            # surface the worker's own failure, not a bare exit status
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"worker (cpus={cpus}) exited {out.returncode}; stderr tail above"
+            )
         rec = json.loads(out.stdout.strip().splitlines()[-1])
         print(json.dumps(rec), file=sys.stderr)
         if best is None or rec["median_iter_s"] < best["median_iter_s"]:
