@@ -765,6 +765,19 @@ def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("layer", "src", "dst")
 
 
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform-corruption negative edges
+    (kernels/sampling.py:negative_sample, SURVEY §2.9): k=3 negatives
+    per positive src on the part-succession graph, seed 7 —
+    hash-drawn non-neighbors, the link-prediction/embedding training
+    counterpart to `random_walks` (all-int64 rows, no rounding)."""
+    from linkgraph.kernels import negative_sample
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    res = negative_sample(g, k=3, seed=7)
+    return res.df.select("src", "slot", "dst")
+
+
 def q_condensation_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCC condensation DAG of the part-succession graph layered by
     longest path (kernels/condense.py, SURVEY §2.9): per component
@@ -1507,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_curve": q_knn_curve,
         "random_walks": q_random_walks,
         "neighbor_sample": q_neighbor_sample,
+        "negative_sample": q_negative_sample,
         "condensation_levels": q_condensation_levels,
         "ppr_k": q_ppr_k,
         "ppr_sweep": q_ppr_sweep,
@@ -1734,6 +1748,55 @@ f{layer} AS (SELECT DISTINCT dst AS id FROM b{layer})"""
     ]
     sql += "\n" + "\nUNION ALL\n".join(parts)
     return sql
+
+
+def _negative_sample_sql(k: int = 3, seed: int = 7, overgen: int = 4) -> str:
+    """Replays kernels/sampling.py:negative_sample on the
+    part-succession graph: cand(src, j) = draw % (max_id + 1) over j in
+    [0, k*overgen); drop holes / self-loops / positives / per-src dupes
+    (keep min j); first k survivors by (j, cand) win, slot 0-based.
+    Mix constants imported from kernels/walks.py — change both or
+    neither."""
+    from linkgraph.kernels.walks import (
+        MIX_MASK,
+        MIX_MULT,
+        MIX_PRIME,
+        MIX_START,
+        MIX_WALK,
+    )
+
+    seed = int(seed) % MIX_PRIME
+    h = (
+        f"((((s.id % {MIX_MASK}) * {MIX_START} + t.j * {MIX_WALK} + {seed})"
+        f" % {MIX_PRIME}) * {MIX_MULT}) % {MIX_PRIME}"
+    )
+    return f"""
+WITH e AS MATERIALIZED ({_PART_SUCC_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+nid AS (SELECT MAX(id) + 1 AS n FROM v),
+cand AS (
+  SELECT s.id AS src, t.j, ({h}) % nid.n AS cand
+  FROM (SELECT DISTINCT src AS id FROM e) s
+  CROSS JOIN range({k * overgen}) t(j)
+  CROSS JOIN nid
+),
+alive AS (
+  SELECT c.src, c.j, c.cand FROM cand c
+  JOIN v ON v.id = c.cand
+  WHERE c.cand <> c.src
+    AND NOT EXISTS (
+      SELECT 1 FROM e WHERE e.src = c.src AND e.dst = c.cand
+    )
+),
+firstj AS (
+  SELECT src, cand, MIN(j) AS j FROM alive GROUP BY src, cand
+)
+SELECT src, CAST(rn - 1 AS BIGINT) AS slot, cand AS dst FROM (
+  SELECT src, cand,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY j, cand) AS rn
+  FROM firstj
+) WHERE rn <= {k}
+"""
 
 
 # Condensation oracle: the _SCC_SQL closure labels, condensed edge
@@ -4604,6 +4667,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "knn_curve": _KNN_CURVE_SQL,
         "random_walks": _random_walks_sql(4, 2, 7),
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),
+        "negative_sample": _negative_sample_sql(3, 7),
         "condensation_levels": _CONDENSE_SQL,
         "ppr_k": _ppr_k_sql(3),
         "ppr_sweep": _ppr_sweep_sql(3, 4, 128),

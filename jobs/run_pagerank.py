@@ -34,7 +34,7 @@ def main(argv: list[str]) -> int:
             "triangles", "msbfs", "harmonic", "radii", "kcore", "bc", "sssp",
             "mis", "coloring", "anf", "hits", "katz", "eigen", "salsa", "ppr", "scc", "bowtie",
             "clustering", "linkpred", "densest", "stats", "truss", "ego",
-            "modularity", "conductance", "walks", "sample", "condense",
+            "modularity", "conductance", "walks", "sample", "negsample", "condense",
             "matching", "msf", "jaccard", "butterflies", "pagerank_w", "coreness",
             "degrees", "alpha", "knn", "spam", "sweep", "closeness",
             "redirects",
@@ -57,7 +57,9 @@ def main(argv: list[str]) -> int:
         help="comma-separated source ids for msbfs/harmonic "
         "(default: the 4 smallest vertex ids)",
     )
-    ap.add_argument("--k", type=int, default=3, help="k for kcore/truss")
+    ap.add_argument(
+        "--k", type=int, default=3, help="k for kcore/truss/negsample"
+    )
     ap.add_argument("--max-iter", type=int, default=200)
     ap.add_argument("--tol", type=float, default=1e-6)
     args = ap.parse_args(argv)
@@ -327,6 +329,14 @@ def main(argv: list[str]) -> int:
             "kernel": "sample",
             "layers": res.layers,
             "sampled_edges": out.count(),
+        }
+    elif args.kernel == "negsample":
+        res = kernels.negative_sample(graph, k=args.k, seed=args.seed)
+        out = res.df.orderBy("src", "slot")
+        summary = {
+            "kernel": "negsample",
+            "k": res.k,
+            "pairs": res.metrics["pairs"],
         }
     elif args.kernel == "condense":
         res = kernels.condensation(graph)

@@ -40,6 +40,8 @@ random_walks    deterministic DeepWalk corpus (hash-argmin successor,
                 bit-reproducible — skip-gram training-data op)
 neighbor_sample deterministic GraphSAGE k-hop fanout sampling
                 (hash-ranked without-replacement edge blocks)
+negative_sample uniform-corruption negative edges for link-prediction
+                training (hash-drawn non-neighbors, TransE-style)
 condensation    SCC condensation DAG + longest-path topo levels
                 (the web hierarchy view; Kahn layering by relaxation)
 ppr             personalized PageRank / random walk with restart
@@ -100,7 +102,7 @@ from linkgraph.kernels.katz import katz
 from linkgraph.kernels.salsa import salsa
 from linkgraph.kernels.modularity import community_stats, conductance, modularity
 from linkgraph.kernels.walks import random_walks
-from linkgraph.kernels.sampling import neighbor_sample
+from linkgraph.kernels.sampling import negative_sample, neighbor_sample
 from linkgraph.kernels.condense import condensation
 from linkgraph.kernels.ppr import ppr
 from linkgraph.kernels.pprsweep import ppr_sweep
@@ -153,6 +155,7 @@ __all__ = [
     "conductance",
     "random_walks",
     "neighbor_sample",
+    "negative_sample",
     "condensation",
     "ppr",
     "ppr_sweep",

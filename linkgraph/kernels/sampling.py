@@ -28,12 +28,19 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
 from linkgraph.checkpoint import sever
-from linkgraph.kernels.walks import mix_expr, MIX_PRIME
+from linkgraph.kernels.walks import (
+    MIX_MASK,
+    MIX_MULT,
+    MIX_PRIME,
+    MIX_START,
+    MIX_WALK,
+    mix_expr,
+)
 from linkgraph.session import conf_override
 
 
@@ -123,4 +130,124 @@ def neighbor_sample(
         layers=len(blocks),
         wall_seconds=time.time() - t0,
         metrics=metrics,
+    )
+
+
+@dataclass
+class NegSampleResult:
+    df: DataFrame  # (src long, slot long, dst long) negative pairs
+    k: int
+    wall_seconds: float
+    metrics: dict = field(default_factory=dict)
+
+
+def draw_expr(src: Column, j: Column, seed: int) -> Column:
+    """Portable candidate draw — the same two-round Lehmer shape as
+    walks.mix_expr but producing the candidate itself: the hash IS the
+    sample, mapped into the id space by the caller's `% (max_id + 1)`.
+    Mirrored verbatim in the driver oracle SQL
+    (__spark_entry__._negative_sample_sql); change both or neither."""
+    x = (src % MIX_MASK) * MIX_START + j * MIX_WALK + F.lit(int(seed)).cast("long")
+    return ((x % MIX_PRIME) * MIX_MULT) % MIX_PRIME
+
+
+def negative_sample(
+    graph: Graph,
+    k: int = 5,
+    seed: int = 0,
+    overgen: int = 4,
+    srcs: DataFrame | None = None,
+) -> NegSampleResult:
+    """Uniform-corruption negative edges for link-prediction /
+    embedding training (TransE-style corruption, Bordes et al.
+    NeurIPS'13; word2vec's negative sampling uses the same move with a
+    deg^0.75 proposal — uniform here so the draw stays a pure int64
+    modulo, engine-portable and bit-reproducible).
+
+    For every source vertex (default: out_degree >= 1, the positive
+    srcs a trainer corrupts) draw up to `k` distinct vertices that are
+    NOT out-neighbors and not the source itself. Candidates are
+    hash-uniform over the live id range: cand(src, j) =
+    draw(src, j, seed) % (max_id + 1) for j in [0, k*overgen), then
+    non-vertices (id-space holes), self-loops, accidental positives,
+    and per-src duplicate candidates are dropped and the first k
+    survivors by draw index j win. Uniformity over *vertices* holds
+    because existing ids get equal mass from the modulo (bias
+    O((max_id+1)/2^31), negligible); survivors can fall short of k
+    only when a src's adjacency covers most of the graph.
+
+    Spark shape: candidate generation is one codegen projection
+    (explode of a k*overgen sequence — no shuffle, no RNG state); one
+    semi-join on the candidate key against vertices (broadcast-able
+    when the vertex table is small, shuffle-hash otherwise); one
+    anti-join on (src, cand) against edges — the same src-keyed
+    shuffle every kernel gathers on; then a per-src dedup + rank over
+    <= k*overgen rows (bounded window, no hub skew: the sample size,
+    not the degree, bounds the partition). O(n*k*overgen) rows
+    end-to-end — the 100 TB cost is one pass over a corpus-sized
+    projection plus two keyed joins.
+
+    Returns (src, slot, dst) with slot = 0..k-1 in draw order — all
+    int64, hash-exact against the oracle.
+    """
+    if k < 1 or overgen < 1:
+        raise ValueError("k and overgen must be >= 1")
+    seed = int(seed) % MIX_PRIME
+    t0 = time.time()
+    if srcs is None:
+        srcs = graph.degrees.where(F.col("out_deg") >= 1).select("id")
+    else:
+        srcs = srcs.select(F.col("id").cast("long").alias("id")).distinct()
+    max_id = graph.vertices.agg(F.max("id").alias("m")).collect()[0]["m"]
+    if max_id is None:
+        raise ValueError("graph has no vertices")
+    n_ids = int(max_id) + 1
+    from pyspark.sql import Window
+
+    cand = srcs.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(k * overgen - 1).cast("long"))
+        ).alias("j"),
+    ).select(
+        "src",
+        "j",
+        (draw_expr(F.col("src"), F.col("j"), seed) % F.lit(n_ids).cast("long")).alias(
+            "cand"
+        ),
+    )
+    cand = cand.where(F.col("cand") != F.col("src"))
+    # keep only candidates that are real vertices (id-space holes die)
+    cand = cand.join(
+        graph.vertices.select(F.col("id").alias("cand")).hint("shuffle_hash"),
+        "cand",
+        "semi",
+    )
+    # drop accidental positives — anti-join on the engine's edge key
+    edges = graph.edges.select(
+        F.col("src"), F.col("dst").alias("cand")
+    )
+    cand = cand.join(edges.hint("shuffle_hash"), ["src", "cand"], "anti")
+    # per-src duplicate candidates collapse to their first draw, then
+    # the first k survivors by draw order win (bounded window)
+    dedup = cand.groupBy("src", "cand").agg(F.min("j").alias("j"))
+    w = Window.partitionBy("src").orderBy("j", "cand")
+    obs = Observation("neg_sample")
+    out = (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "src",
+            (F.col("rn") - 1).cast("long").alias("slot"),
+            F.col("cand").alias("dst"),
+        )
+        .observe(obs, F.count(F.lit(1)).alias("pairs"))
+    )
+    out = sever(out)
+    pairs = int(obs.get["pairs"] or 0)
+    return NegSampleResult(
+        df=out,
+        k=k,
+        wall_seconds=time.time() - t0,
+        metrics={"pairs": pairs, "max_id": int(max_id), "overgen": overgen},
     )

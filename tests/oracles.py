@@ -552,6 +552,50 @@ def neighbor_sample_replay(
     return rows
 
 
+def negative_sample_replay(
+    src: np.ndarray,
+    dst: np.ndarray,
+    k: int,
+    seed: int = 0,
+    overgen: int = 4,
+    srcs: list[int] | None = None,
+    n: int | None = None,
+) -> set[tuple[int, int, int]]:
+    """Sequential replay of kernels/sampling.py:negative_sample:
+    cand(s, j) = draw(s, j) % (max_id + 1); drop holes / self /
+    positives / per-src dupes; first k survivors by (j, cand) win,
+    slot = 0..k-1. `n` mirrors build_graph_from_edges(n=...): the
+    vertex universe is 0..n-1 when given, else the edge endpoints."""
+    mask, p, mult = 1048576, 2147483647, 2654435761
+    seed = int(seed) % p
+
+    def draw(s: int, j: int) -> int:
+        x = (s % mask) * 2097169 + j * 131071 + seed
+        return ((x % p) * mult) % p
+
+    verts = (
+        set(range(n)) if n is not None else set(src.tolist()) | set(dst.tolist())
+    )
+    n_ids = max(verts) + 1
+    adj: dict[int, set[int]] = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(u, set()).add(v)
+    sources = sorted(adj) if srcs is None else sorted(set(srcs))
+    rows: set[tuple[int, int, int]] = set()
+    for s in sources:
+        first: dict[int, int] = {}
+        for j in range(k * overgen):
+            c = draw(s, j) % n_ids
+            if c == s or c not in verts or c in adj.get(s, ()):
+                continue
+            if c not in first:
+                first[c] = j
+        kept = sorted(first.items(), key=lambda it: (it[1], it[0]))[:k]
+        for slot, (c, _) in enumerate(kept):
+            rows.add((s, slot, c))
+    return rows
+
+
 def ppr_numpy(
     n: int,
     src: np.ndarray,

@@ -59,8 +59,15 @@ def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None
             " (driver value-hash would fail)"
         )
         if a_float or b_float:
+            # NULL-bearing int columns arrive as float64 + NaN on both
+            # sides (e.g. resolve_redirects.chain_len for cycles); the
+            # driver's byte-hash treats aligned NaNs as equal, so the
+            # rehearsal must too — masks must match, non-NaN exactly
+            af, bf = av.astype(float), bv.astype(float)
+            an, bn = np.isnan(af), np.isnan(bf)
+            assert (an == bn).all(), f"{name}.{col}: NULL positions differ"
             assert np.allclose(
-                av.astype(float), bv.astype(float), rtol=0, atol=0
+                af[~an], bf[~bn], rtol=0, atol=0
             ), f"{name}.{col}: float values differ"
         else:
             assert (av == bv).all(), f"{name}.{col}: values differ"

@@ -851,6 +851,70 @@ def test_neighbor_sample_small_degree_keeps_all(spark):
     g.unpersist()
 
 
+def test_negative_sample_matches_replay(rmat_graph):
+    """The distributed negative pairs equal the sequential replay; no
+    pair is a real edge or a self-loop; at most k per src; slots are
+    dense from 0; determinism across invocations; a different seed
+    moves the draw."""
+    from linkgraph.kernels import negative_sample
+    from tests.oracles import negative_sample_replay
+
+    g, pdf, n = rmat_graph
+    res = negative_sample(g, k=3, seed=7)
+    got = {(r["src"], r["slot"], r["dst"]) for r in res.df.collect()}
+    want = negative_sample_replay(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), k=3, seed=7, n=n
+    )
+    assert got == want
+    edge_set = set(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
+    import collections
+
+    per = collections.defaultdict(list)
+    for s, slot, d in got:
+        assert (s, d) not in edge_set and s != d
+        per[s].append(slot)
+    for s, slots in per.items():
+        assert sorted(slots) == list(range(len(slots))) and len(slots) <= 3
+    # every positive src (out_deg >= 1) got at least one negative here
+    assert set(per) == set(pdf["src"].tolist())
+    res2 = negative_sample(g, k=3, seed=7)
+    assert {(r["src"], r["slot"], r["dst"]) for r in res2.df.collect()} == got
+    res3 = negative_sample(g, k=3, seed=8)
+    assert {(r["src"], r["slot"], r["dst"]) for r in res3.df.collect()} != got
+
+
+def test_negative_sample_dense_adjacency_falls_short(spark):
+    """K3 (0,1,2 fully connected): every candidate for src 0 is a
+    neighbor or itself, so src 0 gets ZERO negatives; adding an
+    isolated vertex 3 makes it the only legal draw for everyone."""
+    from linkgraph.kernels import negative_sample
+    from tests.oracles import negative_sample_replay
+
+    full = pd.DataFrame(
+        {"src": [0, 0, 1, 1, 2, 2], "dst": [1, 2, 0, 2, 0, 1]}
+    )
+    g = _graph(spark, full, 3)
+    res = negative_sample(g, k=2, seed=0)
+    assert res.df.count() == 0
+    g.unpersist()
+    g2 = _graph(spark, full, 4)
+    res2 = negative_sample(g2, k=2, seed=0)
+    got = {(r["src"], r["slot"], r["dst"]) for r in res2.df.collect()}
+    want = negative_sample_replay(
+        full["src"].to_numpy(), full["dst"].to_numpy(), k=2, seed=0, n=4
+    )
+    assert got == want
+    assert {d for _, _, d in got} == {3}
+    # 3 has out-degree 0 -> not a source
+    assert {s for s, _, _ in got} <= {0, 1, 2}
+    g2.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        negative_sample(g2, k=0)
+
+
 def test_condensation_matches_replay(rmat_graph):
     """(level, size) per component equals the Tarjan + longest-path
     DP replay; the condensed edge set is a DAG that matches."""
