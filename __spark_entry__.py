@@ -778,6 +778,18 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("src", "slot", "dst")
 
 
+def q_degree_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-descending dense relabeling of the part-succession
+    graph (build.relabel_by_degree, SURVEY §2.9) — the WebGraph
+    locality transform; new_id is a pure function of the degree table
+    (global (deg DESC, id) order), so ROW_NUMBER reproduces it
+    (all-int64 rows, no rounding)."""
+    from linkgraph.build import relabel_by_degree
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    return relabel_by_degree(g, order="total").select("id", "new_id", "deg")
+
+
 def q_condensation_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCC condensation DAG of the part-succession graph layered by
     longest path (kernels/condense.py, SURVEY §2.9): per component
@@ -1521,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "neighbor_sample": q_neighbor_sample,
         "negative_sample": q_negative_sample,
+        "degree_relabel": q_degree_relabel,
         "condensation_levels": q_condensation_levels,
         "ppr_k": q_ppr_k,
         "ppr_sweep": q_ppr_sweep,
@@ -1748,6 +1761,26 @@ f{layer} AS (SELECT DISTINCT dst AS id FROM b{layer})"""
     ]
     sql += "\n" + "\nUNION ALL\n".join(parts)
     return sql
+
+
+# Degree relabeling oracle: new_id is defined as the global
+# (deg DESC, id ASC) rank — the distributed two-phase assignment in
+# build.relabel_by_degree is a pure function of the degree table, so
+# ROW_NUMBER reproduces it bit-for-bit (all int64).
+_DEGREE_RELABEL_SQL = f"""
+WITH e AS MATERIALIZED ({_PART_SUCC_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+outd AS (SELECT src AS id, COUNT(*) AS c FROM e GROUP BY src),
+ind AS (SELECT dst AS id, COUNT(*) AS c FROM e GROUP BY dst),
+deg AS (
+  SELECT v.id, COALESCE(outd.c, 0) + COALESCE(ind.c, 0) AS deg
+  FROM v LEFT JOIN outd ON outd.id = v.id LEFT JOIN ind ON ind.id = v.id
+)
+SELECT id,
+       CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, id) - 1 AS BIGINT) AS new_id,
+       deg
+FROM deg
+"""
 
 
 def _negative_sample_sql(k: int = 3, seed: int = 7, overgen: int = 4) -> str:
@@ -4668,6 +4701,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "random_walks": _random_walks_sql(4, 2, 7),
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),
         "negative_sample": _negative_sample_sql(3, 7),
+        "degree_relabel": _DEGREE_RELABEL_SQL,
         "condensation_levels": _CONDENSE_SQL,
         "ppr_k": _ppr_k_sql(3),
         "ppr_sweep": _ppr_sweep_sql(3, 4, 128),

@@ -442,3 +442,84 @@ def update_graph(
     )
     url_edges.unpersist()
     return g
+
+
+def relabel_by_degree(
+    graph: Graph,
+    order: str = "total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Degree-descending dense relabeling (id, new_id, deg) — the
+    WebGraph locality transform (Boldi & Vigna WWW'04: BV compression
+    and cache behavior improve sharply when hub ids cluster at the low
+    end; the reference keeps first-seen order, /root/reference/src/
+    graph.rs:80-110, so this is the optional post-build optimization
+    pass, not a port).
+
+    new_id is dense 0..n-1 in GLOBAL (deg DESC, id ASC) order — a pure
+    function of the degree table, so a SQL
+    ``ROW_NUMBER() OVER (ORDER BY deg DESC, id) - 1`` reproduces it
+    exactly. Same two-phase shape as assign_ordered_ids: range
+    partition + in-partition sort, a P-row count collect, broadcast
+    offsets, Arrow per-partition enumeration — no single-partition
+    window, no zipWithIndex, scales to 10^12 vertices.
+
+    order: "out" | "in" | "total" — which degree ranks first.
+    """
+    if order not in ("out", "in", "total"):
+        raise ValueError("order must be 'out', 'in', or 'total'")
+    deg_col = {
+        "out": F.col("out_deg"),
+        "in": F.col("in_deg"),
+        "total": F.col("out_deg") + F.col("in_deg"),
+    }[order]
+    spark = graph.degrees.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        graph.degrees.select("id", deg_col.cast("long").alias("deg"))
+        .repartitionByRange(p, F.col("deg").desc(), F.col("id"))
+        .sortWithinPartitions(F.col("deg").desc(), F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in part.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in range(p):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    offsets_bc = spark.sparkContext.broadcast(offsets)
+
+    def assign(iterator):
+        pid = TaskContext.get().partitionId()
+        pos = offsets_bc.value[pid]
+        for pdf in iterator:
+            n = len(pdf)
+            yield pdf.assign(new_id=np.arange(pos, pos + n, dtype="int64"))[
+                ["id", "new_id", "deg"]
+            ]
+            pos += n
+
+    out = part.mapInPandas(assign, schema="id long, new_id long, deg long")
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    part.unpersist()
+    return out
+
+
+def relabel_edges(graph: Graph, mapping: DataFrame) -> DataFrame:
+    """Rewrite (src, dst) through a relabeling map (id, new_id) — two
+    keyed joins, each on the id key (broadcast-able when the map fits,
+    shuffle-hash otherwise); the output feeds build_graph_from_edges
+    (assume_deduped=True is safe: relabeling is a bijection)."""
+    m = mapping.select("id", "new_id")
+    return (
+        graph.edges.join(m.withColumnRenamed("id", "src"), "src")
+        .select(F.col("new_id").alias("src"), "dst")
+        .join(m.withColumnRenamed("id", "dst"), "dst")
+        .select("src", F.col("new_id").alias("dst"))
+    )

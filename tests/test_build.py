@@ -384,3 +384,78 @@ def test_update_graph_requires_url_vertices(spark):
     with _pytest.raises(ValueError):
         update_graph(g, pages)
     g.unpersist()
+
+
+def test_relabel_by_degree_matches_rank(spark):
+    """new_id must equal the global (deg DESC, id ASC) rank — a pure
+    function of the degree table — and be P-independent."""
+    from linkgraph.build import relabel_by_degree
+    from linkgraph.datagen import rmat_edges
+
+    pdf = rmat_edges(scale=6, edge_factor=4, seed=11)
+    g = build_graph_from_edges(spark.createDataFrame(pdf), num_partitions=4)
+    for order, col in (("total", None), ("out", "out_deg"), ("in", "in_deg")):
+        m3 = relabel_by_degree(g, order=order, num_partitions=3).toPandas()
+        m8 = relabel_by_degree(g, order=order, num_partitions=8).toPandas()
+        deg = g.degrees.toPandas()
+        want_deg = (
+            deg["out_deg"] + deg["in_deg"] if col is None else deg[col]
+        )
+        ranked = (
+            deg.assign(d=want_deg)
+            .sort_values(["d", "id"], ascending=[False, True], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        want = {int(r.id): i for i, r in enumerate(ranked.itertuples())}
+        got3 = dict(zip(m3["id"].astype(int), m3["new_id"].astype(int)))
+        got8 = dict(zip(m8["id"].astype(int), m8["new_id"].astype(int)))
+        assert got3 == want
+        assert got8 == want  # P-independent
+        assert sorted(m3["new_id"]) == list(range(len(m3)))  # dense
+        # hubs land at the low end
+        by_new = m3.sort_values("new_id")["deg"].to_numpy()
+        assert (by_new[:-1] >= by_new[1:]).all()
+    g.unpersist()
+
+
+def test_relabel_edges_is_isomorphism(spark):
+    """Relabeled graph is isomorphic: same n/m, and pagerank scores
+    transport through the mapping (allclose 1e-12)."""
+    import numpy as np
+
+    from linkgraph.build import relabel_by_degree, relabel_edges
+    from linkgraph.datagen import rmat_edges
+    from linkgraph.kernels.pagerank import pagerank
+
+    pdf = rmat_edges(scale=5, edge_factor=4, seed=3)
+    g = build_graph_from_edges(spark.createDataFrame(pdf), num_partitions=4)
+    mapping = relabel_by_degree(g)
+    new_edges = relabel_edges(g, mapping)
+    g2 = build_graph_from_edges(
+        new_edges, n=g.n, num_partitions=4, assume_deduped=True
+    )
+    assert g2.m == g.m
+    pr1 = pagerank(g, max_iter=10).df.toPandas()
+    pr2 = pagerank(g2, max_iter=10).df.toPandas()
+    mp = dict(zip(mapping.toPandas()["id"], mapping.toPandas()["new_id"]))
+    s1 = {mp[int(r.id)]: r.rank for r in pr1.itertuples()}
+    s2 = {int(r.id): r.rank for r in pr2.itertuples()}
+    assert set(s1) == set(s2)
+    a = np.array([s1[k] for k in sorted(s1)])
+    b = np.array([s2[k] for k in sorted(s2)])
+    assert np.allclose(a, b, atol=1e-12)
+    mapping.unpersist()
+    g.unpersist()
+    g2.unpersist()
+
+
+def test_relabel_by_degree_rejects_bad_order(spark):
+    import pytest as _pytest
+
+    from linkgraph.build import relabel_by_degree
+
+    edges = spark.createDataFrame(pd.DataFrame({"src": [0], "dst": [1]}))
+    g = build_graph_from_edges(edges, n=2)
+    with _pytest.raises(ValueError):
+        relabel_by_degree(g, order="degree")
+    g.unpersist()
