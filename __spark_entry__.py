@@ -1384,6 +1384,47 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_documents(spark, sf_dir))
 
 
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleanliness signals (pipeline/textstats.c4_quality,
+    Raffel et al. JMLR'20 §2.2 document-level subset): terminal
+    punctuation, sentence count, lorem-ipsum / curly-brace /
+    javascript screens, composite keep. The synthetic corpus has no
+    punctuation, so documents are unioned-in-place with deterministic
+    suffixes keyed on doc_id % 6 — one clean-pass class and one class
+    per failing rule — making every rule fire and the flag
+    non-trivial (~84 of 500 keeps at sf0.01). All signals are
+    integer/boolean logic: hash-exact, NO floats."""
+    from linkgraph.pipeline import c4_quality
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    suffix = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit(". More text here. And a third sentence."))
+        .when(F.col("doc_id") % 6 == 1,
+              F.lit(". Lorem ipsum dolor sit amet. Three sentences here."))
+        .when(F.col("doc_id") % 6 == 2,
+              F.lit(". Brace { ahead. Three sentences total."))
+        .when(F.col("doc_id") % 6 == 3,
+              F.lit(". Enable javascript to continue. Third sentence."))
+        .when(F.col("doc_id") % 6 == 4, F.lit(""))
+        .otherwise(F.lit("?"))
+    )
+    return c4_quality(docs.select("doc_id", F.concat("text", suffix).alias("text")))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG document chunking (pipeline/chunking.chunk_documents):
+    32-token windows with 8-token overlap (stride 24) — sf0.01 docs
+    span 27-72 words so per-doc chunk counts vary 1-3 and overlap is
+    real. Chunk boundaries and text are a pure integer/string function
+    of the text: hash-exact."""
+    from linkgraph.pipeline import chunk_documents
+
+    return chunk_documents(
+        _documents(spark, sf_dir).select("doc_id", "text"), window=32, overlap=8
+    )
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced downsampling
     (pipeline/embedcluster.cluster_balanced_sample): the SAME
@@ -1603,6 +1644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "stratified_sample": q_stratified_sample,
         "gopher_quality": q_gopher_quality,
+        "c4_quality": q_c4_quality,
+        "chunk_documents": q_chunk_documents,
         "cluster_sample": q_cluster_sample,
         "feature_prop": q_feature_prop,
         "decontaminate": q_decontaminate,
@@ -4501,6 +4544,79 @@ FROM m
 """
 
 
+def _c4_quality_sql(min_words: int = 5, min_sentences: int = 3) -> str:
+    """Mirrors pipeline/textstats.c4_quality over the same messy-
+    suffix union (doc_id % 6 classes); the javascript pattern is
+    imported from the kernel module so the two cannot drift. Pure
+    integer/boolean logic — no floats, no rounding."""
+    from linkgraph.pipeline.textstats import C4_JS_PATTERN
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE doc_id % 6
+           WHEN 0 THEN '. More text here. And a third sentence.'
+           WHEN 1 THEN '. Lorem ipsum dolor sit amet. Three sentences here.'
+           WHEN 2 THEN '. Brace {{ ahead. Three sentences total.'
+           WHEN 3 THEN '. Enable javascript to continue. Third sentence.'
+           WHEN 4 THEN ''
+           ELSE '?' END AS text
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_words,
+         CAST(length(text) - length(translate(text, '.!?', '')) AS BIGINT)
+           AS n_sentences,
+         right(rtrim(text), 1) IN ('.', '!', '?', '"') AS ends_terminal,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{{') AS has_brace,
+         regexp_matches(lower(text), '{C4_JS_PATTERN}') AS has_javascript
+  FROM d
+)
+SELECT *,
+       (ends_terminal AND n_words >= {min_words}
+        AND n_sentences >= {min_sentences}
+        AND NOT has_lorem AND NOT has_brace AND NOT has_javascript) AS keep
+FROM sig
+"""
+
+
+def _chunk_documents_sql(window: int = 32, overlap: int = 8) -> str:
+    """Mirrors pipeline/chunking.chunk_documents: same token split,
+    same exact-integer chunk count, same 1-based window slicing via a
+    lateral generate_series."""
+    stride = window - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, n,
+         CASE WHEN n <= 0 THEN 0 WHEN n <= {window} THEN 1
+              ELSE (n - {window} + {stride - 1}) // {stride} + 1 END AS n_chunks
+  FROM t
+),
+x AS (
+  SELECT doc_id, w, n, unnest(generate_series(0, n_chunks - 1)) AS k
+  FROM c WHERE n_chunks > 0
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       CAST(k * {stride} AS BIGINT) AS start_token,
+       CAST(least({window}, n - k * {stride}) AS BIGINT) AS n_tokens,
+       array_to_string(w[k * {stride} + 1 : k * {stride} + {window}], ' ')
+         AS chunk_text
+FROM x
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -4720,6 +4836,8 @@ SELECT comp, COUNT(*) AS csize FROM (
         "kmeans_embed": _kmeans_sql(k=8, rounds=3, dim=64),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "gopher_quality": _gopher_quality_sql(),
+        "c4_quality": _c4_quality_sql(),
+        "chunk_documents": _chunk_documents_sql(),
         "cluster_sample": _cluster_sample_sql(per_cluster=20, n_clusters=8, rounds=3, seed=7),
         "feature_prop": _feature_prop_sql(rounds=2, dim=64),
         "decontaminate": _decontaminate_sql(n=4, bench_mod=25),

@@ -46,6 +46,7 @@ DOC_OPS = {
     "covisit",  # --docs: events-shaped parquet (user_id, ts, props)
     "funnel", "retention",  # --docs: events-shaped parquet
     "weighted_sample",  # --query names the weight column
+    "c4", "chunk",  # chunk: --k = window tokens (overlap = k // 4)
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -133,6 +134,11 @@ def main(argv: list[str]) -> int:
         out = P.lang_id(source)
     elif args.op == "gopher":
         out = P.gopher_quality(source)
+    elif args.op == "c4":
+        out = P.c4_quality(source)
+    elif args.op == "chunk":
+        window = opt(args.k, 128)
+        out = P.chunk_documents(source, window=window, overlap=window // 4)
     elif args.op == "bpe_stats":
         out = P.bpe_token_stats(source)
     elif args.op == "tfidf":

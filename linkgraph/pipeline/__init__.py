@@ -31,6 +31,7 @@ from linkgraph.pipeline.simsearch import (
 )
 from linkgraph.pipeline.textstats import (
     bpe_token_stats,
+    c4_quality,
     gopher_quality,
     lang_id,
     pmi_topk,
@@ -40,6 +41,7 @@ from linkgraph.pipeline.textstats import (
     vocab_stats,
 )
 from linkgraph.pipeline.retrieval import bm25_topk, inverted_index
+from linkgraph.pipeline.chunking import chunk_documents
 from linkgraph.pipeline.covisit import covisitation
 from linkgraph.pipeline.funnel import funnel_counts, retention_cohorts
 from linkgraph.pipeline.embedcluster import (
@@ -84,6 +86,8 @@ __all__ = [
     "funnel_counts",
     "retention_cohorts",
     "bpe_token_stats",
+    "c4_quality",
+    "chunk_documents",
     "lang_id",
     "gopher_quality",
     "winnow_fingerprints",

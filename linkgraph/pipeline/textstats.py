@@ -493,3 +493,71 @@ def pmi_topk(
     out = out.localCheckpoint(eager=True)
     c.unpersist()
     return out
+
+
+# C4's "javascript" rule is a word match, not a substring match
+# (Raffel et al. JMLR'20 §2.2 drops LINES with the word javascript;
+# document-level here — single-line corpus). Lookahead-free ASCII so
+# Java regex (Spark), RE2 (DuckDB) and Python `re` agree.
+C4_JS_PATTERN = r"(^|[^a-z])javascript([^a-z]|$)"
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_quality(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style cleanliness signals per document (Raffel et al.
+    JMLR'20 §2.2 — the public heuristics behind C4, document-level
+    subset; the corpus is single-line so the original line-level rules
+    collapse to whole-text rules; the badword list and the
+    three-sentence-span dedup are out of scope — dedup is its own
+    operator family here):
+
+      (doc_id, n_words, n_sentences, ends_terminal, has_lorem,
+       has_brace, has_javascript, keep)
+
+    * ends_terminal: rtrimmed text ends in . ! ? or " (C4 keeps lines
+      ending in terminal punctuation).
+    * n_sentences: terminal-punctuation count — C4 drops pages with
+      fewer than min_sentences sentences.
+    * has_lorem / has_brace / has_javascript: the lorem-ipsum,
+      curly-brace (code), and javascript page screens.
+    * keep: all rules pass. Every signal is integer/boolean logic on
+      the text — engine-reproducible bit-for-bit, NO floats anywhere.
+
+    Scale shape: ONE whole-stage-codegen projection on the scan — no
+    shuffle, no join, trivially partition-parallel at 100 TB.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    ).cast("long")
+    n_sentences = (
+        F.length("text") - F.length(F.translate("text", ".!?", ""))
+    ).cast("long")
+    lower = F.lower(F.col("text"))
+    last = F.expr("right(rtrim(text), 1)")
+    ends_terminal = last.isin(*C4_TERMINALS)
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    has_javascript = lower.rlike(C4_JS_PATTERN)
+    keep = (
+        ends_terminal
+        & (n_words >= min_words)
+        & (n_sentences >= min_sentences)
+        & ~has_lorem
+        & ~has_brace
+        & ~has_javascript
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        ends_terminal.alias("ends_terminal"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_javascript.alias("has_javascript"),
+        keep.alias("keep"),
+    )

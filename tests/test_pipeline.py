@@ -1679,3 +1679,106 @@ def test_weighted_sample_matches_hashlib_replay(spark):
     }
     assert got_rep == got
     assert {r["doc_id"] for r in weighted_sample(df, "w", seed=4).collect()} != got
+
+
+def test_c4_quality_matches_python_replay(spark):
+    """c4_quality == a pure-Python replay of the C4 §2.2 rules over a
+    corpus exercising every rule in isolation + the keep path."""
+    import re
+
+    from linkgraph.pipeline import c4_quality
+    from linkgraph.pipeline.textstats import C4_JS_PATTERN
+
+    texts = [
+        "",  # empty
+        "no terminal punctuation here at all",
+        "Too short.",  # < 5 words (and < 3 sentences)
+        "One sentence only with plenty of words in it.",  # < 3 sentences
+        "First ok. Second ok. Third ok too.",  # keep
+        "Lorem ipsum dolor sit amet. Second. Third.",  # lorem
+        "A brace { appears. Second. Third.",  # brace
+        "Please enable javascript to view. Second. Third.",  # javascript
+        "Javascripted words do not count. Second. Third ok.",  # NOT a js word hit? see replay
+        'Quoted endings count too. Really. "Yes."',  # ends with quote
+        "Trailing spaces still end fine. Second. Third.   ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in c4_quality(df).collect()}
+    js = re.compile(C4_JS_PATTERN)
+    for i, t in enumerate(texts):
+        words = t.strip().split() if t.strip() else []
+        n_words = len(words)
+        n_sent = sum(t.count(ch) for ch in ".!?")
+        ends = t.rstrip()[-1:] in (".", "!", "?", '"')
+        lorem = "lorem ipsum" in t.lower()
+        brace = "{" in t
+        jshit = js.search(t.lower()) is not None
+        keep = (
+            ends and n_words >= 5 and n_sent >= 3
+            and not lorem and not brace and not jshit
+        )
+        got = out[i]
+        assert got["n_words"] == n_words, (i, got)
+        assert got["n_sentences"] == n_sent, (i, got)
+        assert got["ends_terminal"] == ends, (i, got)
+        assert got["has_lorem"] == lorem, (i, got)
+        assert got["has_brace"] == brace, (i, got)
+        assert got["has_javascript"] == jshit, (i, got)
+        assert got["keep"] == keep, (i, got)
+
+
+def test_chunk_documents_matches_python_replay(spark):
+    """chunk_documents == a pure-Python sliding-window replay; pins
+    last-chunk-reaches-the-end, no-subset-chunks, and the empty and
+    exactly-window edge cases."""
+    from linkgraph.pipeline import chunk_documents
+
+    texts = [
+        "",
+        "one",
+        " ".join(f"t{i}" for i in range(8)),  # == window
+        " ".join(f"t{i}" for i in range(9)),  # window + 1
+        " ".join(f"t{i}" for i in range(29)),  # several chunks
+        "  padded   with   spaces  ",
+    ]
+    window, overlap = 8, 3
+    stride = window - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["doc_id"], r["chunk_id"], r["start_token"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, window=window, overlap=overlap)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    ]
+    want = []
+    for i, t in enumerate(texts):
+        words = t.strip().split() if t.strip() else []
+        n = len(words)
+        if n == 0:
+            continue
+        n_chunks = 1 if n <= window else (n - window + stride - 1) // stride + 1
+        for k in range(n_chunks):
+            s = k * stride
+            chunk = words[s : s + window]
+            want.append((i, k, s, len(chunk), " ".join(chunk)))
+        # invariant: the final chunk reaches the last token
+        assert (n_chunks - 1) * stride + window >= n
+    assert got == want
+
+
+def test_chunk_documents_param_guards(spark):
+    import pytest as _pytest
+
+    from linkgraph.pipeline import chunk_documents
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=4, overlap=4)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=4, overlap=-1)

@@ -489,3 +489,32 @@ def test_resolve_redirects_equi_joins_only(spark):
     plan = _plan(resolve_redirects(df))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c4_quality_is_single_stage_no_exchange(spark):
+    """c4_quality must stay one whole-stage-codegen projection — any
+    Exchange or Python node means a shuffle crept into a per-row op."""
+    from linkgraph.pipeline import c4_quality
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("word one two three. Second. Third "), F.col("id")).alias("text"),
+    )
+    plan = _plan(c4_quality(df))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_chunk_documents_no_exchange_no_python(spark):
+    """chunk_documents = projection + Generate (posexplode), still
+    zero shuffles and zero Python."""
+    from linkgraph.pipeline import chunk_documents
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c d e f g h i j k "), F.col("id")).alias("text"),
+    )
+    plan = _plan(chunk_documents(df, window=4, overlap=1))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Generate" in plan  # the posexplode
