@@ -790,6 +790,18 @@ def q_degree_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relabel_by_degree(g, order="total").select("id", "new_id", "deg")
 
 
+def q_pseudo_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep pseudo-diameter (kernels/pseudodiam.py, Magnien
+    et al. JEA'09) on the symmetrized part-succession graph: BFS from
+    the min vertex id, re-BFS from the farthest vertex (ties to the
+    smallest id). One (sweep, source, farthest, ecc) row per sweep —
+    all int64, hash-exact."""
+    from linkgraph.kernels import pseudo_diameter
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    return pseudo_diameter(g, sweeps=2).df
+
+
 def q_condensation_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCC condensation DAG of the part-succession graph layered by
     longest path (kernels/condense.py, SURVEY §2.9): per component
@@ -1575,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample": q_neighbor_sample,
         "negative_sample": q_negative_sample,
         "degree_relabel": q_degree_relabel,
+        "pseudo_diameter": q_pseudo_diameter,
         "condensation_levels": q_condensation_levels,
         "ppr_k": q_ppr_k,
         "ppr_sweep": q_ppr_sweep,
@@ -1823,6 +1836,44 @@ SELECT id,
        CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, id) - 1 AS BIGINT) AS new_id,
        deg
 FROM deg
+"""
+
+
+
+
+# Pseudo-diameter oracle: two bounded recursive BFS expansions on the
+# symmetrized part-succession graph; the bound (40) must exceed the
+# measured eccentricities at sf0.01 (rows are compared, so a clipped
+# BFS would show up as a farthest/ecc mismatch). f-CTEs pick the
+# farthest vertex by (d DESC, id) exactly as the kernel does.
+_PSEUDO_DIAM_SQL = f"""
+WITH RECURSIVE e0 AS MATERIALIZED ({_PART_SUCC_E}),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+  )
+),
+b1(id, d) AS (
+  SELECT (SELECT MIN(src) FROM sym), 0
+  UNION
+  SELECT s.dst, b.d + 1 FROM b1 b JOIN sym s ON b.id = s.src WHERE b.d < 40
+),
+l1 AS MATERIALIZED (SELECT id, MIN(d) AS d FROM b1 GROUP BY id),
+f1 AS MATERIALIZED (SELECT id, d FROM l1 ORDER BY d DESC, id LIMIT 1),
+b2(id, d) AS (
+  SELECT (SELECT id FROM f1), 0
+  UNION
+  SELECT s.dst, b.d + 1 FROM b2 b JOIN sym s ON b.id = s.src WHERE b.d < 40
+),
+l2 AS MATERIALIZED (SELECT id, MIN(d) AS d FROM b2 GROUP BY id),
+f2 AS MATERIALIZED (SELECT id, d FROM l2 ORDER BY d DESC, id LIMIT 1)
+SELECT CAST(0 AS BIGINT) AS sweep,
+       CAST((SELECT MIN(src) FROM sym) AS BIGINT) AS source,
+       CAST((SELECT id FROM f1) AS BIGINT) AS farthest,
+       CAST((SELECT d FROM f1) AS BIGINT) AS ecc
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST((SELECT id FROM f1) AS BIGINT),
+       CAST((SELECT id FROM f2) AS BIGINT), CAST((SELECT d FROM f2) AS BIGINT)
 """
 
 
@@ -4818,6 +4869,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),
         "negative_sample": _negative_sample_sql(3, 7),
         "degree_relabel": _DEGREE_RELABEL_SQL,
+        "pseudo_diameter": _PSEUDO_DIAM_SQL,
         "condensation_levels": _CONDENSE_SQL,
         "ppr_k": _ppr_k_sql(3),
         "ppr_sweep": _ppr_sweep_sql(3, 4, 128),

@@ -37,7 +37,7 @@ def main(argv: list[str]) -> int:
             "modularity", "conductance", "walks", "sample", "negsample", "condense",
             "matching", "msf", "jaccard", "butterflies", "pagerank_w", "coreness",
             "degrees", "alpha", "knn", "spam", "sweep", "closeness",
-            "redirects",
+            "redirects", "diameter",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -429,6 +429,15 @@ def main(argv: list[str]) -> int:
     elif args.kernel == "knn":
         out = kernels.knn_curve(graph).orderBy("deg")
         summary = {"kernel": "knn", "degree_classes": out.count()}
+    elif args.kernel == "diameter":
+        res = kernels.pseudo_diameter(graph, sweeps=2)
+        out = res.df
+        summary = {
+            "kernel": "diameter",
+            "pseudo_diameter": res.pseudo_diameter,
+            "sweeps": res.sweeps,
+            "wall_s": round(res.wall_seconds, 3),
+        }
     elif args.kernel == "redirects":
         # CLI convenience: reduce the edge input to a functional map
         # (min dst per src) — reported so the reduction is visible

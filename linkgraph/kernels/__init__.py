@@ -126,8 +126,10 @@ from linkgraph.kernels.msf import minimum_spanning_forest
 from linkgraph.kernels.butterflies import butterfly_count
 from linkgraph.kernels.nodesim import edge_jaccard
 from linkgraph.kernels.pagerank_w import pagerank_weighted
+from linkgraph.kernels.pseudodiam import pseudo_diameter
 
 __all__ = [
+    "pseudo_diameter",
     "pagerank",
     "pagerank_delta",
     "connected_components",
