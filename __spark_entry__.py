@@ -752,6 +752,23 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("start", "walk", "step", "vertex")
 
 
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic node2vec biased walks (kernels/node2vec.py,
+    Grover & Leskovec KDD'16): 2 walks per vertex, 3 steps, integer
+    alpha weights 1:4:2 (return : distance-1 : forward), seed 7 on
+    the directed part-succession graph. The exact cumulative-weight
+    modular draw makes the corpus bit-reproducible; the oracle
+    unrolls the identical cumsum + modulo per step (all-int64)."""
+    from linkgraph.kernels import node2vec_walks
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    res = node2vec_walks(
+        g, length=3, walks_per_vertex=2,
+        alpha_return=1, alpha_common=4, alpha_forward=2, seed=7,
+    )
+    return res.df.select("start", "walk", "step", "vertex")
+
+
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GraphSAGE 2-hop fanout sampling
     (kernels/sampling.py, SURVEY §2.9): seeds = part-succession
@@ -1584,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "power_law_alpha": q_power_law_alpha,
         "knn_curve": q_knn_curve,
         "random_walks": q_random_walks,
+        "node2vec_walks": q_node2vec_walks,
         "neighbor_sample": q_neighbor_sample,
         "negative_sample": q_negative_sample,
         "degree_relabel": q_degree_relabel,
@@ -1768,6 +1786,67 @@ p{t} AS MATERIALIZED (
            ) AS rn
     FROM p{t - 1} p JOIN e ON p.vertex = e.src
   ) WHERE rn = 1
+)"""
+    parts = [
+        f"SELECT start, walk, CAST({t} AS BIGINT) AS step, vertex FROM p{t}"
+        for t in range(0, length + 1)
+    ]
+    sql += "\n" + "\nUNION ALL\n".join(parts)
+    return sql
+
+
+def _node2vec_sql(
+    length: int = 3,
+    w: int = 2,
+    alphas: tuple[int, int, int] = (1, 4, 2),
+    seed: int = 7,
+) -> str:
+    """Unrolled node2vec biased walks on the part-succession graph:
+    per step the SAME integer weight classes (return / distance-1 /
+    forward, the distance-1 test an EXISTS against the edge set) and
+    the SAME cumulative-sum modular draw as kernels/node2vec.py, with
+    the Lehmer-mix constants imported (change both or neither)."""
+    from linkgraph.kernels.walks import (
+        MIX_MASK,
+        MIX_MULT,
+        MIX_PRIME,
+        MIX_STEP,
+        MIX_START,
+        MIX_WALK,
+    )
+
+    a0, a1, a2 = alphas
+    seed = int(seed) % MIX_PRIME
+    sql = f"""
+WITH e AS MATERIALIZED ({_PART_SUCC_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+p0 AS (SELECT id AS start, r AS walk, id AS prev, id AS vertex
+       FROM v CROSS JOIN range({w}) t(r))
+"""
+    for t in range(1, length + 1):
+        r = (
+            f"(((((start % {MIX_MASK}) * {MIX_START} + walk * {MIX_WALK}"
+            f" + {t} * {MIX_STEP} + 0 + {seed})"
+            f" % {MIX_PRIME}) * {MIX_MULT}) % {MIX_PRIME})"
+        )
+        sql += f""",
+p{t} AS MATERIALIZED (
+  SELECT start, walk, vertex AS prev, dst AS vertex
+  FROM (
+    SELECT c.start, c.walk, c.vertex, c.dst, c.w,
+           SUM(c.w) OVER (PARTITION BY c.start, c.walk ORDER BY c.dst) AS cum,
+           ({r}) % (SUM(c.w) OVER (PARTITION BY c.start, c.walk)) AS r
+    FROM (
+      SELECT p.start, p.walk, p.prev, p.vertex, e.dst,
+             CASE WHEN e.dst = p.prev THEN {a0}
+                  WHEN EXISTS (SELECT 1 FROM e pe
+                               WHERE pe.src = p.prev AND pe.dst = e.dst)
+                    THEN {a1}
+                  ELSE {a2} END AS w
+      FROM p{t - 1} p JOIN e ON p.vertex = e.src
+    ) c
+  )
+  WHERE cum - w <= r AND r < cum
 )"""
     parts = [
         f"SELECT start, walk, CAST({t} AS BIGINT) AS step, vertex FROM p{t}"
@@ -4866,6 +4945,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "power_law_alpha": _power_law_sql(4),
         "knn_curve": _KNN_CURVE_SQL,
         "random_walks": _random_walks_sql(4, 2, 7),
+        "node2vec_walks": _node2vec_sql(3, 2, (1, 4, 2), 7),
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),
         "negative_sample": _negative_sample_sql(3, 7),
         "degree_relabel": _DEGREE_RELABEL_SQL,

@@ -37,7 +37,7 @@ def main(argv: list[str]) -> int:
             "modularity", "conductance", "walks", "sample", "negsample", "condense",
             "matching", "msf", "jaccard", "butterflies", "pagerank_w", "coreness",
             "degrees", "alpha", "knn", "spam", "sweep", "closeness",
-            "redirects", "diameter",
+            "redirects", "diameter", "node2vec",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -301,6 +301,19 @@ def main(argv: list[str]) -> int:
             "kernel": "eigen",
             "rounds": res.iterations,
             "converged": res.converged,
+        }
+    elif args.kernel == "node2vec":
+        res = kernels.node2vec_walks(
+            graph,
+            length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex,
+            seed=args.seed,
+        )
+        out = res.df.orderBy("start", "walk", "step")
+        summary = {
+            "kernel": "node2vec",
+            "steps": res.steps,
+            "corpus_rows": out.count(),
         }
     elif args.kernel == "walks":
         res = kernels.random_walks(

@@ -127,9 +127,11 @@ from linkgraph.kernels.butterflies import butterfly_count
 from linkgraph.kernels.nodesim import edge_jaccard
 from linkgraph.kernels.pagerank_w import pagerank_weighted
 from linkgraph.kernels.pseudodiam import pseudo_diameter
+from linkgraph.kernels.node2vec import node2vec_walks
 
 __all__ = [
     "pseudo_diameter",
+    "node2vec_walks",
     "pagerank",
     "pagerank_delta",
     "connected_components",

@@ -1073,3 +1073,59 @@ def ppr_sweep_replay(
             if best_phi is None or phi < best_phi:
                 best_phi, best_k = phi, k
     return order, best_k, best_phi
+
+
+def node2vec_replay(
+    src: np.ndarray,
+    dst: np.ndarray,
+    starts: list[int],
+    length: int,
+    walks_per_vertex: int = 1,
+    alphas: tuple[int, int, int] = (1, 4, 2),
+    seed: int = 0,
+    max_neighbors: int | None = None,
+) -> set[tuple[int, int, int, int]]:
+    """Sequential replay of kernels/node2vec.py's biased walks — same
+    mix constants, same integer-weight classes, same cumulative-sum
+    modular draw over dst-ascending candidates (prev initialized to
+    the start, making step 1 uniform-by-alpha_common)."""
+    mask, p, mult = 1048576, 2147483647, 2654435761
+    seed = int(seed) % p
+    a_ret, a_com, a_fwd = alphas
+
+    def mix(s: int, r: int, t: int, d: int) -> int:
+        x = (s % mask) * 2097169 + r * 131071 + t * 8191 + (d % mask) + seed
+        return ((x % p) * mult) % p
+
+    adj: dict[int, list[int]] = {}
+    eset = set()
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(u, []).append(v)
+        eset.add((u, v))
+    rows: set[tuple[int, int, int, int]] = set()
+    for s in starts:
+        for r in range(walks_per_vertex):
+            prev, v = s, s
+            rows.add((s, r, 0, s))
+            for t in range(1, length + 1):
+                nbrs = sorted(set(adj.get(v, ())))
+                if not nbrs:
+                    break
+                if max_neighbors is not None and len(nbrs) > max_neighbors:
+                    nbrs = sorted(
+                        nbrs, key=lambda d: (mix(s, r, t, d), d)
+                    )[:max_neighbors]
+                    nbrs.sort()
+                ws = [
+                    a_ret if d == prev else (a_com if (prev, d) in eset else a_fwd)
+                    for d in nbrs
+                ]
+                draw = mix(s, r, t, 0) % sum(ws)
+                cum = 0
+                for d, w in zip(nbrs, ws):
+                    cum += w
+                    if draw < cum:
+                        prev, v = v, d
+                        break
+                rows.add((s, r, t, v))
+    return rows

@@ -2222,3 +2222,93 @@ def test_pseudo_diameter_path_and_star_closed_forms(spark):
 
     with _pytest.raises(ValueError):
         pseudo_diameter(g2, sweeps=0)
+
+
+def test_node2vec_matches_replay(rmat_graph):
+    """The distributed biased-walk corpus equals the sequential
+    replay exactly (same mix, same weight classes, same cumsum-modulo
+    draw); deterministic across runs; seed-sensitive; the
+    max_neighbors cap replays too."""
+    from linkgraph.kernels import node2vec_walks
+    from tests.oracles import node2vec_replay
+
+    g, pdf, n = rmat_graph
+    starts = [r["id"] for r in g.vertices.collect()]
+
+    def run(**kw):
+        return {
+            (r["start"], r["walk"], r["step"], r["vertex"])
+            for r in node2vec_walks(g, **kw).df.collect()
+        }
+
+    kw = dict(length=4, walks_per_vertex=2, alpha_return=1,
+              alpha_common=4, alpha_forward=2, seed=7)
+    got = run(**kw)
+    want = node2vec_replay(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), starts,
+        length=4, walks_per_vertex=2, alphas=(1, 4, 2), seed=7,
+    )
+    assert got == want
+    assert run(**kw) == got  # deterministic
+    got8 = run(**{**kw, "seed": 8})
+    assert got8 == node2vec_replay(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), starts,
+        length=4, walks_per_vertex=2, alphas=(1, 4, 2), seed=8,
+    )
+    assert got8 != got
+    capped = run(**{**kw, "max_neighbors": 2})
+    assert capped == node2vec_replay(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), starts,
+        length=4, walks_per_vertex=2, alphas=(1, 4, 2), seed=7,
+        max_neighbors=2,
+    )
+
+
+def test_node2vec_closed_forms(spark):
+    """Path graphs force forward moves; a 2-cycle with overwhelming
+    alpha_return oscillates; parameter guards raise."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.kernels import node2vec_walks
+
+    edges = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    g = _graph(spark, edges, 4)
+    res = node2vec_walks(g, length=10, walks_per_vertex=1, seed=3)
+    rows = {(r["start"], r["step"]): r["vertex"] for r in res.df.collect()}
+    for t, v in enumerate([0, 1, 2, 3]):
+        assert rows[(0, t)] == v
+    assert (0, 4) not in rows
+    g.unpersist()
+
+    # 0<->1 plus 1->2: with alpha_return >> others the walk at vertex 1
+    # (arrived from 0) returns to 0 — P(return) = R/(R+a_fwd) with
+    # R = 2^20; the integer draw r = mix % (R + a_fwd) lands in the
+    # return interval unless mix mod is in the top a_fwd values, so
+    # assert the overwhelming-majority behavior over many walks
+    edges2 = pd.DataFrame({"src": [0, 1, 1], "dst": [1, 0, 2]})
+    g2 = _graph(spark, edges2, 3)
+    res2 = node2vec_walks(
+        g2, length=2, walks_per_vertex=64,
+        alpha_return=1 << 20, alpha_common=1, alpha_forward=1,
+        seed=5, starts=g2.vertices.where(F.col("id") == 0),
+    )
+    steps2 = [
+        r["vertex"] for r in res2.df.where(
+            (F.col("start") == 0) & (F.col("step") == 2)
+        ).collect()
+    ]
+    assert len(steps2) == 64
+    # nearly all walks 0->1->0; allow the ~64/2^20 chance of a 2
+    assert steps2.count(0) >= 62
+    g2.unpersist()
+
+    with _pytest.raises(ValueError):
+        node2vec_walks(g2, length=-1)
+    with _pytest.raises(ValueError):
+        node2vec_walks(g2, alpha_return=0)
+    with _pytest.raises(ValueError):
+        node2vec_walks(g2, alpha_common=(1 << 20) + 1)
+    with _pytest.raises(ValueError):
+        node2vec_walks(g2, max_neighbors=0)
