@@ -1454,6 +1454,39 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates vs exact counts
+    (pipeline/sketches.py, Cormode & Muthukrishnan JAlg'05): depth 4 ×
+    width 16 over the 31-word sf0.01 vocabulary, so bucket collisions
+    are real (16 of 31 terms overestimated) while the CMS guarantee
+    est ≥ true holds on every row. All int64 — hash-exact."""
+    from linkgraph.pipeline import cms_estimate, count_min_sketch
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    sk = count_min_sketch(docs, depth=4, width=16, seed=7)
+    true = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    est = cms_estimate(sk, true.select("term"), depth=4, width=16, seed=7)
+    return true.join(est, "term").select("term", "true_cnt", "cms_est")
+
+
+def q_hll_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog-style distinct sketch (pipeline/sketches.py,
+    Flajolet et al. AofA'07) over word trigrams (16,245 true distinct
+    at sf0.01; single words collapse to the 31-word vocab): 256
+    registers, scaled-integer harmonic mean Z = Σ 2^52 >> reg, so the
+    estimate is ONE float expression over exact int64s (ROUND 9)."""
+    from linkgraph.pipeline import hll_distinct, word_trigrams
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    _, est = hll_distinct(word_trigrams(docs), b=8, seed=7)
+    return est
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced downsampling
     (pipeline/embedcluster.cluster_balanced_sample): the SAME
@@ -1677,6 +1710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_quality": q_c4_quality,
         "chunk_documents": q_chunk_documents,
+        "cms_top_words": q_cms_top_words,
+        "hll_trigrams": q_hll_trigrams,
         "cluster_sample": q_cluster_sample,
         "feature_prop": q_feature_prop,
         "decontaminate": q_decontaminate,
@@ -4747,6 +4782,87 @@ FROM x
 """
 
 
+def _cms_top_words_sql(depth: int = 4, width: int = 16, seed: int = 7) -> str:
+    """Mirrors pipeline/sketches.count_min_sketch + cms_estimate: the
+    same seeded md5-prefix bucket hash, the same depth-row min."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+cnts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM toks GROUP BY term),
+grid AS MATERIALIZED (
+  SELECT d, ('0x' || substr(md5({seed} || ':' || d || ':' || term), 1, 8))::BIGINT
+           % {width} AS bucket,
+         COUNT(*) AS cnt
+  FROM toks CROSS JOIN range({depth}) t(d)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT c.term, c.true_cnt, d,
+         ('0x' || substr(md5({seed} || ':' || d || ':' || c.term), 1, 8))::BIGINT
+           % {width} AS bucket
+  FROM cnts c CROSS JOIN range({depth}) t(d)
+)
+SELECT p.term, p.true_cnt,
+       CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS cms_est
+FROM probe p LEFT JOIN grid g ON p.d = g.d AND p.bucket = g.bucket
+GROUP BY p.term, p.true_cnt
+"""
+
+
+def _hll_trigrams_sql(b: int = 8, seed: int = 7) -> str:
+    """Mirrors pipeline/sketches.hll_distinct over word trigrams: the
+    same 60-bit md5 prefix, exact bit split, bin()-length rho, scaled
+    integer Z, and the SAME fixed-order float estimate expression
+    (alpha computed by the identical Python expression)."""
+    m = 1 << b
+    S = 60 - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = (f"CAST({alpha!r} AS DOUBLE) * {m} * {m} * "
+           f"{float(1 << S)!r} / z_scaled")
+    return f"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+),
+tri AS MATERIALIZED (
+  SELECT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS term
+  FROM t, unnest(generate_series(1, len(w) - 2)) s(i)
+  WHERE len(w) >= 3
+),
+hashed AS (
+  SELECT ('0x' || substr(md5({seed} || ':' || term), 1, 15))::BIGINT AS h
+  FROM tri
+),
+rho AS (
+  SELECT h & {m - 1} AS bucket,
+         CASE WHEN (h >> {b}) > 0
+              THEN {S} - (length(bin(h >> {b})) - 1)
+              ELSE {S + 1} END AS rho
+  FROM hashed
+),
+got AS (SELECT bucket, MAX(rho) AS reg FROM rho GROUP BY bucket),
+regs AS (
+  SELECT gs.bucket, COALESCE(got.reg, 0) AS reg
+  FROM range({m}) gs(bucket) LEFT JOIN got ON got.bucket = gs.bucket
+),
+agg AS (
+  SELECT CAST({m} AS BIGINT) AS m,
+         CAST(SUM(CAST({1 << S} AS BIGINT) >> CAST(reg AS INT)) AS BIGINT)
+           AS z_scaled,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_buckets
+  FROM regs
+)
+SELECT m, z_scaled, zero_buckets,
+       ROUND(CASE WHEN ({raw}) <= {2.5 * m!r} AND zero_buckets > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / zero_buckets)
+                  ELSE ({raw}) END, 9) AS estimate
+FROM agg
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -4970,6 +5086,8 @@ SELECT comp, COUNT(*) AS csize FROM (
         "gopher_quality": _gopher_quality_sql(),
         "c4_quality": _c4_quality_sql(),
         "chunk_documents": _chunk_documents_sql(),
+        "cms_top_words": _cms_top_words_sql(),
+        "hll_trigrams": _hll_trigrams_sql(),
         "cluster_sample": _cluster_sample_sql(per_cluster=20, n_clusters=8, rounds=3, seed=7),
         "feature_prop": _feature_prop_sql(rounds=2, dim=64),
         "decontaminate": _decontaminate_sql(n=4, bench_mod=25),

@@ -47,6 +47,7 @@ DOC_OPS = {
     "funnel", "retention",  # --docs: events-shaped parquet
     "weighted_sample",  # --query names the weight column
     "c4", "chunk",  # chunk: --k = window tokens (overlap = k // 4)
+    "cms", "hll",  # sketches: --k = CMS width / HLL 2^b buckets exponent
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -136,6 +137,14 @@ def main(argv: list[str]) -> int:
         out = P.gopher_quality(source)
     elif args.op == "c4":
         out = P.c4_quality(source)
+    elif args.op == "cms":
+        out = P.count_min_sketch(
+            source, depth=4, width=opt(args.k, 1024), seed=opt(args.seed, 0)
+        )
+    elif args.op == "hll":
+        _, out = P.hll_distinct(
+            P.word_trigrams(source), b=opt(args.k, 12), seed=opt(args.seed, 0)
+        )
     elif args.op == "chunk":
         window = opt(args.k, 128)
         out = P.chunk_documents(source, window=window, overlap=window // 4)

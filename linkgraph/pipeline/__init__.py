@@ -42,6 +42,7 @@ from linkgraph.pipeline.textstats import (
 )
 from linkgraph.pipeline.retrieval import bm25_topk, inverted_index
 from linkgraph.pipeline.chunking import chunk_documents
+from linkgraph.pipeline.sketches import cms_estimate, count_min_sketch, hll_distinct, word_trigrams
 from linkgraph.pipeline.covisit import covisitation
 from linkgraph.pipeline.funnel import funnel_counts, retention_cohorts
 from linkgraph.pipeline.embedcluster import (
@@ -88,6 +89,10 @@ __all__ = [
     "bpe_token_stats",
     "c4_quality",
     "chunk_documents",
+    "cms_estimate",
+    "count_min_sketch",
+    "hll_distinct",
+    "word_trigrams",
     "lang_id",
     "gopher_quality",
     "winnow_fingerprints",

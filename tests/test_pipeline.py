@@ -1782,3 +1782,120 @@ def test_chunk_documents_param_guards(spark):
         chunk_documents(df, window=4, overlap=4)
     with _pytest.raises(ValueError):
         chunk_documents(df, window=4, overlap=-1)
+
+
+def _md5_int(key: str, hex_digits: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:hex_digits], 16)
+
+
+def test_count_min_sketch_matches_hashlib_replay(spark):
+    """The CMS grid and point estimates == a hashlib replay; the CMS
+    guarantee (est >= true, exact when width is collision-free)
+    holds; guards raise."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from linkgraph.pipeline import cms_estimate, count_min_sketch
+
+    texts = ["a b c a", "b b d", "", "  ", "e a"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    depth, width, seed = 3, 4, 9
+    sk = count_min_sketch(docs, depth=depth, width=width, seed=seed)
+    got = {(r["d"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    true = Counter(w for t in texts if t.strip() for w in t.split())
+    want: dict[tuple[int, int], int] = {}
+    for term, c in true.items():
+        for d in range(depth):
+            b = _md5_int(f"{seed}:{d}:{term}", 8) % width
+            want[(d, b)] = want.get((d, b), 0) + c
+    assert got == want
+    terms = spark.createDataFrame([(t,) for t in true], "term string")
+    est = {
+        r["term"]: r["cms_est"]
+        for r in cms_estimate(sk, terms, depth=depth, width=width, seed=seed).collect()
+    }
+    for term, c in true.items():
+        want_est = min(
+            want[(d, _md5_int(f"{seed}:{d}:{term}", 8) % width)]
+            for d in range(depth)
+        )
+        assert est[term] == want_est
+        assert est[term] >= c  # the guarantee
+    # collision-free width -> exact
+    sk2 = count_min_sketch(docs, depth=2, width=1 << 20, seed=seed)
+    est2 = {
+        r["term"]: r["cms_est"]
+        for r in cms_estimate(sk2, terms, depth=2, width=1 << 20, seed=seed).collect()
+    }
+    assert est2 == dict(true)
+    with _pytest.raises(ValueError):
+        count_min_sketch(docs, depth=0)
+
+
+def test_hll_distinct_matches_hashlib_replay_and_merges(spark):
+    """HLL registers == a hashlib replay; the estimate == the same
+    scaled-integer formula; register-MAX merging two halves == the
+    whole; accuracy within 5 standard errors on 5k distinct keys."""
+    import math
+
+    import pytest as _pytest
+
+    from linkgraph.pipeline import hll_distinct
+
+    n, b, seed = 5000, 8, 3
+    m, S = 1 << b, 60 - b
+    vals = spark.range(n).select(F.concat(F.lit("key"), F.col("id")).alias("term"))
+    regs_df, est_df = hll_distinct(vals, b=b, seed=seed)
+    got_regs = {r["bucket"]: r["reg"] for r in regs_df.collect()}
+    want_regs = {i: 0 for i in range(m)}
+    for i in range(n):
+        h = _md5_int(f"{seed}:key{i}", 15)
+        bkt, w = h & (m - 1), h >> b
+        rho = S - (w.bit_length() - 1) if w > 0 else S + 1
+        want_regs[bkt] = max(want_regs[bkt], rho)
+    assert got_regs == want_regs
+    est = est_df.collect()[0].asDict()
+    z = sum((1 << S) >> r for r in want_regs.values())
+    v = sum(1 for r in want_regs.values() if r == 0)
+    assert est["z_scaled"] == z and est["zero_buckets"] == v
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m * float(1 << S) / z
+    want_est = (
+        float(m) * math.log(float(m) / v) if (raw <= 2.5 * m and v > 0) else raw
+    )
+    assert est["estimate"] == pytest.approx(round(want_est, 9), abs=1e-9)
+    # accuracy: within 5 * 1.04/sqrt(m) of the truth
+    assert abs(est["estimate"] - n) / n < 5 * 1.04 / math.sqrt(m)
+    # mergeability: MAX of half-registers == whole-corpus registers
+    h1, _ = hll_distinct(vals.where(F.col("term") < "key25"), b=b, seed=seed)
+    h2, _ = hll_distinct(vals.where(F.col("term") >= "key25"), b=b, seed=seed)
+    merged = {
+        r["bucket"]: r["reg"]
+        for r in h1.unionByName(h2)
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .collect()
+    }
+    assert merged == want_regs
+    with _pytest.raises(ValueError):
+        hll_distinct(vals, b=3)
+
+
+def test_word_trigrams_replay(spark):
+    from linkgraph.pipeline import word_trigrams
+
+    texts = ["a b c d", "x y", "", "p q r"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(r["term"] for r in word_trigrams(docs).collect())
+    want = []
+    for t in texts:
+        ws = t.split()
+        want += [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+    assert got == sorted(want)
