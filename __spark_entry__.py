@@ -989,6 +989,55 @@ def q_doc_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("content_md5")
 
 
+def q_trending_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending items (linkgraph/streaming.trending_counts):
+    a REAL Structured Streaming query (file source, availableNow
+    drain, memory sink) counting events per (1-day tumbling window,
+    item) over the events table — item = the props.k id, the
+    covisitation extraction — then the batch rank-at-read top-5 per
+    window (the production counts-in-stream / rank-at-read shape).
+    Output is all-int64 (epoch-us window starts): hash-exact; the
+    oracle mirrors the epoch-aligned window via integer division."""
+    from linkgraph.streaming import trending_counts
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    tagged = stream.select(
+        "ts",
+        F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("long").alias("item"),
+    )
+    name = "q_trending_stream_sink"
+    q = (
+        trending_counts(tagged, window="1 day", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("item"))
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "item",
+            "cnt",
+            "rnk",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -1673,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions_graph": q_event_sessions_graph,
         "event_sessions_stream": q_event_sessions_stream,
         "doc_dedup_stream": q_doc_dedup_stream,
+        "trending_stream": q_trending_stream,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -4863,6 +4913,30 @@ FROM agg
 """
 
 
+# Trending-stream oracle: Spark's tumbling F.window is epoch-aligned,
+# so window_start_us = (epoch_us // day_us) * day_us — exact integer
+# division; rank-at-read mirrored with the same (cnt DESC, item) order.
+_TRENDING_SQL = """
+WITH ev AS (
+  SELECT epoch_us(ts) AS us,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS item
+  FROM events
+),
+c AS (
+  SELECT (us // 86400000000) * 86400000000 AS window_start_us, item,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY window_start_us ORDER BY cnt DESC, item
+  ) AS rnk FROM c
+)
+SELECT window_start_us, item, cnt, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -5088,6 +5162,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "chunk_documents": _chunk_documents_sql(),
         "cms_top_words": _cms_top_words_sql(),
         "hll_trigrams": _hll_trigrams_sql(),
+        "trending_stream": _TRENDING_SQL,
         "cluster_sample": _cluster_sample_sql(per_cluster=20, n_clusters=8, rounds=3, seed=7),
         "feature_prop": _feature_prop_sql(rounds=2, dim=64),
         "decontaminate": _decontaminate_sql(n=4, bench_mod=25),

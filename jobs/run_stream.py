@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.session import get_spark
 from linkgraph.streaming import (
+    trending_counts,
     dedup_stream,
     page_stream_to_edges,
     read_page_stream,
@@ -42,7 +43,7 @@ _TS_BASE = 1_000_000_000  # keep synthetic event times above the epoch-0 waterma
 
 def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--op", required=True, choices=["edges", "dedup", "sessions"])
+    ap.add_argument("--op", required=True, choices=["edges", "dedup", "sessions", "trending"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages parquet dir (url, warc_ts, html, text, lang)")
     src.add_argument("--docs", help="documents parquet dir (doc_id, text, ...)")
@@ -79,6 +80,21 @@ def main(argv: list[str]) -> int:
             ["content_md5"],
             "ts",
             args.horizon,
+        )
+    elif args.op == "trending":
+        if not args.events:
+            ap.error("--op trending needs --events")
+        reader = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        if args.glob:
+            reader = reader.option("pathGlobFilter", args.glob)
+        out = trending_counts(
+            reader.parquet(args.events)
+            .select("ts", F.regexp_extract("props", r'"k": ([0-9]+)', 1)
+                    .cast("long").alias("item")),
+            window="1 day", watermark="1 hour",
         )
     else:
         if not args.events:

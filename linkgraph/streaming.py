@@ -184,3 +184,34 @@ def dedup_stream(
     works on any stream with an event-time column (dedup on a content
     hash, not the raw text, so state rows stay tiny)."""
     return rows.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(key_cols)
+
+
+def trending_counts(
+    events: DataFrame,
+    item_col: str = "item",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window item counts — the trending/hot-pages feed over
+    an event stream: one row per (window, item) with the event count.
+    Tumbling windows (Spark's epoch-aligned F.window) keep per-event
+    assignment exact and engine-reproducible; the watermark finalizes
+    and EVICTS each window once event time passes window + watermark,
+    so state is O(items per open window), not O(stream).
+
+    Ranking (the "top-k" of trending) is deliberately NOT in-stream:
+    streaming aggregations can't nest window functions, and the
+    standard production shape is counts-in-stream, rank-at-read —
+    compose with a batch ROW_NUMBER over the sink (the driver query
+    does exactly that)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), F.col(item_col).alias("item"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "item",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )

@@ -189,3 +189,57 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     # exactly one representative per distinct content hash
     assert sorted(kept["content_md5"]) == sorted(want)
     assert len(kept) == 4
+
+
+def test_trending_counts_equals_batch_tumbling(spark, tmp_path):
+    """Streaming tumbling-window counts equal the batch epoch-aligned
+    window aggregation, including across microbatches
+    (maxFilesPerTrigger=1, complete mode re-emits updated counts)."""
+    from linkgraph.streaming import trending_counts
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:10:00",
+                    "2024-01-01 00:50:00",
+                    "2024-01-01 01:10:00",
+                    "2024-01-01 00:20:00",
+                    "2024-01-01 02:05:00",
+                ]
+            ),
+            "item": [7, 7, 7, 9, 9],
+        }
+    )
+    src = str(tmp_path / "tr_events")
+    # two files -> two microbatches under maxFilesPerTrigger=1
+    spark.createDataFrame(pdf.iloc[:3]).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(pdf.iloc[3:]).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, item long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        trending_counts(stream, window="1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("trending_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["item"]): r["cnt"]
+        for r in spark.table("trending_stream_test").collect()
+    }
+    batch = (
+        spark.createDataFrame(pdf)
+        .groupBy(F.window("ts", "1 hour"), "item")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "item", "cnt")
+    )
+    want = {(r["ws"], r["item"]): r["cnt"] for r in batch.collect()}
+    assert got == want
+    # epoch-aligned: window starts sit on exact hour boundaries
+    assert all(ws.minute == 0 and ws.second == 0 for ws, _ in got)
