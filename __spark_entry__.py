@@ -1536,6 +1536,18 @@ def q_hll_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantized covariance sums (pipeline/embedpca.py): the
+    distributed pass of PCA — per dim pair (d1 ≤ d2) the int64 sums
+    (n, Σq1, Σq2, Σq1·q2) over floor(v·1e6)-quantized coordinates.
+    mapInPandas partial Gram per partition (dim² rows each) + one
+    hash groupBy onto 2,080 keys; all int64 — hash-exact."""
+    from linkgraph.pipeline import embedding_covariance
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_covariance(emb, dim=64)
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced downsampling
     (pipeline/embedcluster.cluster_balanced_sample): the SAME
@@ -1762,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "cms_top_words": q_cms_top_words,
         "hll_trigrams": q_hll_trigrams,
+        "embedding_covariance": q_embedding_covariance,
         "cluster_sample": q_cluster_sample,
         "feature_prop": q_feature_prop,
         "decontaminate": q_decontaminate,
@@ -4937,6 +4950,26 @@ FROM r WHERE rnk <= 5
 """
 
 
+def _embedding_covariance_sql(dim: int = 64, quant: int = 1_000_000) -> str:
+    """Mirrors pipeline/embedpca.embedding_covariance: same float→
+    double element cast, same floor(v·quant) int64 quantization
+    (rounding-mode-free), same upper-triangle pair sums."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, g.i - 1 AS d,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {quant}) AS BIGINT) AS q
+  FROM embeddings, generate_series(1, {dim}) g(i)
+)
+SELECT CAST(a.d AS BIGINT) AS d1, CAST(b.d AS BIGINT) AS d2,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a.q) AS BIGINT) AS s1,
+       CAST(SUM(b.q) AS BIGINT) AS s2,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS s12
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+GROUP BY 1, 2
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -5163,6 +5196,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "cms_top_words": _cms_top_words_sql(),
         "hll_trigrams": _hll_trigrams_sql(),
         "trending_stream": _TRENDING_SQL,
+        "embedding_covariance": _embedding_covariance_sql(),
         "cluster_sample": _cluster_sample_sql(per_cluster=20, n_clusters=8, rounds=3, seed=7),
         "feature_prop": _feature_prop_sql(rounds=2, dim=64),
         "decontaminate": _decontaminate_sql(n=4, bench_mod=25),

@@ -51,7 +51,7 @@ DOC_OPS = {
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
-    "cluster_sample", "feature_prop",
+    "cluster_sample", "feature_prop", "covariance", "pca",
 }
 
 
@@ -220,6 +220,11 @@ def main(argv: list[str]) -> int:
         out = P.ivf_ann_topk(source, k=opt(args.k, 5))
     elif args.op == "near_dup":
         out = P.embedding_near_dup_pairs(source, threshold=opt(args.threshold, 0.9))
+    elif args.op == "covariance":
+        out = P.embedding_covariance(source, dim=opt(args.k, 64))
+    elif args.op == "pca":
+        out, comps, vals = P.pca_project(source, dim=64, k=opt(args.k, 8))
+        print({"op": "pca", "eigenvalues": [round(float(v), 9) for v in vals]})
     elif args.op == "kmeans":
         out = P.kmeans(source, k=opt(args.k, 8), rounds=3).assignments
     elif args.op == "semdedup":

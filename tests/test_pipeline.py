@@ -1899,3 +1899,95 @@ def test_word_trigrams_replay(spark):
         ws = t.split()
         want += [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
     assert got == sorted(want)
+
+
+def test_embedding_covariance_matches_numpy_replay(spark):
+    """The quantized second-moment sums == a numpy int64 replay
+    (exact equality — ints), partition-count independent; the dim
+    guard and overflow guard raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from linkgraph.pipeline import embedding_covariance
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(0, 0.3, size=(40, 6))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    quant = 1_000_000
+    for parts in (1, 5):
+        got = {
+            (r["d1"], r["d2"]): (r["n"], r["s1"], r["s2"], r["s12"])
+            for r in embedding_covariance(
+                emb.repartition(parts), dim=6, quant=quant
+            ).collect()
+        }
+        q = np.floor(mat * quant).astype(np.int64)
+        want = {}
+        for a in range(6):
+            for b in range(a, 6):
+                want[(a, b)] = (
+                    40,
+                    int(q[:, a].sum()),
+                    int(q[:, b].sum()),
+                    int((q[:, a] * q[:, b]).sum()),
+                )
+        assert got == want
+    with _pytest.raises(Exception):
+        embedding_covariance(emb, dim=7).collect()  # dim mismatch
+    with _pytest.raises(ValueError):
+        embedding_covariance(emb, dim=0)
+
+
+def test_pca_project_matches_numpy_replay(spark):
+    """Top-k PCA == a numpy replay on the same quantized covariance:
+    eigenvalues exactly equal (identical driver-side eigh input),
+    projections allclose, the sign convention is deterministic, and
+    components are orthonormal. A planted dominant direction is
+    recovered."""
+    import numpy as np
+    import pytest as _pytest
+
+    from linkgraph.pipeline import pca_project
+    from linkgraph.pipeline.embedpca import covariance_matrix, QUANT
+
+    rng = np.random.default_rng(11)
+    direction = np.array([3.0, 1.0, 0.0, 0.0]) / np.sqrt(10)
+    mat = rng.normal(0, 0.05, size=(60, 4)) + np.outer(
+        rng.normal(0, 1.0, 60), direction
+    )
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj, comps, vals = pca_project(emb, dim=4, k=2)
+    # numpy replay of the same pipeline
+    q = np.floor(mat * QUANT).astype(np.int64)
+    n = len(q)
+    s12 = q.T @ q
+    s1 = q.sum(0)
+    cov = (s12 / n - np.outer(s1 / n, s1 / n)) / (QUANT * QUANT)
+    w_, v_ = np.linalg.eigh(cov)
+    order = np.argsort(w_)[::-1][:2]
+    assert np.allclose(vals, w_[order], rtol=0, atol=0)
+    want = v_[:, order].T.copy()
+    for i in range(2):
+        j = int(np.argmax(np.abs(want[i])))
+        if want[i, j] < 0:
+            want[i] = -want[i]
+    assert np.allclose(comps, want, atol=1e-12)
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-12)
+    # dominant direction recovered (up to sign already fixed)
+    assert abs(float(np.dot(comps[0], direction))) > 0.999
+    # projections match x·w − mean·w
+    got = {
+        (r["vec_id"], r["comp"]): r["value"] for r in proj.collect()
+    }
+    mean = mat_mean = None
+    mean = s1 / n / QUANT
+    for i in range(60):
+        for c in range(2):
+            want_v = float(np.dot(mat[i], comps[c]) - np.dot(mean, comps[c]))
+            assert got[(i, c)] == pytest.approx(want_v, abs=1e-9)
+    with _pytest.raises(ValueError):
+        pca_project(emb, dim=4, k=0)
+    with _pytest.raises(ValueError):
+        pca_project(emb, dim=4, k=5)
