@@ -412,6 +412,19 @@ def q_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_law_alpha(g, dmin=4)
 
 
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve phi(k) of the symmetrized
+    part-succession graph (kernels/graphstats.rich_club; Colizza et
+    al. Nature Physics 2006): density among vertices of degree > k
+    per occupied degree class. rich_n / rich_e exact int64 suffix
+    sums; phi ONE fixed-order double division (try_divide -> NULL
+    below 2 members) — hash-exact with no rounding."""
+    from linkgraph.kernels import rich_club
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    return rich_club(g)
+
+
 def q_knn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average-nearest-neighbor-degree curve k_nn(k) of the
     symmetrized part-succession graph (kernels/graphstats.knn_curve;
@@ -1694,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_dist": q_degree_dist,
         "power_law_alpha": q_power_law_alpha,
         "knn_curve": q_knn_curve,
+        "rich_club": q_rich_club,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
         "neighbor_sample": q_neighbor_sample,
@@ -3797,6 +3811,46 @@ FROM (
     )
 
 
+_RICH_CLUB_SQL = f"""
+WITH e0 AS MATERIALIZED ({_PART_SUCC_E}),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst
+),
+deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY src),
+tagged AS (
+  SELECT LEAST(du.deg, dv.deg) AS t
+  FROM sym s JOIN deg du ON s.src = du.v JOIN deg dv ON s.dst = dv.v
+  WHERE s.src < s.dst
+),
+th AS (SELECT t AS key, COUNT(*) AS e_at FROM tagged GROUP BY t),
+dh AS (SELECT deg AS key, COUNT(*) AS n_at FROM deg GROUP BY deg),
+merged AS (
+  SELECT COALESCE(dh.key, th.key) AS key,
+         COALESCE(n_at, 0) AS n_at, COALESCE(e_at, 0) AS e_at
+  FROM dh FULL JOIN th ON dh.key = th.key
+),
+cum AS (
+  SELECT key, n_at, e_at,
+         SUM(n_at) OVER (ORDER BY key DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_at AS rich_n,
+         SUM(e_at) OVER (ORDER BY key DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - e_at AS rich_e
+  FROM merged
+)
+SELECT CAST(key AS BIGINT) AS k,
+       CAST(rich_n AS BIGINT) AS rich_n,
+       CAST(rich_e AS BIGINT) AS rich_e,
+       CAST(CAST(2 * rich_e AS DOUBLE)
+            / NULLIF(CAST(rich_n * (rich_n - 1) AS DOUBLE), 0.0) AS DOUBLE)
+         AS phi
+FROM cum WHERE n_at > 0
+"""
+
+
 _KNN_CURVE_SQL = f"""
 WITH e0 AS MATERIALIZED ({_PART_SUCC_E}),
 sym AS MATERIALIZED (
@@ -5167,6 +5221,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "degree_dist": _DEGREE_DIST_SQL,
         "power_law_alpha": _power_law_sql(4),
         "knn_curve": _KNN_CURVE_SQL,
+        "rich_club": _RICH_CLUB_SQL,
         "random_walks": _random_walks_sql(4, 2, 7),
         "node2vec_walks": _node2vec_sql(3, 2, (1, 4, 2), 7),
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),

@@ -37,7 +37,7 @@ def main(argv: list[str]) -> int:
             "modularity", "conductance", "walks", "sample", "negsample", "condense",
             "matching", "msf", "jaccard", "butterflies", "pagerank_w", "coreness",
             "degrees", "alpha", "knn", "spam", "sweep", "closeness",
-            "redirects", "diameter", "node2vec",
+            "redirects", "diameter", "node2vec", "richclub",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -451,6 +451,9 @@ def main(argv: list[str]) -> int:
             "sweeps": res.sweeps,
             "wall_s": round(res.wall_seconds, 3),
         }
+    elif args.kernel == "richclub":
+        out = kernels.rich_club(graph).orderBy("k")
+        summary = {"kernel": "richclub", "degree_classes": out.count()}
     elif args.kernel == "redirects":
         # CLI convenience: reduce the edge input to a functional map
         # (min dst per src) — reported so the reduction is visible

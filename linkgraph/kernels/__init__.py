@@ -118,6 +118,7 @@ from linkgraph.kernels.graphstats import (
     graph_stats,
     knn_curve,
     power_law_alpha,
+    rich_club,
 )
 from linkgraph.kernels.truss import ktruss
 from linkgraph.kernels.egonet import ego_net
@@ -131,6 +132,7 @@ from linkgraph.kernels.node2vec import node2vec_walks
 
 __all__ = [
     "pseudo_diameter",
+    "rich_club",
     "node2vec_walks",
     "pagerank",
     "pagerank_delta",

@@ -250,3 +250,67 @@ def knn_curve(graph: Graph) -> DataFrame:
             ).alias("knn"),
         )
     )
+
+
+def rich_club(graph: Graph) -> DataFrame:
+    """Rich-club coefficient curve phi(k) (Colizza, Flammini, Serrano
+    & Vespignani, Nature Physics 2006) over the symmetrized simple
+    graph: for every occupied degree threshold k,
+
+      (k, rich_n, rich_e, phi)
+
+    with rich_n = #vertices of degree > k, rich_e = #undirected edges
+    among them, and phi(k) = 2*rich_e / (rich_n*(rich_n - 1)) — the
+    density of the subgraph induced by the hubs (a rising phi(k) =
+    hubs form a club; web/internet graphs famously do). phi is ONE
+    fixed-order double division over exact int64 aggregates
+    (try_divide: rich_n < 2 yields NULL) — hash-exact, no rounding.
+
+    Scale shape: one m-row join tags each canonical (u < v) edge with
+    min(deg_u, deg_v); both histograms (edge thresholds, degrees) are
+    distinct-degree-scale, their suffix sums one window over that tiny
+    frame — the heavy work is the same two joins every stats kernel
+    pays, no windows over m rows."""
+    from pyspark.sql import Window
+
+    e = graph.edges.where(F.col("src") != F.col("dst")).distinct()
+    sym = symmetrize(e)
+    canon = sym.where(F.col("src") < F.col("dst"))
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tagged = (
+        canon.join(deg.select(F.col("v").alias("src"), F.col("deg").alias("du")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dv")), "dst")
+        .select(F.least("du", "dv").alias("t"))
+    )
+    th_hist = tagged.groupBy(F.col("t").alias("key")).agg(
+        F.count(F.lit(1)).alias("e_at")
+    )
+    deg_hist = deg.groupBy(F.col("deg").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_at")
+    )
+    merged = (
+        deg_hist.join(th_hist, "key", "full")
+        .select(
+            "key",
+            F.coalesce("n_at", F.lit(0)).alias("n_at"),
+            F.coalesce("e_at", F.lit(0)).alias("e_at"),
+        )
+    )
+    w = Window.orderBy(F.desc("key")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "key", "n_at", "e_at",
+        (F.sum("n_at").over(w) - F.col("n_at")).alias("rich_n"),
+        (F.sum("e_at").over(w) - F.col("e_at")).alias("rich_e"),
+    )
+    # report rows for occupied DEGREE classes only (n_at > 0)
+    return cum.where(F.col("n_at") > 0).select(
+        F.col("key").cast("long").alias("k"),
+        F.col("rich_n").cast("long").alias("rich_n"),
+        F.col("rich_e").cast("long").alias("rich_e"),
+        F.try_divide(
+            (2 * F.col("rich_e")).cast("double"),
+            (F.col("rich_n") * (F.col("rich_n") - 1)).cast("double"),
+        ).alias("phi"),
+    )

@@ -2312,3 +2312,50 @@ def test_node2vec_closed_forms(spark):
         node2vec_walks(g2, alpha_common=(1 << 20) + 1)
     with _pytest.raises(ValueError):
         node2vec_walks(g2, max_neighbors=0)
+
+
+def test_rich_club_matches_replay_and_closed_forms(rmat_graph, spark):
+    """phi(k) == a brute-force replay over the symmetrized simple
+    graph (ints exact, phi bit-exact doubles); K5: phi = 1 at every
+    threshold below the clique degree; star: hubs-only classes go
+    NULL below 2 members."""
+    from linkgraph.kernels import rich_club
+
+    g, pdf, n = rmat_graph
+    adj: dict[int, set[int]] = {}
+    for s, d in zip(pdf["src"], pdf["dst"]):
+        if s == d:
+            continue
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    deg = {v: len(ns) for v, ns in adj.items()}
+    edges = {(u, v) for u, ns in adj.items() for v in ns if u < v}
+    got = {r["k"]: (r["rich_n"], r["rich_e"], r["phi"]) for r in rich_club(g).collect()}
+    assert set(got) == set(deg.values())
+    for k in got:
+        rn = sum(1 for v in deg if deg[v] > k)
+        re_ = sum(1 for u, v in edges if deg[u] > k and deg[v] > k)
+        phi = 2.0 * re_ / (rn * (rn - 1)) if rn >= 2 else None
+        grn, gre, gphi = got[k]
+        assert (grn, gre) == (rn, re_)
+        if phi is None:
+            assert gphi is None
+        else:
+            assert gphi == phi  # one fixed-order division, bit-exact
+
+    # K5: every vertex degree 4 -> only class k=4, rich_n = 0 -> NULL
+    k5 = [(i, j) for i in range(5) for j in range(5) if i < j]
+    g5 = _graph(spark, pd.DataFrame(k5, columns=["src", "dst"]), 5)
+    rows5 = {r["k"]: r for r in rich_club(g5).collect()}
+    assert set(rows5) == {4}
+    assert rows5[4]["rich_n"] == 0 and rows5[4]["phi"] is None
+    g5.unpersist()
+
+    # K5 plus a pendant vertex: class k=1 -> the 5 clique members
+    # (deg > 1) form a perfect club, phi = 1.0
+    k5p = k5 + [(0, 5)]
+    g5p = _graph(spark, pd.DataFrame(k5p, columns=["src", "dst"]), 6)
+    rows5p = {r["k"]: r for r in rich_club(g5p).collect()}
+    assert rows5p[1]["rich_n"] == 5 and rows5p[1]["rich_e"] == 10
+    assert rows5p[1]["phi"] == 1.0
+    g5p.unpersist()
