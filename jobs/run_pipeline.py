@@ -48,6 +48,7 @@ DOC_OPS = {
     "weighted_sample",  # --query names the weight column
     "c4", "chunk",  # chunk: --k = window tokens (overlap = k // 4)
     "cms", "hll",  # sketches: --k = CMS width / HLL 2^b buckets exponent
+    "bloom",  # --k = m_bits; builds over md5(text), reports FP stats
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -137,6 +138,16 @@ def main(argv: list[str]) -> int:
         out = P.gopher_quality(source)
     elif args.op == "c4":
         out = P.c4_quality(source)
+    elif args.op == "bloom":
+        from pyspark.sql import functions as F
+
+        hashed = source.select("doc_id", F.md5("text").alias("key"))
+        m_bits = opt(args.k, 4096)
+        bloom = P.bloom_build(hashed, "key", m_bits=m_bits, seed=opt(args.seed, 0))
+        out = P.bloom_probe(
+            bloom, hashed.select("key"), "key",
+            m_bits=m_bits, seed=opt(args.seed, 0),
+        )
     elif args.op == "cms":
         out = P.count_min_sketch(
             source, depth=4, width=opt(args.k, 1024), seed=opt(args.seed, 0)

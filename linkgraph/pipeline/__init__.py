@@ -44,6 +44,7 @@ from linkgraph.pipeline.retrieval import bm25_topk, inverted_index
 from linkgraph.pipeline.chunking import chunk_documents
 from linkgraph.pipeline.sketches import cms_estimate, count_min_sketch, hll_distinct, word_trigrams
 from linkgraph.pipeline.embedpca import embedding_covariance, pca_project
+from linkgraph.pipeline.bloom import bloom_build, bloom_probe
 from linkgraph.pipeline.covisit import covisitation
 from linkgraph.pipeline.funnel import funnel_counts, retention_cohorts
 from linkgraph.pipeline.embedcluster import (
@@ -91,6 +92,8 @@ __all__ = [
     "c4_quality",
     "chunk_documents",
     "cms_estimate",
+    "bloom_build",
+    "bloom_probe",
     "embedding_covariance",
     "pca_project",
     "count_min_sketch",

@@ -1991,3 +1991,52 @@ def test_pca_project_matches_numpy_replay(spark):
         pca_project(emb, dim=4, k=0)
     with _pytest.raises(ValueError):
         pca_project(emb, dim=4, k=5)
+
+
+def test_bloom_filter_matches_hashlib_replay(spark):
+    """Bloom words == a hashlib replay; members are ALWAYS flagged
+    (no false negatives); a shard-built pair of filters BIT_ORs to
+    the whole-corpus filter; guards raise."""
+    import pytest as _pytest
+
+    from linkgraph.pipeline import bloom_build, bloom_probe
+
+    m_bits, k, seed = 256, 3, 5
+    keys = [f"key{i}" for i in range(40)]
+    df = spark.createDataFrame([(v,) for v in keys], "key string")
+    bloom = bloom_build(df, "key", m_bits=m_bits, k=k, seed=seed)
+    got = {r["word"]: r["bits"] for r in bloom.collect()}
+    want: dict[int, int] = {}
+    for v in keys:
+        for j in range(k):
+            p = _md5_int(f"{seed}:{j}:{v}", 8) % m_bits
+            want[p // 32] = want.get(p // 32, 0) | (1 << (p % 32))
+    assert got == want
+    probes = spark.createDataFrame(
+        [(v,) for v in keys + [f"nope{i}" for i in range(60)]], "key string"
+    )
+    res = {
+        r["value"]: r["maybe_member"]
+        for r in bloom_probe(bloom, probes, "key", m_bits=m_bits, k=k, seed=seed).collect()
+    }
+    assert all(res[v] for v in keys)  # no false negatives, ever
+    # replay the probe decision for the non-members too
+    for v in (f"nope{i}" for i in range(60)):
+        bits_ok = all(
+            (want.get((_md5_int(f"{seed}:{j}:{v}", 8) % m_bits) // 32, 0)
+             >> ((_md5_int(f"{seed}:{j}:{v}", 8) % m_bits) % 32)) & 1
+            for j in range(k)
+        )
+        assert res[v] == bits_ok
+    # mergeability: shard filters BIT_OR to the whole
+    h1 = bloom_build(df.where(F.col("key") < "key3"), "key", m_bits=m_bits, k=k, seed=seed)
+    h2 = bloom_build(df.where(F.col("key") >= "key3"), "key", m_bits=m_bits, k=k, seed=seed)
+    merged = {
+        r["word"]: r["bits"]
+        for r in h1.unionByName(h2).groupBy("word").agg(F.bit_or("bits").alias("bits")).collect()
+    }
+    assert merged == want
+    with _pytest.raises(ValueError):
+        bloom_build(df, "key", m_bits=100)  # not a multiple of 32
+    with _pytest.raises(ValueError):
+        bloom_build(df, "key", k=0)
