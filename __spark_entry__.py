@@ -1186,6 +1186,29 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event streams
+    (pipeline/funnel.event_transitions): (from, to, cnt, prob) with
+    the (ts, event_id) successor order. cnt exact int64; prob ONE
+    fixed-order division — hash-exact, no rounding."""
+    from linkgraph.pipeline import event_transitions
+
+    return event_transitions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over orders (pipeline/layout.py):
+    interleave the low 16 bits of (o_custkey, o_orderkey) — the
+    OPTIMIZE ZORDER clustering key as one codegen projection, pure
+    bit arithmetic, all int64 hash-exact."""
+    from linkgraph.pipeline import zorder_key
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    return zorder_key(orders, ["o_custkey", "o_orderkey"], bits=16)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order conversion funnel (pipeline/funnel.funnel_counts)
     signup→view→click→purchase over the deterministically thinned
@@ -1783,6 +1806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": q_resolve_redirects,
         "covisitation": q_covisitation,
         "funnel_steps": q_funnel,
+        "event_transitions": q_event_transitions,
+        "zorder_orders": q_zorder_orders,
         "retention_cohorts": q_retention,
         "weighted_sample": q_weighted_sample,
         "unigram_logprob": q_unigram_logprob,
@@ -5080,6 +5105,44 @@ SELECT v AS value, MIN(hit) = 1 AS maybe_member FROM hits GROUP BY v
 """
 
 
+_EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (SELECT from_type, SUM(cnt) AS total FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.cnt,
+       CAST(CAST(c.cnt AS DOUBLE) / CAST(m.total AS DOUBLE) AS DOUBLE) AS prob
+FROM c JOIN m ON c.from_type = m.from_type
+"""
+
+
+def _zorder_orders_sql(bits: int = 16) -> str:
+    """Mirrors pipeline/layout.zorder_expr for (o_custkey, o_orderkey)
+    — the same loop-generated sum of shifted bits, so the two cannot
+    drift structurally."""
+    cols = ["o_custkey", "o_orderkey"]
+    n = len(cols)
+    terms = []
+    for c_idx, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(
+                f"(((CAST({c} AS BIGINT) >> {i}) & CAST(1 AS BIGINT)) << {i * n + c_idx})"
+            )
+    expr = " + ".join(terms)
+    return f"""
+SELECT o_orderkey, o_custkey, {expr} AS zkey FROM orders
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -5198,6 +5261,8 @@ FROM documents GROUP BY md5(text)
         "covisitation": _covisitation_sql(gap_minutes=120, min_count=2),
         "funnel_steps": _funnel_sql(["signup", "view", "click", "purchase"]),
         "retention_cohorts": _RETENTION_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "zorder_orders": _zorder_orders_sql(),
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "lang_id": _lang_id_sql(),

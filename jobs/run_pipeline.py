@@ -49,6 +49,8 @@ DOC_OPS = {
     "c4", "chunk",  # chunk: --k = window tokens (overlap = k // 4)
     "cms", "hll",  # sketches: --k = CMS width / HLL 2^b buckets exponent
     "bloom",  # --k = m_bits; builds over md5(text), reports FP stats
+    "transitions",  # --docs: events-shaped parquet
+    "zorder",  # --query: comma-separated key columns; --k = bits
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
@@ -182,6 +184,12 @@ def main(argv: list[str]) -> int:
         out = P.covisitation(
             ev, gap_minutes=120, min_count=opt(args.k, 2)
         )
+    elif args.op == "transitions":
+        out = P.event_transitions(source)
+    elif args.op == "zorder":
+        if not args.query:
+            raise SystemExit("--op zorder requires --query <col,col[,col]>")
+        out = P.zorder_key(source, args.query.split(","), bits=opt(args.k, 16))
     elif args.op == "funnel":
         steps = (args.query or "signup view click purchase").split()
         out = P.funnel_counts(source, steps)

@@ -45,8 +45,9 @@ from linkgraph.pipeline.chunking import chunk_documents
 from linkgraph.pipeline.sketches import cms_estimate, count_min_sketch, hll_distinct, word_trigrams
 from linkgraph.pipeline.embedpca import embedding_covariance, pca_project
 from linkgraph.pipeline.bloom import bloom_build, bloom_probe
+from linkgraph.pipeline.layout import zorder_expr, zorder_key
 from linkgraph.pipeline.covisit import covisitation
-from linkgraph.pipeline.funnel import funnel_counts, retention_cohorts
+from linkgraph.pipeline.funnel import event_transitions, funnel_counts, retention_cohorts
 from linkgraph.pipeline.embedcluster import (
     cluster_balanced_sample,
     kmeans,
@@ -95,10 +96,13 @@ __all__ = [
     "bloom_build",
     "bloom_probe",
     "embedding_covariance",
+    "event_transitions",
     "pca_project",
     "count_min_sketch",
     "hll_distinct",
     "word_trigrams",
+    "zorder_expr",
+    "zorder_key",
     "lang_id",
     "gopher_quality",
     "winnow_fingerprints",

@@ -105,3 +105,43 @@ def retention_cohorts(events: DataFrame, period_days: int = 7) -> DataFrame:
             "users",
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition table over per-user event
+    streams: (from_type, to_type, cnt, prob) with prob = cnt /
+    Σ_to cnt — the click-path model behind next-action prediction and
+    funnel-leak diagnosis. Successor = the user's next event in
+    (ts, event_id) order (the id tie-break makes simultaneous events
+    deterministic, the funnel_counts discipline).
+
+    Scale shape: ONE per-user LEAD window (partition size = events per
+    user — the covisit/funnel bound) + one hash groupBy on the tiny
+    (from, to) key space + a broadcast join for the from-marginal;
+    prob is ONE fixed-order double division of exact int64 counts —
+    hash-exact, no rounding."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    marg = pairs.groupBy("from_type").agg(F.sum("cnt").alias("total"))
+    return pairs.join(F.broadcast(marg), "from_type").select(
+        "from_type",
+        "to_type",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("prob"),
+    )

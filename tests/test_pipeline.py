@@ -2040,3 +2040,88 @@ def test_bloom_filter_matches_hashlib_replay(spark):
         bloom_build(df, "key", m_bits=100)  # not a multiple of 32
     with _pytest.raises(ValueError):
         bloom_build(df, "key", k=0)
+
+
+def test_event_transitions_matches_replay(spark):
+    """Transition table == a sequential per-user replay with the
+    (ts, event_id) order; probs row-normalize to 1 per from-state."""
+    from collections import Counter, defaultdict
+
+    from linkgraph.pipeline import event_transitions
+
+    rows = [
+        # user, ts-second, event_id, type — includes a simultaneous
+        # pair (tie broken by event_id)
+        (1, 0, 10, "a"), (1, 5, 11, "b"), (1, 5, 12, "c"), (1, 9, 13, "a"),
+        (2, 0, 20, "b"), (2, 1, 21, "b"),
+        (3, 0, 30, "a"),  # single event: no transitions
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "sec", "event_id", "event_type"])
+    pdf["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(pdf["sec"], unit="s")
+    df = spark.createDataFrame(pdf[["user_id", "ts", "event_id", "event_type"]])
+    got = {
+        (r["from_type"], r["to_type"]): (r["cnt"], r["prob"])
+        for r in event_transitions(df).collect()
+    }
+    want = Counter()
+    by_user = defaultdict(list)
+    for u, sec, eid, t in rows:
+        by_user[u].append((sec, eid, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] += 1
+    marg = Counter()
+    for (a, _), c in want.items():
+        marg[a] += c
+    assert set(got) == set(want)
+    for k, c in want.items():
+        assert got[k] == (c, c / marg[k[0]])
+    # row-normalization
+    from collections import defaultdict as dd
+
+    sums = dd(float)
+    for (a, _), (_, p) in got.items():
+        sums[a] += p
+    assert all(abs(s - 1.0) < 1e-12 for s in sums.values())
+
+
+def test_zorder_key_matches_replay_and_locality(spark):
+    """zkey == the Morton replay for 2 and 3 columns; guards raise;
+    and the locality property: sorting by zkey keeps both dimensions'
+    ranges small within blocks (the pruning rationale)."""
+    import pytest as _pytest
+
+    from linkgraph.pipeline import zorder_key
+
+    def morton(vals, bits):
+        z = 0
+        n = len(vals)
+        for c, v in enumerate(vals):
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (i * n + c)
+        return z
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["zkey"] for r in zorder_key(df, ["x", "y"], bits=3).collect()}
+    assert got == {(x, y): morton([x, y], 3) for x, y in pts}
+    df3 = spark.createDataFrame([(1, 2, 3), (7, 6, 5)], "a long, b long, c long")
+    got3 = {
+        (r["a"], r["b"], r["c"]): r["zkey"]
+        for r in zorder_key(df3, ["a", "b", "c"], bits=4).collect()
+    }
+    assert got3 == {t: morton(list(t), 4) for t in [(1, 2, 3), (7, 6, 5)]}
+    # locality: each 16-row block of the zkey order spans a 4x4 tile
+    ordered = sorted(pts, key=lambda t: morton(list(t), 3))
+    for b in range(4):
+        block = ordered[b * 16 : (b + 1) * 16]
+        xs = [x for x, _ in block]
+        ys = [y for _, y in block]
+        assert max(xs) - min(xs) <= 3 and max(ys) - min(ys) <= 3
+    with _pytest.raises(ValueError):
+        zorder_key(df, ["x"], bits=3)
+    with _pytest.raises(ValueError):
+        zorder_key(df, ["x", "y"], bits=32)
