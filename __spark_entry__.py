@@ -1601,6 +1601,17 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(emb, dim=64)
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition family (pipeline/textstats.repetition_
+    signals, Rae et al. 2021 Table A1, word-level): per (doc, n) the
+    top-n-gram coverage and the duplicate-n-gram UNION coverage
+    (gaps-and-islands interval merge — not the overlap-double-counting
+    Σcount·n). Exact int64 ratios, ROUND(9)."""
+    from linkgraph.pipeline import repetition_signals
+
+    return repetition_signals(_documents(spark, sf_dir), ns=(2, 3, 4, 5))
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced downsampling
     (pipeline/embedcluster.cluster_balanced_sample): the SAME
@@ -1826,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "stratified_sample": q_stratified_sample,
         "gopher_quality": q_gopher_quality,
+        "repetition_signals": q_repetition_signals,
         "c4_quality": q_c4_quality,
         "chunk_documents": q_chunk_documents,
         "cms_top_words": q_cms_top_words,
@@ -5143,6 +5155,67 @@ SELECT o_orderkey, o_custkey, {expr} AS zkey FROM orders
 """
 
 
+def _repetition_signals_sql(ns: tuple[int, ...] = (2, 3, 4, 5)) -> str:
+    """Mirrors pipeline/textstats.repetition_signals per n: same gram
+    slicing, same dup-gram interval union via the cummax window."""
+    parts = []
+    body = """
+WITH base AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_words
+  FROM documents
+)"""
+    for n in ns:
+        body += f""",
+g{n} AS MATERIALIZED (
+  SELECT doc_id, n_words, i,
+         array_to_string(w[i + 1 : i + {n}], ' ') AS g
+  FROM (
+    SELECT doc_id, n_words, w,
+           unnest(generate_series(0, CAST(n_words - {n} AS INT))) AS i
+    FROM base WHERE n_words >= {n}
+  )
+),
+c{n} AS MATERIALIZED (
+  SELECT doc_id, g, COUNT(*) AS c FROM g{n} GROUP BY 1, 2
+),
+t{n} AS (SELECT doc_id, MAX(c) AS top_c FROM c{n} GROUP BY 1),
+d{n} AS (
+  SELECT g.doc_id, g.n_words, g.i
+  FROM g{n} g JOIN c{n} c ON g.doc_id = c.doc_id AND g.g = c.g
+  WHERE c.c >= 2
+),
+cov{n} AS (
+  SELECT doc_id, SUM(add) AS cov FROM (
+    SELECT doc_id,
+           CASE WHEN prev_end IS NULL THEN {n}
+                ELSE GREATEST(LEAST(i + {n} - prev_end, {n}), 0) END AS add
+    FROM (
+      SELECT doc_id, i,
+             MAX(i + {n}) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM d{n}
+    )
+  ) GROUP BY doc_id
+)"""
+        parts.append(f"""
+SELECT b.doc_id, CAST({n} AS BIGINT) AS n,
+       ROUND(CASE WHEN b.n_words >= {n}
+             THEN CAST(COALESCE(t{n}.top_c, 0) * {n} AS DOUBLE) / b.n_words
+             ELSE 0.0 END, 9) AS top_ngram_frac,
+       ROUND(CASE WHEN b.n_words >= {n}
+             THEN CAST(COALESCE(cov{n}.cov, 0) AS DOUBLE) / b.n_words
+             ELSE 0.0 END, 9) AS dup_ngram_frac
+FROM base b
+LEFT JOIN t{n} ON b.doc_id = t{n}.doc_id
+LEFT JOIN cov{n} ON b.doc_id = cov{n}.doc_id""")
+    return body + "\nUNION ALL\n".join(parts)
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -5367,6 +5440,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "kmeans_embed": _kmeans_sql(k=8, rounds=3, dim=64),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "gopher_quality": _gopher_quality_sql(),
+        "repetition_signals": _repetition_signals_sql(),
         "c4_quality": _c4_quality_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "cms_top_words": _cms_top_words_sql(),

@@ -50,6 +50,7 @@ DOC_OPS = {
     "cms", "hll",  # sketches: --k = CMS width / HLL 2^b buckets exponent
     "bloom",  # --k = m_bits; builds over md5(text), reports FP stats
     "transitions",  # --docs: events-shaped parquet
+    "repetition",  # Gopher dup/top n-gram coverage fractions
     "zorder",  # --query: comma-separated key columns; --k = bits
 }
 EMB_OPS = {
@@ -138,6 +139,8 @@ def main(argv: list[str]) -> int:
         out = P.lang_id(source)
     elif args.op == "gopher":
         out = P.gopher_quality(source)
+    elif args.op == "repetition":
+        out = P.repetition_signals(source)
     elif args.op == "c4":
         out = P.c4_quality(source)
     elif args.op == "bloom":

@@ -33,6 +33,7 @@ from linkgraph.pipeline.textstats import (
     bpe_token_stats,
     c4_quality,
     gopher_quality,
+    repetition_signals,
     lang_id,
     pmi_topk,
     tfidf_topk,
@@ -98,6 +99,7 @@ __all__ = [
     "embedding_covariance",
     "event_transitions",
     "pca_project",
+    "repetition_signals",
     "count_min_sketch",
     "hll_distinct",
     "word_trigrams",

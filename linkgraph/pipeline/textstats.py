@@ -561,3 +561,117 @@ def c4_quality(
         has_javascript.alias("has_javascript"),
         keep.alias("keep"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (2, 3, 4, 5),
+) -> DataFrame:
+    """The full Gopher repetition family (Rae et al. 2021 Table A1,
+    word-level form — the corpus is single-line so the line/paragraph
+    variants are degenerate, and word positions make the coverage
+    union exact cross-engine where character offsets would drag
+    whitespace bookkeeping into the contract):
+
+      (doc_id, n, top_ngram_frac, dup_ngram_frac)
+
+    * top_ngram_frac: words covered by occurrences of the single most
+      frequent n-gram = max_count · n / n_words (Gopher's top-n-gram
+      signal; gopher_quality's bigram version generalized).
+    * dup_ngram_frac: fraction of word positions covered by the UNION
+      of all n-grams occurring ≥ 2 times — the interval union per doc
+      via gaps-and-islands (running cummax over gram starts), NOT the
+      naive Σ count·n which double-counts overlaps.
+
+    Both are exact int64 ratios through one fixed-order division,
+    ROUND(9). Scale shape per n: one posexplode + two doc-keyed hash
+    aggs + one per-doc window over gram positions (bounded by doc
+    length — the covisit/funnel discipline); n values union at the
+    end. No cross-doc joins anywhere."""
+    from pyspark.sql import Window
+
+    if not ns or any(n < 2 for n in ns):
+        raise ValueError("ns must be non-empty with every n >= 2")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id",
+        toks.alias("w"),
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("long")
+        .alias("n_words"),
+    )
+    outs = []
+    for n in ns:
+        grams = F.expr(
+            f"transform(sequence(0, size(w) - {n}), i -> "
+            f"struct(i AS i, concat_ws(' ', slice(w, i + 1, {n})) AS g))"
+        )
+        pos = (
+            base.where(F.col("n_words") >= n)
+            .select("doc_id", "n_words", F.explode(grams).alias("x"))
+            .select("doc_id", "n_words", F.col("x.i").alias("i"), F.col("x.g").alias("g"))
+        )
+        cnt = pos.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        top = cnt.groupBy("doc_id").agg(F.max("c").alias("top_c"))
+        dup_pos = pos.join(
+            cnt.where(F.col("c") >= 2).select("doc_id", "g"), ["doc_id", "g"]
+        ).select("doc_id", "n_words", "i")
+        # interval union over [i, i+n): islands via running cummax of
+        # previous ends; the island head contributes min(n, gap)
+        w_ord = (
+            Window.partitionBy("doc_id")
+            .orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        covered = (
+            dup_pos.withColumn("prev_end", F.max(F.col("i") + n).over(w_ord))
+            .select(
+                "doc_id",
+                "n_words",
+                F.when(
+                    F.col("prev_end").isNull(), F.lit(n).cast("long")
+                )
+                .otherwise(
+                    F.greatest(
+                        F.least(
+                            (F.col("i") + n) - F.col("prev_end"), F.lit(n).cast("long")
+                        ),
+                        F.lit(0).cast("long"),
+                    )
+                )
+                .alias("add"),
+            )
+            .groupBy("doc_id")
+            .agg(F.first("n_words").alias("n_words"), F.sum("add").alias("cov"))
+        )
+        per_doc = (
+            base.select("doc_id", "n_words")
+            .join(top, "doc_id", "left")
+            .join(covered.select("doc_id", "cov"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(n).cast("long").alias("n"),
+                F.round(
+                    F.when(
+                        F.col("n_words") >= n,
+                        (F.coalesce(F.col("top_c"), F.lit(0)) * n).cast("double")
+                        / F.col("n_words"),
+                    ).otherwise(F.lit(0.0)),
+                    9,
+                ).alias("top_ngram_frac"),
+                F.round(
+                    F.when(
+                        F.col("n_words") >= n,
+                        F.coalesce(F.col("cov"), F.lit(0)).cast("double")
+                        / F.col("n_words"),
+                    ).otherwise(F.lit(0.0)),
+                    9,
+                ).alias("dup_ngram_frac"),
+            )
+        )
+        outs.append(per_doc)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -2125,3 +2125,53 @@ def test_zorder_key_matches_replay_and_locality(spark):
         zorder_key(df, ["x"], bits=3)
     with _pytest.raises(ValueError):
         zorder_key(df, ["x", "y"], bits=32)
+
+
+def test_repetition_signals_matches_python_replay(spark):
+    """(top, dup) n-gram fractions == a pure-Python replay with exact
+    interval-union coverage; overlap case pins union != Σcount·n."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from linkgraph.pipeline import repetition_signals
+
+    texts = [
+        "a b a b a b",          # overlapping dups: union = all 6 words
+        "x y z w",              # no dups
+        "p p q r p p s t",      # two disjoint dup islands
+        "q q q q q",            # single repeated token
+        "one two",              # shorter than n for n>=3
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ns = (2, 3)
+    got = {
+        (r["doc_id"], r["n"]): (r["top_ngram_frac"], r["dup_ngram_frac"])
+        for r in repetition_signals(df, ns=ns).collect()
+    }
+    for i, t in enumerate(texts):
+        words = t.split()
+        nw = len(words)
+        for n in ns:
+            if nw < n:
+                assert got[(i, n)] == (0.0, 0.0)
+                continue
+            grams = [" ".join(words[j : j + n]) for j in range(nw - n + 1)]
+            cnt = Counter(grams)
+            top = round(max(cnt.values()) * n / nw, 9)
+            covered = set()
+            for j, g in enumerate(grams):
+                if cnt[g] >= 2:
+                    covered.update(range(j, j + n))
+            dup = round(len(covered) / nw, 9)
+            assert got[(i, n)] == (top, dup), (i, n, got[(i, n)], (top, dup))
+    # overlap pin: doc 0 at n=2 has 5 dup gram occurrences (Σ c·n = 10
+    # > 6 words) but union coverage is exactly 1.0
+    assert got[(0, 2)][1] == 1.0
+    with _pytest.raises(ValueError):
+        repetition_signals(df, ns=())
+    with _pytest.raises(ValueError):
+        repetition_signals(df, ns=(1,))
