@@ -412,6 +412,25 @@ def q_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_law_alpha(g, dmin=4)
 
 
+def q_attr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical assortativity (kernels/graphstats.attribute_
+    assortativity, Newman PRE'03 mixing patterns) on the cust→supp
+    graph labeled by NATION (c_nationkey / s_nationkey): r =
+    (m·diag − ΣA·B)/(m² − ΣA·B) — every aggregate exact int64 over
+    the 25² label space, r ONE fixed-order division, hash-exact."""
+    from linkgraph.kernels import attribute_assortativity
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("label")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        (F.lit(SUPP_OFFSET) + F.col("s_suppkey")).alias("id"),
+        F.col("s_nationkey").alias("label"),
+    )
+    return attribute_assortativity(g, cust.unionByName(supp))
+
+
 def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficient curve phi(k) of the symmetrized
     part-succession graph (kernels/graphstats.rich_club; Colizza et
@@ -1759,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "power_law_alpha": q_power_law_alpha,
         "knn_curve": q_knn_curve,
         "rich_club": q_rich_club,
+        "attr_assortativity": q_attr_assortativity,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
         "neighbor_sample": q_neighbor_sample,
@@ -3906,6 +3926,36 @@ FROM cum WHERE n_at > 0
 """
 
 
+_ATTR_ASSORT_SQL = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, {SUPP_OFFSET} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+lab AS (
+  SELECT c_custkey AS id, c_nationkey AS lab FROM customer
+  UNION ALL
+  SELECT {SUPP_OFFSET} + s_suppkey AS id, s_nationkey AS lab FROM supplier
+),
+mix AS MATERIALIZED (
+  SELECT ls.lab AS li, ld.lab AS lj, COUNT(*) AS cnt
+  FROM e JOIN lab ls ON e.src = ls.id JOIN lab ld ON e.dst = ld.id
+  GROUP BY 1, 2
+),
+rm AS (SELECT li, SUM(cnt) AS a FROM mix GROUP BY li),
+cm AS (SELECT lj, SUM(cnt) AS b FROM mix GROUP BY lj),
+sx AS (SELECT COALESCE(SUM(a * b), 0) AS s FROM rm JOIN cm ON rm.li = cm.lj),
+ag AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN li = lj THEN cnt ELSE 0 END) AS BIGINT) AS diag
+  FROM mix
+)
+SELECT ag.m, ag.diag, CAST(sx.s AS BIGINT) AS cross,
+       CAST(CAST(ag.m * ag.diag - sx.s AS DOUBLE)
+            / NULLIF(CAST(ag.m * ag.m - sx.s AS DOUBLE), 0.0) AS DOUBLE) AS r
+FROM ag CROSS JOIN sx
+"""
+
+
 _KNN_CURVE_SQL = f"""
 WITH e0 AS MATERIALIZED ({_PART_SUCC_E}),
 sym AS MATERIALIZED (
@@ -5416,6 +5466,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "power_law_alpha": _power_law_sql(4),
         "knn_curve": _KNN_CURVE_SQL,
         "rich_club": _RICH_CLUB_SQL,
+        "attr_assortativity": _ATTR_ASSORT_SQL,
         "random_walks": _random_walks_sql(4, 2, 7),
         "node2vec_walks": _node2vec_sql(3, 2, (1, 4, 2), 7),
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),

@@ -37,7 +37,7 @@ def main(argv: list[str]) -> int:
             "modularity", "conductance", "walks", "sample", "negsample", "condense",
             "matching", "msf", "jaccard", "butterflies", "pagerank_w", "coreness",
             "degrees", "alpha", "knn", "spam", "sweep", "closeness",
-            "redirects", "diameter", "node2vec", "richclub",
+            "redirects", "diameter", "node2vec", "richclub", "assort",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -451,6 +451,15 @@ def main(argv: list[str]) -> int:
             "sweeps": res.sweeps,
             "wall_s": round(res.wall_seconds, 3),
         }
+    elif args.kernel == "assort":
+        # demo labels: id % k (pass a labels parquet via --edges-side
+        # composition in real use; the kernel takes any (id, label))
+        k = max(2, args.k or 10)
+        labels = graph.vertices.select(
+            "id", (F.col("id") % k).alias("label")
+        )
+        out = kernels.attribute_assortativity(graph, labels)
+        summary = {"kernel": "assort", "labels": k}
     elif args.kernel == "richclub":
         out = kernels.rich_club(graph).orderBy("k")
         summary = {"kernel": "richclub", "degree_classes": out.count()}

@@ -116,6 +116,7 @@ from linkgraph.kernels.redirects import resolve_redirects
 from linkgraph.kernels.graphstats import (
     degree_distribution,
     graph_stats,
+    attribute_assortativity,
     knn_curve,
     power_law_alpha,
     rich_club,
@@ -133,6 +134,7 @@ from linkgraph.kernels.node2vec import node2vec_walks
 __all__ = [
     "pseudo_diameter",
     "rich_club",
+    "attribute_assortativity",
     "node2vec_walks",
     "pagerank",
     "pagerank_delta",

@@ -314,3 +314,64 @@ def rich_club(graph: Graph) -> DataFrame:
             (F.col("rich_n") * (F.col("rich_n") - 1)).cast("double"),
         ).alias("phi"),
     )
+
+
+def attribute_assortativity(
+    graph: Graph,
+    labels: DataFrame,
+    label_col: str = "label",
+) -> DataFrame:
+    """Categorical (discrete) assortativity coefficient (Newman, PRE
+    67:026126 2003 "Mixing patterns in networks") over directed edges:
+    do links stay within a category (language, nation, host TLD)?
+
+      one row: (m, diag, cross, r)
+
+    with the mixing matrix E[l_i][l_j] = edge counts, diag = Σ_i E_ii,
+    A_i/B_j the row/column marginals, and
+
+      r = (m·diag − Σ_i A_i·B_i) / (m² − Σ_i A_i·B_i)
+
+    — Newman's (tr e − Σ a·b)/(1 − Σ a·b) cleared of denominators so
+    every aggregate stays EXACT int64 (marginal products summed over
+    the tiny label² space); r is ONE fixed-order double division —
+    hash-exact, no rounding. r = 1 pure homophily, 0 random mixing,
+    < 0 disassortative; NULL (try_divide) when one label owns every
+    endpoint (m² == Σ A·B).
+
+    Scale shape: two vertex-keyed label-tagging joins (broadcast when
+    the label table fits) + one groupBy onto the label² key space —
+    the modularity/community_stats discipline.
+
+    labels: (id long, <label_col>) — vertices absent from `labels`
+    are dropped with their edges (documented; pass a complete table
+    for the full-graph coefficient)."""
+    lab = labels.select(F.col("id"), F.col(label_col).alias("_lab"))
+    tagged = (
+        graph.edges.join(
+            lab.select(F.col("id").alias("src"), F.col("_lab").alias("li")), "src"
+        )
+        .join(lab.select(F.col("id").alias("dst"), F.col("_lab").alias("lj")), "dst")
+    )
+    mix = tagged.groupBy("li", "lj").agg(F.count(F.lit(1)).alias("cnt"))
+    row_m = mix.groupBy("li").agg(F.sum("cnt").alias("a"))
+    col_m = mix.groupBy("lj").agg(F.sum("cnt").alias("b"))
+    s = (
+        row_m.join(col_m, row_m["li"] == col_m["lj"])
+        .agg(F.sum(F.col("a") * F.col("b")).alias("s"))
+    )
+    agg = mix.agg(
+        F.sum("cnt").cast("long").alias("m"),
+        F.sum(F.when(F.col("li") == F.col("lj"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    return agg.crossJoin(s.select(F.coalesce("s", F.lit(0)).cast("long").alias("cross"))).select(
+        "m",
+        "diag",
+        "cross",
+        F.try_divide(
+            (F.col("m") * F.col("diag") - F.col("cross")).cast("double"),
+            (F.col("m") * F.col("m") - F.col("cross")).cast("double"),
+        ).alias("r"),
+    )

@@ -2359,3 +2359,46 @@ def test_rich_club_matches_replay_and_closed_forms(rmat_graph, spark):
     assert rows5p[1]["rich_n"] == 5 and rows5p[1]["rich_e"] == 10
     assert rows5p[1]["phi"] == 1.0
     g5p.unpersist()
+
+
+def test_attribute_assortativity_replay_and_closed_forms(rmat_graph, spark):
+    """r == a brute-force mixing-matrix replay (bit-exact double);
+    perfect homophily gives r = 1; a bipartite-only cross pattern is
+    maximally disassortative; single-label graphs go NULL."""
+    from linkgraph.kernels import attribute_assortativity
+
+    g, pdf, n = rmat_graph
+    lab_map = {v: int(v) % 3 for v in range(n)}
+    labels = spark.createDataFrame(
+        [(v, l) for v, l in lab_map.items()], "id long, label long"
+    )
+    got = attribute_assortativity(g, labels).collect()[0].asDict()
+    from collections import Counter
+
+    mix = Counter(
+        (lab_map[int(s)], lab_map[int(d)]) for s, d in zip(pdf["src"], pdf["dst"])
+    )
+    m = sum(mix.values())
+    diag = sum(c for (a, b), c in mix.items() if a == b)
+    A = Counter()
+    B = Counter()
+    for (a, b), c in mix.items():
+        A[a] += c
+        B[b] += c
+    S = sum(A[k] * B[k] for k in set(A) | set(B))
+    assert (got["m"], got["diag"], got["cross"]) == (m, diag, S)
+    assert got["r"] == float(m * diag - S) / float(m * m - S)
+
+    # homophily: two disjoint 2-cycles, labels by component -> r = 1
+    e1 = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 0, 3, 2]})
+    g1 = _graph(spark, e1, 4)
+    l1 = spark.createDataFrame([(0, 0), (1, 0), (2, 1), (3, 1)], "id long, label long")
+    assert attribute_assortativity(g1, l1).collect()[0]["r"] == 1.0
+    # pure cross-linking (bipartite 2-cycle), balanced marginals
+    l2 = spark.createDataFrame([(0, 0), (1, 1), (2, 0), (3, 1)], "id long, label long")
+    r2 = attribute_assortativity(g1, l2).collect()[0]["r"]
+    assert r2 == -1.0  # diag 0, m=4, S = 2*2 + 2*2 = 8 -> -8/8
+    # single label -> denominator 0 -> NULL
+    l3 = spark.createDataFrame([(i, 7) for i in range(4)], "id long, label long")
+    assert attribute_assortativity(g1, l3).collect()[0]["r"] is None
+    g1.unpersist()
