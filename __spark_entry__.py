@@ -801,6 +801,20 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("start", "walk", "step", "vertex")
 
 
+def q_rw_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk graph sampling (kernels/sampling.rw_sample,
+    Leskovec & Faloutsos KDD'06) on the part-succession graph: walks
+    from seeds ≡ 0 mod 101, the sample = induced subgraph of touched
+    vertices (two semi-joins). All-int64 edge rows — hash-exact; the
+    oracle replays the walk unroll + the induced-edge filter."""
+    from linkgraph.kernels import rw_sample
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    seeds = g.vertices.where(F.col("id") % 101 == 0).select("id")
+    _, edges = rw_sample(g, seeds, length=4, walks_per_seed=2, seed=7)
+    return edges
+
+
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GraphSAGE 2-hop fanout sampling
     (kernels/sampling.py, SURVEY §2.9): seeds = part-succession
@@ -1782,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
         "neighbor_sample": q_neighbor_sample,
+        "rw_sample": q_rw_sample,
         "negative_sample": q_negative_sample,
         "degree_relabel": q_degree_relabel,
         "pseudo_diameter": q_pseudo_diameter,
@@ -2040,6 +2055,56 @@ p{t} AS MATERIALIZED (
         for t in range(0, length + 1)
     ]
     sql += "\n" + "\nUNION ALL\n".join(parts)
+    return sql
+
+
+def _rw_sample_sql(length: int = 4, w: int = 2, seed: int = 7, mod: int = 101) -> str:
+    """Replays rw_sample: the _random_walks_sql unroll restricted to
+    the seed set, then the induced-subgraph semi-joins."""
+    from linkgraph.kernels.walks import (
+        MIX_MASK,
+        MIX_MULT,
+        MIX_PRIME,
+        MIX_STEP,
+        MIX_START,
+        MIX_WALK,
+    )
+
+    seed = int(seed) % MIX_PRIME
+    sql = f"""
+WITH e AS MATERIALIZED ({_PART_SUCC_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+p0 AS (SELECT id AS start, r AS walk, id AS vertex
+       FROM v CROSS JOIN range({w}) t(r) WHERE id % {mod} = 0)
+"""
+    for t in range(1, length + 1):
+        h = (
+            f"(((((p.start % {MIX_MASK}) * {MIX_START} + p.walk * {MIX_WALK}"
+            f" + {t} * {MIX_STEP} + (e.dst % {MIX_MASK}) + {seed})"
+            f" % {MIX_PRIME}) * {MIX_MULT}) % {MIX_PRIME})"
+        )
+        sql += f""",
+p{t} AS MATERIALIZED (
+  SELECT start, walk, vertex FROM (
+    SELECT p.start, p.walk, e.dst AS vertex,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.start, p.walk ORDER BY {h}, e.dst
+           ) AS rn
+    FROM p{t - 1} p JOIN e ON p.vertex = e.src
+  ) WHERE rn = 1
+)"""
+    touched = "\n  UNION\n  ".join(
+        f"SELECT vertex AS id FROM p{t}" for t in range(0, length + 1)
+    )
+    sql += f""",
+touched AS MATERIALIZED (
+  {touched}
+)
+SELECT e.src, e.dst
+FROM e
+WHERE e.src IN (SELECT id FROM touched)
+  AND e.dst IN (SELECT id FROM touched)
+"""
     return sql
 
 
@@ -5470,6 +5535,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "random_walks": _random_walks_sql(4, 2, 7),
         "node2vec_walks": _node2vec_sql(3, 2, (1, 4, 2), 7),
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),
+        "rw_sample": _rw_sample_sql(4, 2, 7, 101),
         "negative_sample": _negative_sample_sql(3, 7),
         "degree_relabel": _DEGREE_RELABEL_SQL,
         "pseudo_diameter": _PSEUDO_DIAM_SQL,

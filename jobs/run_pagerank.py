@@ -37,7 +37,7 @@ def main(argv: list[str]) -> int:
             "modularity", "conductance", "walks", "sample", "negsample", "condense",
             "matching", "msf", "jaccard", "butterflies", "pagerank_w", "coreness",
             "degrees", "alpha", "knn", "spam", "sweep", "closeness",
-            "redirects", "diameter", "node2vec", "richclub", "assort",
+            "redirects", "diameter", "node2vec", "richclub", "assort", "rwsample",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -450,6 +450,18 @@ def main(argv: list[str]) -> int:
             "pseudo_diameter": res.pseudo_diameter,
             "sweeps": res.sweeps,
             "wall_s": round(res.wall_seconds, 3),
+        }
+    elif args.kernel == "rwsample":
+        seeds = graph.vertices.where(F.col("id") % 101 == 0).select("id")
+        sv, se = kernels.rw_sample(
+            graph, seeds, length=args.walk_length,
+            walks_per_seed=args.walks_per_vertex, seed=args.seed,
+        )
+        out = se.orderBy("src", "dst")
+        summary = {
+            "kernel": "rwsample",
+            "sample_vertices": sv.count(),
+            "sample_edges": out.count(),
         }
     elif args.kernel == "assort":
         # demo labels: id % k (pass a labels parquet via --edges-side

@@ -102,7 +102,7 @@ from linkgraph.kernels.katz import katz
 from linkgraph.kernels.salsa import salsa
 from linkgraph.kernels.modularity import community_stats, conductance, modularity
 from linkgraph.kernels.walks import random_walks
-from linkgraph.kernels.sampling import negative_sample, neighbor_sample
+from linkgraph.kernels.sampling import negative_sample, neighbor_sample, rw_sample
 from linkgraph.kernels.condense import condensation
 from linkgraph.kernels.ppr import ppr
 from linkgraph.kernels.pprsweep import ppr_sweep
@@ -135,6 +135,7 @@ __all__ = [
     "pseudo_diameter",
     "rich_club",
     "attribute_assortativity",
+    "rw_sample",
     "node2vec_walks",
     "pagerank",
     "pagerank_delta",

@@ -251,3 +251,42 @@ def negative_sample(
         wall_seconds=time.time() - t0,
         metrics={"pairs": pairs, "max_id": int(max_id), "overgen": overgen},
     )
+
+
+def rw_sample(
+    graph,
+    seeds: "DataFrame",
+    length: int = 10,
+    walks_per_seed: int = 4,
+    seed: int = 0,
+):
+    """Random-walk graph sampling (Leskovec & Faloutsos KDD'06 —
+    RW sampling preserves degree/clustering distributions far better
+    than uniform vertex/edge sampling): the sampled vertex set is
+    every vertex touched by deterministic walks from the seed set,
+    the sampled graph is its induced subgraph.
+
+    Returns (vertices, edges): vertices = (id long) distinct touched
+    ids; edges = the induced subgraph via two semi-joins (the ego_net
+    move — work scales with the sample, not the graph). Composes the
+    kernels/walks.py deterministic walker, so the sample is
+    bit-reproducible and oracle-replayable; walk length/multiplicity
+    trade coverage for locality exactly as in the paper.
+    """
+    from linkgraph.kernels.walks import random_walks
+
+    res = random_walks(
+        graph,
+        length=length,
+        walks_per_vertex=walks_per_seed,
+        seed=seed,
+        starts=seeds,
+    )
+    verts = res.df.select(F.col("vertex").alias("id")).distinct()
+    edges = (
+        graph.edges.join(
+            verts.select(F.col("id").alias("src")), "src", "left_semi"
+        ).join(verts.select(F.col("id").alias("dst")), "dst", "left_semi")
+        .select("src", "dst")
+    )
+    return verts, edges

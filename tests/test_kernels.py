@@ -2402,3 +2402,38 @@ def test_attribute_assortativity_replay_and_closed_forms(rmat_graph, spark):
     l3 = spark.createDataFrame([(i, 7) for i in range(4)], "id long, label long")
     assert attribute_assortativity(g1, l3).collect()[0]["r"] is None
     g1.unpersist()
+
+
+def test_rw_sample_matches_walk_replay(rmat_graph, spark):
+    """The sampled vertex set == the replayed walks' touched set; the
+    edge set is exactly the induced subgraph; a path seeded at its
+    head samples its reachable prefix."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.kernels import rw_sample
+    from tests.oracles import random_walks_replay
+
+    g, pdf, n = rmat_graph
+    seeds = g.vertices.where(F.col("id") % 7 == 0).select("id")
+    verts, edges = rw_sample(g, seeds, length=3, walks_per_seed=2, seed=9)
+    got_v = {r["id"] for r in verts.collect()}
+    seed_ids = [r["id"] for r in seeds.collect()]
+    want_rows = random_walks_replay(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), seed_ids,
+        length=3, walks_per_vertex=2, seed=9,
+    )
+    want_v = {v for (_, _, _, v) in want_rows}
+    assert got_v == want_v
+    got_e = {(r["src"], r["dst"]) for r in edges.collect()}
+    all_e = {(int(s), int(d)) for s, d in zip(pdf["src"], pdf["dst"])}
+    assert got_e == {(s, d) for s, d in all_e if s in want_v and d in want_v}
+
+    # path: seeding vertex 0 of 0->1->2->3 with length 2 touches 0,1,2
+    edges_p = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    gp = _graph(spark, edges_p, 4)
+    sv, se = rw_sample(
+        gp, gp.vertices.where(F.col("id") == 0), length=2, walks_per_seed=1, seed=0
+    )
+    assert {r["id"] for r in sv.collect()} == {0, 1, 2}
+    assert {(r["src"], r["dst"]) for r in se.collect()} == {(0, 1), (1, 2)}
+    gp.unpersist()
