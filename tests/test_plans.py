@@ -518,3 +518,45 @@ def test_chunk_documents_no_exchange_no_python(spark):
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "Generate" in plan  # the posexplode
+
+
+def test_cms_build_is_partial_final_single_exchange(spark):
+    """count_min_sketch must keep the partial+final aggregate shape:
+    one Exchange on (d, bucket), partial_count BEFORE it (map-side
+    combine collapses the shuffle to P·depth·width rows)."""
+    from linkgraph.pipeline import count_min_sketch
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w x y z "), F.col("id")).alias("text"),
+    )
+    plan = _plan(count_min_sketch(docs, depth=2, width=8, seed=1))
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan  # map-side combine below the shuffle
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bloom_probe_broadcasts_the_filter(spark):
+    """bloom_probe must broadcast the (tiny) filter side — a
+    SortMergeJoin or shuffled join on the probe stream would shuffle
+    the corpus for a m/32-row table."""
+    from linkgraph.pipeline import bloom_build, bloom_probe
+
+    docs = spark.range(10).select(F.concat(F.lit("k"), "id").alias("key"))
+    b = bloom_build(docs, "key", m_bits=64, k=2)
+    plan = _plan(bloom_probe(b, docs, "key", m_bits=64, k=2))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan  # AND folds map-side
+
+
+def test_hll_register_agg_is_partial_final(spark):
+    """hll_distinct's register build = partial+final MAX onto 2^b
+    keys; the estimate side stays one tiny aggregate."""
+    from linkgraph.pipeline import hll_distinct
+
+    vals = spark.range(50).select(F.concat(F.lit("v"), "id").alias("term"))
+    regs, est = hll_distinct(vals, b=4, seed=1)
+    plan = _plan(regs)
+    assert "partial_max" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
