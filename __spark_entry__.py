@@ -1634,6 +1634,19 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(emb, dim=64)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (pipeline/bpe.py, Sennrich et
+    al. ACL'16): the first 6 merges over the corpus word-frequency
+    table — greedy left-to-right merging via the double-separator
+    string encoding ('~a~~b~' patterns cannot false-match across
+    symbol boundaries and replace() preserves the encoding), ties by
+    (left, right). Merge 6 composes merge 1 (m+er) so the hierarchy
+    is exercised. Strings + int64 — hash-exact."""
+    from linkgraph.pipeline import bpe_learn
+
+    return bpe_learn(_documents(spark, sf_dir), n_merges=6).merges
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher repetition family (pipeline/textstats.repetition_
     signals, Rae et al. 2021 Table A1, word-level): per (doc, n) the
@@ -1873,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "gopher_quality": q_gopher_quality,
         "repetition_signals": q_repetition_signals,
+        "bpe_merges": q_bpe_merges,
         "c4_quality": q_c4_quality,
         "chunk_documents": q_chunk_documents,
         "cms_top_words": q_cms_top_words,
@@ -5331,6 +5345,44 @@ LEFT JOIN cov{n} ON b.doc_id = cov{n}.doc_id""")
     return body + "\nUNION ALL\n".join(parts)
 
 
+def _bpe_merges_sql(n_merges: int = 6) -> str:
+    """Unrolled BPE rounds mirroring pipeline/bpe.py: same
+    double-separator encoding, same pair counting, same
+    (cnt DESC, a, b) argmax, same left-to-right replace() merge
+    (verified identical greedy semantics on the overlap case)."""
+    sql = """
+WITH w0 AS MATERIALIZED (
+  SELECT '~' || rtrim(regexp_replace(word, '(.)', '\\1~~', 'g'), '~') || '~' AS ws,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents WHERE length(trim(text)) > 0)
+  GROUP BY 1
+)"""
+    for r in range(1, n_merges + 1):
+        sql += f""",
+e{r} AS (
+  SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i
+  FROM (SELECT regexp_split_to_array(trim(ws, '~'), '~~') AS s, freq
+        FROM w{r - 1} WHERE len(regexp_split_to_array(trim(ws, '~'), '~~')) >= 2)
+),
+p{r} AS (SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt FROM e{r} GROUP BY 1, 2),
+m{r} AS MATERIALIZED (
+  SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT replace(ws,
+                 '~' || (SELECT a FROM m{r}) || '~~' || (SELECT b FROM m{r}) || '~',
+                 '~' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || '~') AS ws,
+         freq
+  FROM w{r - 1}
+)"""
+    parts = [
+        f"SELECT CAST({r} AS BIGINT) AS step, a AS left, b AS right, cnt AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(parts)
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -5558,6 +5610,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "gopher_quality": _gopher_quality_sql(),
         "repetition_signals": _repetition_signals_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         "c4_quality": _c4_quality_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "cms_top_words": _cms_top_words_sql(),

@@ -51,6 +51,7 @@ DOC_OPS = {
     "bloom",  # --k = m_bits; builds over md5(text), reports FP stats
     "transitions",  # --docs: events-shaped parquet
     "repetition",  # Gopher dup/top n-gram coverage fractions
+    "bpe",  # --k = number of merges to learn
     "zorder",  # --query: comma-separated key columns; --k = bits
 }
 EMB_OPS = {
@@ -141,6 +142,8 @@ def main(argv: list[str]) -> int:
         out = P.gopher_quality(source)
     elif args.op == "repetition":
         out = P.repetition_signals(source)
+    elif args.op == "bpe":
+        out = P.bpe_learn(source, n_merges=opt(args.k, 32)).merges
     elif args.op == "c4":
         out = P.c4_quality(source)
     elif args.op == "bloom":

@@ -2175,3 +2175,81 @@ def test_repetition_signals_matches_python_replay(spark):
         repetition_signals(df, ns=())
     with _pytest.raises(ValueError):
         repetition_signals(df, ns=(1,))
+
+
+def test_bpe_learn_matches_sequential_replay(spark):
+    """Learned merges == a classic sequential BPE replay (word-freq
+    weighted, greedy left-to-right, (cnt DESC, pair) ties); the
+    overlapping-pair closed form pins the encoding's merge order."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from linkgraph.pipeline import bpe_learn
+
+    def replay(texts, k):
+        freqs = Counter(w for t in texts for w in t.split())
+        state = {w: tuple(w) for w in freqs}
+        merges = []
+        for step in range(1, k + 1):
+            cnt = Counter()
+            for w, syms in state.items():
+                for a, b in zip(syms, syms[1:]):
+                    cnt[(a, b)] += freqs[w]
+            if not cnt:
+                break
+            (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, a, b, c))
+            new_state = {}
+            for w, syms in state.items():
+                out = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_state[w] = tuple(out)
+            state = new_state
+        return merges, state
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "aaaa abab",  # overlap cases
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    res = bpe_learn(df, n_merges=6)
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in res.merges.orderBy("step").collect()
+    ]
+    want_merges, want_state = replay(texts, 6)
+    assert got == want_merges
+    # final vocab symbolization matches too
+    vocab = {
+        tuple(r["ws"].strip("~").split("~~")): r["freq"]
+        for r in res.vocab.collect()
+    }
+    freqs = Counter(w for t in texts for w in t.split())
+    assert vocab == {tuple(s): freqs[w] for w, s in want_state.items()}
+
+    # pure-overlap closed form: "aaaa" alone merges (a,a) then (aa,aa)
+    df2 = spark.createDataFrame([(0, "aaaa")], "doc_id long, text string")
+    res2 = bpe_learn(df2, n_merges=2)
+    got2 = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in res2.merges.orderBy("step").collect()
+    ]
+    assert got2 == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+    assert [r["ws"] for r in res2.vocab.collect()] == ["~aaaa~"]
+
+    with _pytest.raises(ValueError):
+        bpe_learn(df2, n_merges=0)
+    df3 = spark.createDataFrame([(0, "bad~word")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bpe_learn(df3, n_merges=1)
