@@ -1647,6 +1647,22 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(_documents(spark, sf_dir), n_merges=6).merges
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply (pipeline/bpe.bpe_encode): per-doc token counts
+    under the corpus's own first-6 learned merges — merge chain runs
+    once per DISTINCT word (vocab-scale), broadcast-joined back to
+    occurrences, one groupBy per doc. All int64 — hash-exact; the
+    oracle re-learns the merges in SQL and applies the same chain."""
+    from linkgraph.pipeline import bpe_encode, bpe_learn
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn(docs, n_merges=6).merges.orderBy("step").collect()
+    ]
+    return bpe_encode(docs, merges)
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher repetition family (pipeline/textstats.repetition_
     signals, Rae et al. 2021 Table A1, word-level): per (doc, n) the
@@ -1887,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "repetition_signals": q_repetition_signals,
         "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "c4_quality": q_c4_quality,
         "chunk_documents": q_chunk_documents,
         "cms_top_words": q_cms_top_words,
@@ -5383,6 +5400,55 @@ w{r} AS MATERIALIZED (
     return sql + "\n" + "\nUNION ALL\n".join(parts)
 
 
+def _bpe_token_counts_sql(n_merges: int = 6) -> str:
+    """Re-learns the first n merges (the _bpe_merges_sql chain, with
+    the word carried through rounds) and applies them: per-word
+    subtoken counts from the final symbol strings, summed per doc."""
+    sql = """
+WITH dw AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0
+),
+w0 AS MATERIALIZED (
+  SELECT word,
+         '~' || rtrim(regexp_replace(word, '(.)', '\\1~~', 'g'), '~') || '~' AS ws,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM dw GROUP BY 1
+)"""
+    for r in range(1, n_merges + 1):
+        sql += f""",
+e{r} AS (
+  SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i
+  FROM (SELECT regexp_split_to_array(trim(ws, '~'), '~~') AS s, freq
+        FROM w{r - 1} WHERE len(regexp_split_to_array(trim(ws, '~'), '~~')) >= 2)
+),
+p{r} AS (SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt FROM e{r} GROUP BY 1, 2),
+m{r} AS MATERIALIZED (
+  SELECT a, b FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT word,
+         replace(ws,
+                 '~' || (SELECT a FROM m{r}) || '~~' || (SELECT b FROM m{r}) || '~',
+                 '~' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || '~') AS ws,
+         freq
+  FROM w{r - 1}
+)"""
+    sql += f""",
+sym AS MATERIALIZED (
+  SELECT word,
+         CAST(len(regexp_split_to_array(trim(ws, '~'), '~~')) AS BIGINT) AS n_sub
+  FROM w{n_merges}
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(sym.n_sub) AS BIGINT) AS n_tokens
+FROM dw JOIN sym ON dw.word = sym.word
+GROUP BY dw.doc_id
+"""
+    return sql
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -5611,6 +5677,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "gopher_quality": _gopher_quality_sql(),
         "repetition_signals": _repetition_signals_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "bpe_token_counts": _bpe_token_counts_sql(),
         "c4_quality": _c4_quality_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "cms_top_words": _cms_top_words_sql(),

@@ -51,7 +51,7 @@ DOC_OPS = {
     "bloom",  # --k = m_bits; builds over md5(text), reports FP stats
     "transitions",  # --docs: events-shaped parquet
     "repetition",  # Gopher dup/top n-gram coverage fractions
-    "bpe",  # --k = number of merges to learn
+    "bpe", "bpe_encode",  # --k = number of merges to learn
     "zorder",  # --query: comma-separated key columns; --k = bits
 }
 EMB_OPS = {
@@ -144,6 +144,11 @@ def main(argv: list[str]) -> int:
         out = P.repetition_signals(source)
     elif args.op == "bpe":
         out = P.bpe_learn(source, n_merges=opt(args.k, 32)).merges
+    elif args.op == "bpe_encode":
+        res = P.bpe_learn(source, n_merges=opt(args.k, 32))
+        m = [(r["left"], r["right"])
+             for r in res.merges.orderBy("step").collect()]
+        out = P.bpe_encode(source, m)
     elif args.op == "c4":
         out = P.c4_quality(source)
     elif args.op == "bloom":

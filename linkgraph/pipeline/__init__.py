@@ -47,7 +47,7 @@ from linkgraph.pipeline.sketches import cms_estimate, count_min_sketch, hll_dist
 from linkgraph.pipeline.embedpca import embedding_covariance, pca_project
 from linkgraph.pipeline.bloom import bloom_build, bloom_probe
 from linkgraph.pipeline.layout import zorder_expr, zorder_key
-from linkgraph.pipeline.bpe import bpe_learn
+from linkgraph.pipeline.bpe import bpe_encode, bpe_learn
 from linkgraph.pipeline.covisit import covisitation
 from linkgraph.pipeline.funnel import event_transitions, funnel_counts, retention_cohorts
 from linkgraph.pipeline.embedcluster import (
@@ -96,6 +96,7 @@ __all__ = [
     "chunk_documents",
     "cms_estimate",
     "bloom_build",
+    "bpe_encode",
     "bpe_learn",
     "bloom_probe",
     "embedding_covariance",

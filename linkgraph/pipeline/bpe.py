@@ -131,3 +131,50 @@ def bpe_learn(
         merges, "step long, left string, right string, pair_count long"
     )
     return BPEResult(mdf, state, rounds, time.time() - t0, metrics)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply learned merges: per-document BPE token counts
+    (doc_id, n_words, n_tokens). The merge chain runs ONCE per
+    DISTINCT word (vocab-scale work — at 100 TB you merge a
+    billion-row vocab, not a trillion word occurrences), then a
+    broadcast join maps occurrences back and one groupBy sums per
+    doc. The chain itself is the same encoding/replace() machinery
+    as bpe_learn — one codegen projection of 2·len(merges) nested
+    literal replaces, deterministic by construction."""
+    for a, b in merges:
+        if SEP in a or SEP in b:
+            raise ValueError("merge symbols must not contain '~'")
+    words = (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+        )
+    )
+    vocab = words.select("word").distinct()
+    ws = F.concat(
+        F.lit(SEP),
+        F.expr("trim(TRAILING '~' FROM regexp_replace(word, '(.)', '$1~~'))"),
+        F.lit(SEP),
+    )
+    for a, b in merges:
+        ws = F.replace(
+            ws, F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}"), F.lit(f"{SEP}{a}{b}{SEP}")
+        )
+    sym = vocab.select("word", ws.alias("ws")).select(
+        "word",
+        F.size(F.split(F.expr("trim(BOTH '~' FROM ws)"), "~~")).cast("long").alias(
+            "n_sub"
+        ),
+    )
+    return (
+        words.join(F.broadcast(sym), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_tokens"),
+        )
+    )

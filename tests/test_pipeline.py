@@ -2253,3 +2253,45 @@ def test_bpe_learn_matches_sequential_replay(spark):
     df3 = spark.createDataFrame([(0, "bad~word")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bpe_learn(df3, n_merges=1)
+
+
+def test_bpe_encode_matches_sequential_apply(spark):
+    """Per-doc token counts == applying the merge list sequentially
+    (greedy left-to-right per merge) to every word; learn∘encode on
+    the training corpus reproduces the final vocab sizes; guard."""
+    import pytest as _pytest
+
+    from linkgraph.pipeline import bpe_encode, bpe_learn
+
+    texts = ["low lower lowest", "aaaa abab low", "x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    res = bpe_learn(df, n_merges=4)
+    merges = [
+        (r["left"], r["right"]) for r in res.merges.orderBy("step").collect()
+    ]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode(df, merges).collect()
+    }
+
+    def apply(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for i, t in enumerate(texts):
+        words = t.split()
+        assert got[i] == (len(words), sum(apply(w) for w in words)), (i, got[i])
+    with _pytest.raises(ValueError):
+        bpe_encode(df, [("a~", "b")])
