@@ -53,6 +53,55 @@ class Node2VecResult:
     metrics: list[dict] = field(default_factory=list)
 
 
+def _step(pos, edges, pe, t, seed, alphas, max_neighbors):
+    """One biased step: scatter join, distance-1 join, cumulative
+    draw. Exposed for the plan-shape test (the loop uses it
+    verbatim)."""
+    alpha_return, alpha_common, alpha_forward = alphas
+    w_spec = Window.partitionBy("start", "walk").orderBy("dst")
+    w_all = Window.partitionBy("start", "walk")
+    cand = pos.join(
+        edges.hint("shuffle_hash"), pos["vertex"] == edges["src"]
+    ).select("start", "walk", "prev", "vertex", "dst")
+    if max_neighbors is not None:
+        rank = F.row_number().over(
+            Window.partitionBy("start", "walk").orderBy(
+                mix_expr(
+                    F.col("start"), F.col("walk"), F.lit(t).cast("long"),
+                    F.col("dst"), seed,
+                ),
+                "dst",
+            )
+        )
+        cand = cand.withColumn("nrk", rank).where(
+            F.col("nrk") <= max_neighbors
+        ).drop("nrk")
+    cand = cand.join(
+        pe.hint("shuffle_hash"),
+        (cand["prev"] == pe["p_src"]) & (cand["dst"] == pe["p_dst"]),
+        "left",
+    ).select(
+        "start", "walk", "prev", "vertex", "dst",
+        F.when(F.col("dst") == F.col("prev"), F.lit(alpha_return))
+        .when(F.col("d1").isNotNull(), F.lit(alpha_common))
+        .otherwise(F.lit(alpha_forward))
+        .cast("long")
+        .alias("w"),
+    )
+    # one draw per walk-step: r in [0, Σw), candidate whose
+    # cumulative interval [cum - w, cum) contains r wins
+    r = mix_expr(
+        F.col("start"), F.col("walk"), F.lit(t).cast("long"), F.lit(0), seed
+    ) % F.sum("w").over(w_all)
+    return (
+        cand.withColumn("cum", F.sum("w").over(w_spec))
+        .withColumn("r", r)
+        .where((F.col("cum") - F.col("w") <= F.col("r")) & (F.col("r") < F.col("cum")))
+        .select("start", "walk", F.col("vertex").alias("prev"),
+                F.col("dst").alias("vertex"))
+    )
+
+
 def node2vec_walks(
     graph: Graph,
     length: int = 10,
@@ -110,50 +159,12 @@ def node2vec_walks(
         "spark.sql.join.preferSortMergeJoin": "false",
         "spark.sql.adaptive.enabled": "false",
     }
-    w_spec = Window.partitionBy("start", "walk").orderBy("dst")
-    w_all = Window.partitionBy("start", "walk")
     with conf_override(edges.sparkSession, loop_conf):
         for t in range(1, length + 1):
             it_t0 = time.time()
-            cand = pos.join(
-                edges.hint("shuffle_hash"), pos["vertex"] == edges["src"]
-            ).select("start", "walk", "prev", "vertex", "dst")
-            if max_neighbors is not None:
-                rank = F.row_number().over(
-                    Window.partitionBy("start", "walk").orderBy(
-                        mix_expr(
-                            F.col("start"), F.col("walk"), F.lit(t).cast("long"),
-                            F.col("dst"), seed,
-                        ),
-                        "dst",
-                    )
-                )
-                cand = cand.withColumn("nrk", rank).where(
-                    F.col("nrk") <= max_neighbors
-                ).drop("nrk")
-            cand = cand.join(
-                pe.hint("shuffle_hash"),
-                (cand["prev"] == pe["p_src"]) & (cand["dst"] == pe["p_dst"]),
-                "left",
-            ).select(
-                "start", "walk", "prev", "vertex", "dst",
-                F.when(F.col("dst") == F.col("prev"), F.lit(alpha_return))
-                .when(F.col("d1").isNotNull(), F.lit(alpha_common))
-                .otherwise(F.lit(alpha_forward))
-                .cast("long")
-                .alias("w"),
-            )
-            # one draw per walk-step: r in [0, Σw), candidate whose
-            # cumulative interval [cum - w, cum) contains r wins
-            r = mix_expr(
-                F.col("start"), F.col("walk"), F.lit(t).cast("long"), F.lit(0), seed
-            ) % F.sum("w").over(w_all)
-            picked = (
-                cand.withColumn("cum", F.sum("w").over(w_spec))
-                .withColumn("r", r)
-                .where((F.col("cum") - F.col("w") <= F.col("r")) & (F.col("r") < F.col("cum")))
-                .select("start", "walk", F.col("vertex").alias("prev"),
-                        F.col("dst").alias("vertex"))
+            picked = _step(
+                pos, edges, pe, t, seed,
+                (alpha_return, alpha_common, alpha_forward), max_neighbors,
             )
             obs = Observation(f"n2v_step_{t}")
             # per-step severed positions stay pinned — the corpus

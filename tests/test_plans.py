@@ -560,3 +560,42 @@ def test_hll_register_agg_is_partial_final(spark):
     plan = _plan(regs)
     assert "partial_max" in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_node2vec_step_plan_shape(spark):
+    """One biased step = two ShuffledHashJoins (scatter + distance-1
+    test) and the two stacked windows SHARING one (start, walk)
+    Exchange — no SortMergeJoin, no cartesian, no Python."""
+    import pandas as pd
+
+    from linkgraph.build import build_graph_from_edges
+    from linkgraph.kernels.node2vec import _step
+    from linkgraph.session import conf_override
+
+    edges_pdf = pd.DataFrame({"src": [0, 1, 2, 0], "dst": [1, 2, 0, 2]})
+    g = build_graph_from_edges(spark.createDataFrame(edges_pdf), num_partitions=2)
+    pe = g.edges.select(
+        F.col("src").alias("p_src"), F.col("dst").alias("p_dst"), F.lit(1).alias("d1")
+    )
+    pos = g.vertices.select(
+        F.col("id").alias("start"),
+        F.lit(0).cast("long").alias("walk"),
+        F.col("id").alias("prev"),
+        F.col("id").alias("vertex"),
+    )
+    with conf_override(
+        spark,
+        {
+            "spark.sql.join.preferSortMergeJoin": "false",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        plan = _plan(_step(pos, g.edges, pe, 1, 7, (1, 4, 2), None))
+    assert plan.count("ShuffledHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Window") == 2
+    # the stacked windows share one partitioning exchange
+    assert plan.count("Exchange hashpartitioning(start") == 1
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    g.unpersist()
