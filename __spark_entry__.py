@@ -1084,6 +1084,46 @@ def q_trending_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_enriched_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (linkgraph/streaming.enrich_events):
+    a REAL streaming query joins the event stream against the STATIC
+    customer→nation dimension (broadcast, zero streaming state) and
+    counts events per (nation, event_type) — user_id % 1500 maps
+    users onto custkeys so the join hits. availableNow drain, memory
+    sink; all-int64/string output, batch-join oracle."""
+    from linkgraph.streaming import enrich_events
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("cust"), F.col("c_nationkey").alias("nation")
+    )
+    tagged = stream.select(
+        (F.col("user_id") % 1500 + 1).alias("cust"), "event_type"
+    )
+    name = "q_enriched_event_counts_sink"
+    q = (
+        enrich_events(tagged, cust, "cust", how="inner")
+        .groupBy("nation", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "nation", "event_type", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -1864,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions_stream": q_event_sessions_stream,
         "doc_dedup_stream": q_doc_dedup_stream,
         "trending_stream": q_trending_stream,
+        "enriched_event_counts": q_enriched_event_counts,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -5449,6 +5490,14 @@ GROUP BY dw.doc_id
     return sql
 
 
+_ENRICHED_EVENTS_SQL = """
+SELECT c.c_nationkey AS nation, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events e JOIN customer c ON e.user_id % 1500 + 1 = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -5683,6 +5732,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "cms_top_words": _cms_top_words_sql(),
         "hll_trigrams": _hll_trigrams_sql(),
         "trending_stream": _TRENDING_SQL,
+        "enriched_event_counts": _ENRICHED_EVENTS_SQL,
         "embedding_covariance": _embedding_covariance_sql(),
         "bloom_probe": _bloom_probe_sql(),
         "cluster_sample": _cluster_sample_sql(per_cluster=20, n_clusters=8, rounds=3, seed=7),

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.session import get_spark
 from linkgraph.streaming import (
+    enrich_events,
     trending_counts,
     dedup_stream,
     page_stream_to_edges,
@@ -43,7 +44,7 @@ _TS_BASE = 1_000_000_000  # keep synthetic event times above the epoch-0 waterma
 
 def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--op", required=True, choices=["edges", "dedup", "sessions", "trending"])
+    ap.add_argument("--op", required=True, choices=["edges", "dedup", "sessions", "trending", "enrich"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages parquet dir (url, warc_ts, html, text, lang)")
     src.add_argument("--docs", help="documents parquet dir (doc_id, text, ...)")
@@ -80,6 +81,25 @@ def main(argv: list[str]) -> int:
             ["content_md5"],
             "ts",
             args.horizon,
+        )
+    elif args.op == "enrich":
+        if not args.events:
+            ap.error("--op enrich needs --events")
+        reader = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        if args.glob:
+            reader = reader.option("pathGlobFilter", args.glob)
+        # demo dim: user_id % 4 tiers
+        dim = spark.createDataFrame(
+            [(i, f"tier{i}") for i in range(4)], "tier long, tier_name string"
+        )
+        out = enrich_events(
+            reader.parquet(args.events).withColumn(
+                "tier", F.col("user_id") % 4
+            ),
+            dim, "tier", how="inner",
         )
     elif args.op == "trending":
         if not args.events:

@@ -215,3 +215,23 @@ def trending_counts(
             F.col("cnt").cast("long").alias("cnt"),
         )
     )
+
+
+def enrich_events(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming
+    pattern the other ops here don't cover: a micro-batch stream
+    joined against a STATIC dimension table (item metadata, user
+    attributes, nation names). Spark re-plans the static side per
+    micro-batch, so a broadcast-able dim stays a broadcast join with
+    NO streaming state at all (nothing to watermark, nothing to
+    evict) — the 100 TB shape for attaching driver-scale metadata to
+    an unbounded stream. `how` left|inner; stream-side columns pass
+    through unchanged."""
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    return events.join(F.broadcast(dim), on, how)

@@ -243,3 +243,45 @@ def test_trending_counts_equals_batch_tumbling(spark, tmp_path):
     assert got == want
     # epoch-aligned: window starts sit on exact hour boundaries
     assert all(ws.minute == 0 and ws.second == 0 for ws, _ in got)
+
+
+def test_enrich_events_stream_static_equals_batch(spark, tmp_path):
+    """Stream-static join == the batch join, across microbatches;
+    left vs inner semantics on missing dim keys; guard raises."""
+    import pytest as _pytest
+
+    from linkgraph.streaming import enrich_events
+
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01"] * 4),
+            "item": [1, 2, 3, 2],
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    src = str(tmp_path / "enrich_events")
+    spark.createDataFrame(ev.iloc[:2]).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(ev.iloc[2:]).coalesce(1).write.mode("append").parquet(src)
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "item long, name string")
+    stream = (
+        spark.readStream.schema("ts timestamp, item long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    for how, want_rows in (("inner", 3), ("left", 4)):
+        qn = f"enrich_test_{how}"
+        q = (
+            enrich_events(stream, dim, "item", how=how)
+            .writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r["item"], r["v"], r["name"]) for r in spark.table(qn).collect()}
+        batch = spark.createDataFrame(ev).join(dim, "item", how)
+        want = {(r["item"], r["v"], r["name"]) for r in batch.collect()}
+        assert got == want and len(got) == want_rows
+    with _pytest.raises(ValueError):
+        enrich_events(stream, dim, "item", how="full")
