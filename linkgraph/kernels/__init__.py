@@ -86,7 +86,7 @@ from linkgraph.kernels.pagerank import pagerank
 from linkgraph.kernels.cc import connected_components
 from linkgraph.kernels.bfs import bfs
 from linkgraph.kernels.labelprop import label_propagation
-from linkgraph.kernels.triangles import triangle_count
+from linkgraph.kernels.triangles import kclique_count, triangle_count
 from linkgraph.kernels.pagerank_delta import pagerank_delta
 from linkgraph.kernels.msbfs import msbfs, harmonic_centrality, radii, closeness_centrality
 from linkgraph.kernels.kcore import kcore
@@ -136,6 +136,7 @@ __all__ = [
     "rich_club",
     "attribute_assortativity",
     "rw_sample",
+    "kclique_count",
     "node2vec_walks",
     "pagerank",
     "pagerank_delta",

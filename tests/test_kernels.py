@@ -2437,3 +2437,47 @@ def test_rw_sample_matches_walk_replay(rmat_graph, spark):
     assert {r["id"] for r in sv.collect()} == {0, 1, 2}
     assert {(r["src"], r["dst"]) for r in se.collect()} == {(0, 1), (1, 2)}
     gp.unpersist()
+
+
+def test_kclique_count_matches_bruteforce(rmat_graph, spark):
+    """k=3 equals triangle_count; k=4 equals an itertools brute force
+    on the symmetrized rMAT graph; K5 closed forms (C(5,4) = 5 K4s,
+    one K5 at k=5); guard raises."""
+    from itertools import combinations
+
+    import pytest as _pytest
+
+    from linkgraph.kernels import kclique_count, triangle_count
+
+    g, pdf, n = rmat_graph
+    adj: dict[int, set[int]] = {}
+    for s, d in zip(pdf["src"], pdf["dst"]):
+        if s == d:
+            continue
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    assert kclique_count(g, 3).count == triangle_count(g).count
+    # brute force K4 over vertices with degree >= 3 only (speed)
+    cand = [v for v, ns in adj.items() if len(ns) >= 3]
+    want = 0
+    for a, b, c, d in combinations(sorted(cand), 4):
+        if (
+            b in adj[a] and c in adj[a] and d in adj[a]
+            and c in adj[b] and d in adj[b] and d in adj[c]
+        ):
+            want += 1
+    assert kclique_count(g, 4).count == want
+
+    k5 = pd.DataFrame(
+        [(i, j) for i in range(5) for j in range(5) if i < j],
+        columns=["src", "dst"],
+    )
+    g5 = _graph(spark, k5, 5)
+    assert kclique_count(g5, 4).count == 5
+    assert kclique_count(g5, 5).count == 1
+    assert kclique_count(g5, 6).count == 0
+    with _pytest.raises(ValueError):
+        kclique_count(g5, 2)
+    with _pytest.raises(ValueError):
+        kclique_count(g5, 7)
+    g5.unpersist()
