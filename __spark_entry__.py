@@ -1726,6 +1726,18 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_documents(spark, sf_dir), ns=(2, 3, 4, 5))
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (pipeline/embedcluster.pq_codes,
+    Jégou et al. TPAMI'11): 4 subspaces × 16 dims, k=8 codebooks from
+    the deterministic per-slice Lloyd runs (2 rounds). 2,000
+    all-int64 rows — hash-exact; the oracle re-derives each
+    subspace's codebook via the sliced unrolled k-means chain."""
+    from linkgraph.pipeline import pq_codes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_codes(emb, n_subspaces=4, k=8, rounds=2)
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced downsampling
     (pipeline/embedcluster.cluster_balanced_sample): the SAME
@@ -1952,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "kmeans_embed": q_kmeans_embed,
+        "pq_codes": q_pq_codes,
         "semantic_dedup": q_semantic_dedup,
         "stratified_sample": q_stratified_sample,
         "gopher_quality": q_gopher_quality,
@@ -2726,6 +2739,65 @@ c{r} AS MATERIALIZED (
 def _kmeans_sql(k: int = 8, rounds: int = 3, dim: int = 64) -> str:
     """kmeans_embed oracle — the shared CTE chain's final assignment."""
     return _kmeans_ctes(k, rounds, dim) + f"\nSELECT vec_id, cluster FROM a{rounds}\n"
+
+
+def _pq_kmeans_ctes(prefix: str, slice_from: int, sub_dim: int,
+                    k: int = 8, rounds: int = 2) -> str:
+    """_kmeans_ctes over ONE PQ slice: same init/assignment/update
+    chain, vectors sliced with list semantics (1-based inclusive)."""
+    sql = f"""
+{prefix}e AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[])[{slice_from}:{slice_from + sub_dim - 1}] AS vec
+  FROM embeddings),
+{prefix}c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, vec
+  FROM (SELECT vec_id, vec FROM {prefix}e ORDER BY vec_id LIMIT {k})
+)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+{prefix}a{r} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.vec, c.vec), c.cluster) AS rn
+    FROM {prefix}e e CROSS JOIN {prefix}c{p} c
+  ) WHERE rn = 1
+)"""
+        if r < rounds:
+            sql += f""",
+{prefix}cm{r} AS MATERIALIZED (
+  SELECT a.cluster, g.i AS d, AVG(e.vec[g.i]) AS m
+  FROM {prefix}a{r} a JOIN {prefix}e e ON e.vec_id = a.vec_id,
+       generate_series(1, {sub_dim}) g(i)
+  GROUP BY a.cluster, g.i
+),
+{prefix}c{r} AS MATERIALIZED (
+  SELECT cluster, list(m ORDER BY d) AS vec FROM {prefix}cm{r} GROUP BY cluster
+  UNION ALL
+  SELECT c.cluster, c.vec FROM {prefix}c{p} c
+  WHERE c.cluster NOT IN (SELECT cluster FROM {prefix}cm{r})
+)"""
+    return sql
+
+
+def _pq_codes_sql(n_subspaces: int = 4, dim: int = 64,
+                  k: int = 8, rounds: int = 2) -> str:
+    """Mirrors pipeline/embedcluster.pq_codes: one sliced k-means
+    chain per subspace, final assignments unioned with the sub tag."""
+    sub_dim = dim // n_subspaces
+    parts = [
+        _pq_kmeans_ctes(f"s{i}_", i * sub_dim + 1, sub_dim, k, rounds)
+        for i in range(n_subspaces)
+    ]
+    body = "WITH " + ",".join(p.lstrip("\n") for p in parts)
+    sels = [
+        f"SELECT vec_id, CAST({i} AS BIGINT) AS sub, CAST(cluster AS BIGINT) AS code"
+        f" FROM s{i}_a{rounds}"
+        for i in range(n_subspaces)
+    ]
+    return body + "\n" + "\nUNION ALL\n".join(sels)
 
 
 def _cluster_sample_sql(
@@ -5760,6 +5832,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "msf_boruvka": _msf_sql(rounds=4),
         "edge_jaccard": _EDGE_JACCARD_SQL,
         "kmeans_embed": _kmeans_sql(k=8, rounds=3, dim=64),
+        "pq_codes": _pq_codes_sql(),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "gopher_quality": _gopher_quality_sql(),
         "repetition_signals": _repetition_signals_sql(),

@@ -56,7 +56,7 @@ DOC_OPS = {
 }
 EMB_OPS = {
     "ann_topk", "ann_lsh", "ann_ivf", "near_dup", "kmeans", "semdedup",
-    "cluster_sample", "feature_prop", "covariance", "pca",
+    "cluster_sample", "feature_prop", "covariance", "pca", "pq",
 }
 
 
@@ -250,6 +250,8 @@ def main(argv: list[str]) -> int:
         out = P.ivf_ann_topk(source, k=opt(args.k, 5))
     elif args.op == "near_dup":
         out = P.embedding_near_dup_pairs(source, threshold=opt(args.threshold, 0.9))
+    elif args.op == "pq":
+        out = P.pq_codes(source, n_subspaces=opt(args.k, 4))
     elif args.op == "covariance":
         out = P.embedding_covariance(source, dim=opt(args.k, 64))
     elif args.op == "pca":

@@ -53,6 +53,7 @@ from linkgraph.pipeline.funnel import event_transitions, funnel_counts, retentio
 from linkgraph.pipeline.embedcluster import (
     cluster_balanced_sample,
     kmeans,
+    pq_codes,
     semantic_dedup,
 )
 from linkgraph.pipeline.decontam import decontaminate, word_ngrams
@@ -102,6 +103,7 @@ __all__ = [
     "embedding_covariance",
     "event_transitions",
     "pca_project",
+    "pq_codes",
     "repetition_signals",
     "count_min_sketch",
     "hll_distinct",

@@ -287,3 +287,57 @@ def cluster_balanced_sample(
         .where(F.col("rn") <= per_cluster)
         .select("vec_id", "cluster")
     )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes (Jégou, Douze & Schmid TPAMI'11 —
+    the memory side of IVF-PQ ANN: a D-dim vector compresses to
+    n_subspaces small codes; asymmetric distances then need only
+    codebook lookups). The embedding splits into n_subspaces equal
+    slices; each slice gets its OWN deterministic Lloyd codebook (the
+    same smallest-k-ids init / argmin-with-tie-break machinery as
+    `kmeans`, so codes inherit its engine-reproducibility contract).
+
+      (vec_id, sub, code) — all int64, one row per (vector, subspace).
+
+    Scale shape: n_subspaces independent kmeans runs over sliced
+    projections (each a pure column slice of the same scan — no extra
+    I/O); codes union at the end. Codebook training on a sample and
+    code assignment over the full corpus is the production split —
+    assignment alone is one codegen projection per subspace."""
+    dim_row = embeddings.select(
+        F.size(F.col(vec_col).cast("array<double>")).alias("d")
+    ).first()
+    if dim_row is None:
+        raise ValueError("pq_codes: empty embeddings")
+    dim = int(dim_row["d"])
+    if n_subspaces < 1 or dim % n_subspaces != 0:
+        raise ValueError(f"n_subspaces must divide dim={dim}")
+    sub_dim = dim // n_subspaces
+    outs = []
+    for s in range(n_subspaces):
+        sliced = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(
+                F.col(vec_col).cast("array<double>"), s * sub_dim + 1, sub_dim
+            ).alias("embedding"),
+        )
+        res = kmeans(sliced, k=k, rounds=rounds)
+        outs.append(
+            res.assignments.select(
+                "vec_id",
+                F.lit(s).cast("long").alias("sub"),
+                F.col("cluster").cast("long").alias("code"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

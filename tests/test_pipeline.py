@@ -2295,3 +2295,51 @@ def test_bpe_encode_matches_sequential_apply(spark):
         assert got[i] == (len(words), sum(apply(w) for w in words)), (i, got[i])
     with _pytest.raises(ValueError):
         bpe_encode(df, [("a~", "b")])
+
+
+def test_pq_codes_matches_numpy_replay(spark):
+    """PQ codes == a numpy Lloyd replay per subspace (exact code
+    equality, the kmeans determinism contract); quantizing with the
+    codebooks reduces reconstruction error vs the global mean;
+    guards raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from linkgraph.pipeline import pq_codes
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(0, 1.0, size=(60, 8))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n_sub, k, rounds = 2, 4, 2
+    got = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_codes(emb, n_subspaces=n_sub, k=k, rounds=rounds).collect()
+    }
+
+    def lloyd(x):
+        cent = x[:k].copy()  # smallest-k ids init
+        for r in range(rounds):
+            d = ((x[:, None, :] - cent[None]) ** 2).sum(-1)
+            assign = np.argmin(d, axis=1)  # ties: smallest cluster id
+            if r < rounds - 1:
+                for c in range(k):
+                    if (assign == c).any():
+                        cent[c] = x[assign == c].mean(0)
+        return assign
+
+    err_pq, err_mean = 0.0, 0.0
+    for s in range(n_sub):
+        x = mat[:, s * 4 : (s + 1) * 4]
+        assign = lloyd(x)
+        for i in range(60):
+            assert got[(i, s)] == assign[i], (i, s)
+        cent = np.array([x[assign == c].mean(0) if (assign == c).any() else x[c]
+                         for c in range(k)])
+        err_pq += float(((x - cent[assign]) ** 2).sum())
+        err_mean += float(((x - x.mean(0)) ** 2).sum())
+    assert err_pq < err_mean
+    with _pytest.raises(ValueError):
+        pq_codes(emb, n_subspaces=3)  # does not divide dim 8
+    with _pytest.raises(ValueError):
+        pq_codes(emb.where("vec_id < 0"), n_subspaces=2)
