@@ -877,6 +877,28 @@ def q_pseudo_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pseudo_diameter(g, sweeps=2).df
 
 
+def q_adjacency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebGraph gap-encoding cost, raw vs degree-relabeled layout
+    (build.adjacency_gap_stats — Boldi & Vigna §3): two rows; the
+    relabeled layout costs measurably fewer total gap bits (24,061 →
+    22,035 at sf0.01), quantifying what relabel_by_degree buys. Bit
+    lengths via the exact bin() trick — all int64, hash-exact."""
+    from linkgraph.build import (
+        adjacency_gap_stats,
+        relabel_by_degree,
+        relabel_edges,
+    )
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    raw = adjacency_gap_stats(g.edges, "raw")
+    mapping = relabel_by_degree(g)
+    rel = adjacency_gap_stats(relabel_edges(g, mapping), "degree_relabeled")
+    out = raw.unionByName(rel)
+    out = out.localCheckpoint(eager=True)
+    mapping.unpersist()
+    return out
+
+
 def q_condensation_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCC condensation DAG of the part-succession graph layered by
     longest path (kernels/condense.py, SURVEY §2.9): per component
@@ -1893,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rw_sample": q_rw_sample,
         "negative_sample": q_negative_sample,
         "degree_relabel": q_degree_relabel,
+        "adjacency_gaps": q_adjacency_gaps,
         "pseudo_diameter": q_pseudo_diameter,
         "condensation_levels": q_condensation_levels,
         "ppr_k": q_ppr_k,
@@ -2303,6 +2326,50 @@ SELECT CAST(0 AS BIGINT) AS sweep,
 UNION ALL
 SELECT CAST(1 AS BIGINT), CAST((SELECT id FROM f1) AS BIGINT),
        CAST((SELECT id FROM f2) AS BIGINT), CAST((SELECT d FROM f2) AS BIGINT)
+"""
+
+
+_ADJ_GAPS_SQL = f"""
+WITH e AS MATERIALIZED ({_PART_SUCC_E}),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+outd AS (SELECT src AS id, COUNT(*) AS c FROM e GROUP BY src),
+ind AS (SELECT dst AS id, COUNT(*) AS c FROM e GROUP BY dst),
+map AS MATERIALIZED (
+  SELECT id,
+         CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, id) - 1 AS BIGINT) AS new_id
+  FROM (
+    SELECT v.id, COALESCE(outd.c, 0) + COALESCE(ind.c, 0) AS deg
+    FROM v LEFT JOIN outd ON outd.id = v.id LEFT JOIN ind ON ind.id = v.id
+  )
+),
+re AS MATERIALIZED (
+  SELECT m1.new_id AS src, m2.new_id AS dst
+  FROM e JOIN map m1 ON e.src = m1.id JOIN map m2 ON e.dst = m2.id
+),
+rawl AS (SELECT src, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY src),
+rell AS (SELECT src, list(dst ORDER BY dst) AS nbrs FROM re GROUP BY src),
+rawb AS (
+  SELECT len(nbrs) AS n,
+         list_sum(list_transform(generate_series(1, len(nbrs)), i ->
+           length(bin(CASE WHEN i = 1 THEN nbrs[1] + 1
+                           ELSE nbrs[i] - nbrs[i - 1] END)))) AS bits
+  FROM rawl
+),
+relb AS (
+  SELECT len(nbrs) AS n,
+         list_sum(list_transform(generate_series(1, len(nbrs)), i ->
+           length(bin(CASE WHEN i = 1 THEN nbrs[1] + 1
+                           ELSE nbrs[i] - nbrs[i - 1] END)))) AS bits
+  FROM rell
+)
+SELECT 'raw' AS layout, CAST(COUNT(*) AS BIGINT) AS n_lists,
+       CAST(SUM(n) AS BIGINT) AS n_edges,
+       CAST(SUM(bits) AS BIGINT) AS total_gap_bits
+FROM rawb
+UNION ALL
+SELECT 'degree_relabeled', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT),
+       CAST(SUM(bits) AS BIGINT)
+FROM relb
 """
 
 
@@ -5815,6 +5882,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "rw_sample": _rw_sample_sql(4, 2, 7, 101),
         "negative_sample": _negative_sample_sql(3, 7),
         "degree_relabel": _DEGREE_RELABEL_SQL,
+        "adjacency_gaps": _ADJ_GAPS_SQL,
         "pseudo_diameter": _PSEUDO_DIAM_SQL,
         "condensation_levels": _CONDENSE_SQL,
         "ppr_k": _ppr_k_sql(3),

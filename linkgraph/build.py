@@ -523,3 +523,45 @@ def relabel_edges(graph: Graph, mapping: DataFrame) -> DataFrame:
         .join(m.withColumnRenamed("id", "dst"), "dst")
         .select("src", F.col("new_id").alias("dst"))
     )
+
+
+def adjacency_gap_stats(edges: DataFrame, layout: str = "raw") -> DataFrame:
+    """WebGraph-style gap-encoding cost of an edge layout (Boldi &
+    Vigna WWW'04 §3: adjacency lists store the FIRST neighbor then
+    successive gaps; total bits ≈ Σ ⌈log2 gap⌉, which shrinks when
+    ids cluster — the measurable payoff of relabel_by_degree):
+
+      one row (layout, n_lists, n_edges, total_gap_bits)
+
+    with per-src sorted out-neighbors d1 < d2 < ..., gaps
+    (d1 + 1, d2 − d1, ...), and total_gap_bits = Σ length(bin(gap)) —
+    the exact bit_length via the shared bin() trick, all int64 ⇒
+    hash-exact. Compare the row for raw ids against the row for
+    relabeled edges to see the locality transform working.
+
+    Scale shape: one groupBy(src) building each sorted list
+    (map-side combined collect_list + one array sort — per-src
+    bounded), one codegen gap/bit projection, one global agg."""
+    lists = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    )
+    gaps = lists.select(
+        F.expr(
+            "transform(sequence(0, size(nbrs) - 1), i -> "
+            "CASE WHEN i = 0 THEN nbrs[0] + 1 ELSE nbrs[i] - nbrs[i - 1] END)"
+        ).alias("gaps")
+    )
+    bits = gaps.select(
+        F.size("gaps").alias("n"),
+        F.expr(
+            "aggregate(gaps, CAST(0 AS BIGINT), "
+            "(acc, g) -> acc + length(bin(g)))"
+        ).alias("bits"),
+    )
+    return bits.agg(
+        F.lit(layout).alias("layout"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum("n").cast("long").alias("n_edges"),
+        F.sum("bits").cast("long").alias("total_gap_bits"),
+    )

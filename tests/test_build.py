@@ -459,3 +459,35 @@ def test_relabel_by_degree_rejects_bad_order(spark):
     with _pytest.raises(ValueError):
         relabel_by_degree(g, order="degree")
     g.unpersist()
+
+
+def test_adjacency_gap_stats_matches_replay_and_improves(spark):
+    """Gap-bit totals == a Python replay; a clustered layout costs
+    fewer bits than a scattered one (the WebGraph locality claim on a
+    constructed example)."""
+    from linkgraph.build import adjacency_gap_stats
+
+    edges = [(0, 1), (0, 2), (0, 100), (5, 6), (5, 64)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    row = adjacency_gap_stats(df, "t").collect()[0]
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    bits = 0
+    for s, ds in adj.items():
+        ds.sort()
+        gaps = [ds[0] + 1] + [b - a for a, b in zip(ds, ds[1:])]
+        bits += sum(g.bit_length() for g in gaps)
+    assert (row["n_lists"], row["n_edges"], row["total_gap_bits"]) == (
+        len(adj), len(edges), bits
+    )
+    # clustered neighbors beat scattered ones at equal degree
+    near = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (0, 2), (0, 3)], columns=["src", "dst"])
+    )
+    far = spark.createDataFrame(
+        pd.DataFrame([(0, 100), (0, 900), (0, 500)], columns=["src", "dst"])
+    )
+    b_near = adjacency_gap_stats(near, "n").collect()[0]["total_gap_bits"]
+    b_far = adjacency_gap_stats(far, "f").collect()[0]["total_gap_bits"]
+    assert b_near < b_far
