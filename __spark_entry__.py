@@ -1392,6 +1392,20 @@ def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(rmap)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (pipeline/dedup.simhash_near_pairs,
+    Manku et al. WWW'07): Hamming ≤ 2 over 16-bit fingerprints via
+    the pigeonhole band trick (3 bands — any in-radius pair agrees on
+    one band exactly), bucket joins + exact popcount verification.
+    All int64 — hash-exact; 18,643 pairs at sf0.01."""
+    from linkgraph.pipeline import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _documents(spark, sf_dir).select("doc_id", "text"),
+        bits=16, max_hamming=2,
+    )
+
+
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style normalized dedup (pipeline/dedup.normalized_dup_
     groups): documents unioned with deterministic messy variants of
@@ -1959,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard": q_minhash_jaccard,
         "bpe_token_stats": q_bpe_token_stats,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
         "tfidf_topk": q_tfidf_topk,
@@ -4630,6 +4645,41 @@ SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(
 FROM pb GROUP BY doc_id
 """
 
+_SIMHASH_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, {_H32.format(col='tok')} AS h FROM toks WHERE tok <> ''),
+pb AS (
+  SELECT doc_id, CAST(b AS INTEGER) AS b,
+         SUM(((h >> CAST(b AS INTEGER)) & 1) * 2 - 1) AS s
+  FROM th, UNNEST(range(0, 16)) AS t(b)
+  GROUP BY doc_id, CAST(b AS INTEGER)
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM pb GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, simhash, band,
+         CASE band WHEN 0 THEN (simhash >> 0) & 63
+                   WHEN 1 THEN (simhash >> 6) & 31
+                   ELSE (simhash >> 11) & 31 END AS key
+  FROM sh, UNNEST(range(0, 3)) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+"""
+
+
 _NGRAM_JACCARD_SQL = f"""
 WITH sh0 AS (
   SELECT * FROM ({_SHINGLES}) WHERE doc_id < 100
@@ -5780,6 +5830,7 @@ FROM documents GROUP BY md5(text)
         "minhash_jaccard": _minhash_jaccard_sql(threshold=0.5),
         "bpe_token_stats": _bpe_token_stats_sql(),
         "simhash": _SIMHASH_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "token_stats": _token_stats_sql(),
         "tfidf_topk": _TFIDF_TOPK_SQL,

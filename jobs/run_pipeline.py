@@ -38,7 +38,7 @@ def opt(val, default):
 
 
 DOC_OPS = {
-    "exact_dedup", "minhash", "lsh_pairs", "simhash", "ngram_jaccard",
+    "exact_dedup", "minhash", "lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard",
     "dedup_clusters", "token_stats", "lang_id", "gopher", "fingerprints",
     "sample", "minhash_jaccard", "bpe_stats", "decontam", "pii",
     "copy_spans", "pack", "url_canon", "group_cap", "tfidf",
@@ -121,6 +121,10 @@ def main(argv: list[str]) -> int:
     elif args.op == "minhash_jaccard":
         out = P.minhash_jaccard_pairs(
             source, threshold=opt(args.threshold, 0.0), max_bucket=args.max_bucket
+        )
+    elif args.op == "simhash_pairs":
+        out = P.simhash_near_pairs(
+            source, max_hamming=opt(args.k, 3)
         )
     elif args.op == "simhash":
         out = P.simhash(source)

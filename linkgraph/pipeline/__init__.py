@@ -21,6 +21,7 @@ from linkgraph.pipeline.dedup import (
     normalize_text,
     normalized_dup_groups,
     simhash,
+    simhash_near_pairs,
 )
 from linkgraph.pipeline.fingerprint import copy_candidates, winnow_fingerprints
 from linkgraph.pipeline.simsearch import (
@@ -76,6 +77,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_jaccard_pairs",
     "simhash",
+    "simhash_near_pairs",
     "ngram_jaccard_pairs",
     "dedup_clusters",
     "cosine_topk",

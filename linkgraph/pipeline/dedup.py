@@ -360,3 +360,77 @@ def normalized_dup_groups(docs: DataFrame) -> DataFrame:
         .groupBy("norm_hash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """SimHash near-duplicate pairs (Manku, Jain & Das Sarma WWW'07 —
+    Google's web near-dup detector): documents whose simhashes differ
+    in at most `max_hamming` bits. The WWW'07 band trick makes it
+    bucketed, never n²: split the fingerprint into max_hamming + 1
+    bands — by pigeonhole, any pair within the Hamming radius agrees
+    EXACTLY on at least one band — so candidates come from
+    (band, band_bits) bucket self-joins and only candidates pay the
+    exact popcount verification (bit_count(xor) — pure int64, so rows
+    are hash-exact).
+
+      (doc_a, doc_b, hamming) with doc_a < doc_b, hamming ≤ max_hamming.
+
+    max_bucket: the LSH mega-bucket guard (dedup.py's measured
+    Σ bucket² → n² failure mode): bands whose bucket exceeds it are
+    dropped — recall trade documented, blow-up bounded."""
+    if bits < 2 or not 1 <= max_hamming < bits:
+        raise ValueError("need bits >= 2 and 1 <= max_hamming < bits")
+    n_bands = max_hamming + 1
+    base = bits // n_bands
+    extra = bits % n_bands
+    # band b covers [off_b, off_b + len_b): first `extra` bands one
+    # bit longer — all bits covered exactly once
+    offs, lens = [], []
+    off = 0
+    for b in range(n_bands):
+        ln = base + (1 if b < extra else 0)
+        offs.append(off)
+        lens.append(ln)
+        off += ln
+    sh = simhash(docs, bits=bits)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {offs[b]}) & {(1 << lens[b]) - 1}"
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bs"))
+        bands = bands.join(
+            sizes.where(F.col("bs") <= max_bucket).select("band", "key"),
+            ["band", "key"],
+        )
+    a = bands.select("band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = bands.select("band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(ha ^ hb)").cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

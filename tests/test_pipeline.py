@@ -2343,3 +2343,40 @@ def test_pq_codes_matches_numpy_replay(spark):
         pq_codes(emb, n_subspaces=3)  # does not divide dim 8
     with _pytest.raises(ValueError):
         pq_codes(emb.where("vec_id < 0"), n_subspaces=2)
+
+
+def test_simhash_near_pairs_complete_within_radius(spark):
+    """Band-bucketed pairs == ALL pairs within the Hamming radius (a
+    brute-force simhash-distance replay — the pigeonhole guarantee
+    means zero missed pairs); popcounts exact; guards raise."""
+    import pytest as _pytest
+
+    from linkgraph.pipeline import simhash, simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} shared words body common {'x' * (i % 3)}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    hashes = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
+    for mh in (1, 2, 3):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_pairs(docs, bits=16, max_hamming=mh).collect()
+        }
+        want = {}
+        ids = sorted(hashes)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                d = bin(hashes[a] ^ hashes[b]).count("1")
+                if d <= mh:
+                    want[(a, b)] = d
+        assert got == want  # complete AND exact — nothing missed
+    # mega-bucket guard drops everything when max_bucket is tiny
+    assert (
+        simhash_near_pairs(docs, bits=16, max_hamming=1, max_bucket=1).count() == 0
+    )
+    with _pytest.raises(ValueError):
+        simhash_near_pairs(docs, bits=16, max_hamming=0)
+    with _pytest.raises(ValueError):
+        simhash_near_pairs(docs, bits=4, max_hamming=4)
