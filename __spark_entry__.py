@@ -1774,6 +1774,28 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(emb, n_subspaces=4, k=8, rounds=2)
 
 
+def q_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL (pipeline/sketches.hll_distinct_by): approximate
+    distinct word-trigram count PER LANGUAGE — the production
+    distinct-per-group shape (registers keyed (lang, bucket), empty
+    buckets folded arithmetically). Same exact-int64 + one-float
+    contract as hll_trigrams; 5 rows."""
+    from linkgraph.pipeline import hll_distinct_by
+
+    docs = _documents(spark, sf_dir)
+    w = F.split(F.trim("text"), r"\s+")
+    tri = F.expr(
+        "transform(sequence(0, size(w) - 3), i ->"
+        " concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))"
+    )
+    grouped = (
+        docs.select("lang", w.alias("w"))
+        .where(F.size("w") >= 3)
+        .select("lang", F.explode(tri).alias("term"))
+    )
+    return hll_distinct_by(grouped, "lang", b=8, seed=7)
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced downsampling
     (pipeline/embedcluster.cluster_balanced_sample): the SAME
@@ -2013,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "cms_top_words": q_cms_top_words,
         "hll_trigrams": q_hll_trigrams,
+        "hll_by_lang": q_hll_by_lang,
         "embedding_covariance": q_embedding_covariance,
         "bloom_probe": q_bloom_probe,
         "cluster_sample": q_cluster_sample,
@@ -5724,6 +5747,59 @@ GROUP BY 1, 2
 """
 
 
+def _hll_by_lang_sql(b: int = 8, seed: int = 7) -> str:
+    """Mirrors pipeline/sketches.hll_distinct_by over per-lang word
+    trigrams: same hash/bit split/rho, per-group register fold with
+    empty buckets folded arithmetically, same fixed-order estimate."""
+    m = 1 << b
+    S = 60 - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = (f"CAST({alpha!r} AS DOUBLE) * {m} * {m} * "
+           f"{float(1 << S)!r} / z_scaled")
+    return f"""
+WITH t AS (
+  SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+),
+tri AS MATERIALIZED (
+  SELECT lang, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS term
+  FROM t, unnest(generate_series(1, len(w) - 2)) s(i)
+  WHERE len(w) >= 3
+),
+hashed AS (
+  SELECT lang, ('0x' || substr(md5({seed} || ':' || term), 1, 15))::BIGINT AS h
+  FROM tri
+),
+rho AS (
+  SELECT lang, h & {m - 1} AS bucket,
+         CASE WHEN (h >> {b}) > 0
+              THEN {S} - (length(bin(h >> {b})) - 1)
+              ELSE {S + 1} END AS rho
+  FROM hashed
+),
+got AS (SELECT lang, bucket, MAX(rho) AS reg FROM rho GROUP BY 1, 2),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS occupied,
+         CAST(SUM(CAST({1 << S} AS BIGINT) >> CAST(reg AS INT)) AS BIGINT)
+           AS z_occ
+  FROM got GROUP BY lang
+),
+fin AS (
+  SELECT lang, CAST({m} AS BIGINT) AS m,
+         CAST(z_occ + ({m} - occupied) * CAST({1 << S} AS BIGINT) AS BIGINT)
+           AS z_scaled,
+         CAST({m} - occupied AS BIGINT) AS zero_buckets
+  FROM agg
+)
+SELECT lang, m, z_scaled, zero_buckets,
+       ROUND(CASE WHEN ({raw}) <= {2.5 * m!r} AND zero_buckets > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / zero_buckets)
+                  ELSE ({raw}) END, 9) AS estimate
+FROM fin
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -5961,6 +6037,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "chunk_documents": _chunk_documents_sql(),
         "cms_top_words": _cms_top_words_sql(),
         "hll_trigrams": _hll_trigrams_sql(),
+        "hll_by_lang": _hll_by_lang_sql(),
         "trending_stream": _TRENDING_SQL,
         "enriched_event_counts": _ENRICHED_EVENTS_SQL,
         "embedding_covariance": _embedding_covariance_sql(),

@@ -47,7 +47,7 @@ DOC_OPS = {
     "funnel", "retention",  # --docs: events-shaped parquet
     "weighted_sample",  # --query names the weight column
     "c4", "chunk",  # chunk: --k = window tokens (overlap = k // 4)
-    "cms", "hll",  # sketches: --k = CMS width / HLL 2^b buckets exponent
+    "cms", "hll", "hll_by",  # sketches: --k = CMS width / HLL 2^b buckets exponent
     "bloom",  # --k = m_bits; builds over md5(text), reports FP stats
     "transitions",  # --docs: events-shaped parquet
     "repetition",  # Gopher dup/top n-gram coverage fractions
@@ -169,6 +169,17 @@ def main(argv: list[str]) -> int:
         out = P.count_min_sketch(
             source, depth=4, width=opt(args.k, 1024), seed=opt(args.seed, 0)
         )
+    elif args.op == "hll_by":
+        _, col = "lang", "lang"
+        from pyspark.sql import functions as F
+
+        w = F.split(F.trim("text"), r"\s+")
+        tri = F.expr("transform(sequence(0, size(w) - 3), i ->"
+                     " concat(w[i], ' ', w[i+1], ' ', w[i+2]))")
+        grouped = (source.select("lang", w.alias("w")).where(F.size("w") >= 3)
+                   .select("lang", F.explode(tri).alias("term")))
+        out = P.hll_distinct_by(grouped, "lang", b=opt(args.k, 12),
+                                seed=opt(args.seed, 0))
     elif args.op == "hll":
         _, out = P.hll_distinct(
             P.word_trigrams(source), b=opt(args.k, 12), seed=opt(args.seed, 0)

@@ -44,7 +44,7 @@ from linkgraph.pipeline.textstats import (
 )
 from linkgraph.pipeline.retrieval import bm25_topk, inverted_index
 from linkgraph.pipeline.chunking import chunk_documents
-from linkgraph.pipeline.sketches import cms_estimate, count_min_sketch, hll_distinct, word_trigrams
+from linkgraph.pipeline.sketches import cms_estimate, count_min_sketch, hll_distinct, hll_distinct_by, word_trigrams
 from linkgraph.pipeline.embedpca import embedding_covariance, pca_project
 from linkgraph.pipeline.bloom import bloom_build, bloom_probe
 from linkgraph.pipeline.layout import zorder_expr, zorder_key
@@ -109,6 +109,7 @@ __all__ = [
     "repetition_signals",
     "count_min_sketch",
     "hll_distinct",
+    "hll_distinct_by",
     "word_trigrams",
     "zorder_expr",
     "zorder_key",

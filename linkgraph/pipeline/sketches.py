@@ -199,3 +199,70 @@ def word_trigrams(docs: DataFrame) -> DataFrame:
         .where(F.size("w") >= 3)
         .select(F.explode(tri).alias("term"))
     )
+
+
+def hll_distinct_by(
+    values: DataFrame,
+    group_col: str,
+    col: str = "term",
+    b: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Grouped HLL: approximate distinct count PER GROUP (distinct
+    visitors per page, distinct n-grams per language) — the
+    production shape of the sketch. Same hash / bit split / rho /
+    scaled-integer harmonic mean as hll_distinct, with registers
+    keyed (group, bucket): ONE hash groupBy onto |groups|·2^b keys
+    (map-side combine), then one per-group agg folds the m registers
+    — empty buckets enter the fold as (m − occupied) · 2^S without
+    materializing them. Same mergeability (MAX per (group, bucket))
+    and the same exact-int64-then-one-float-expression contract."""
+    if not 4 <= b <= 16:
+        raise ValueError("b must be in [4, 16]")
+    m = 1 << b
+    S = 60 - b
+    key = F.concat(F.lit(f"{int(seed)}:"), F.col(col).cast("string"))
+    h = _h(key, _HLL_HASH_HEX)
+    w = F.shiftright(h, b)
+    rho = F.when(
+        F.col("w") > 0, F.lit(S) - (F.length(F.expr("bin(w)")) - 1)
+    ).otherwise(F.lit(S + 1))
+    regs = (
+        values.select(
+            F.col(group_col).alias("grp"), h.bitwiseAND(m - 1).alias("bucket"),
+            w.alias("w"),
+        )
+        .select("grp", "bucket", rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+        F.sum(F.expr(f"shiftright(CAST({1 << S} AS BIGINT), CAST(reg AS INT))"))
+        .cast("long")
+        .alias("z_occ"),
+    )
+    # empty buckets: reg = 0 -> each contributes 2^S to Z and one
+    # zero-bucket; fold them in arithmetically
+    z = (F.col("z_occ") + (F.lit(m) - F.col("occupied")) * F.lit(1 << S)).cast(
+        "long"
+    )
+    zero = (F.lit(m) - F.col("occupied")).cast("long")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.lit(m).cast("long").alias("m"),
+        z.alias("z_scaled"),
+        zero.alias("zero_buckets"),
+        F.round(
+            F.when(
+                (
+                    F.lit(alpha) * m * m * float(1 << S) / z
+                    <= 2.5 * m
+                )
+                & (zero > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / zero),
+            ).otherwise(F.lit(alpha) * m * m * float(1 << S) / z),
+            9,
+        ).alias("estimate"),
+    )

@@ -2380,3 +2380,24 @@ def test_simhash_near_pairs_complete_within_radius(spark):
         simhash_near_pairs(docs, bits=16, max_hamming=0)
     with _pytest.raises(ValueError):
         simhash_near_pairs(docs, bits=4, max_hamming=4)
+
+
+def test_hll_distinct_by_matches_ungrouped_per_group(spark):
+    """Grouped HLL per group == running hll_distinct on that group's
+    values alone (identical registers, z, zeros, estimate)."""
+    from linkgraph.pipeline import hll_distinct, hll_distinct_by
+
+    vals = spark.range(600).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.concat(F.lit("k"), "id").alias("term"),
+    )
+    got = {
+        r["grp"]: (r["m"], r["z_scaled"], r["zero_buckets"], r["estimate"])
+        for r in hll_distinct_by(vals, "grp", b=6, seed=2).collect()
+    }
+    for g in ("0", "1", "2"):
+        _, est = hll_distinct(vals.where(F.col("grp") == g), b=6, seed=2)
+        r = est.collect()[0]
+        assert got[g] == (
+            r["m"], r["z_scaled"], r["zero_buckets"], r["estimate"]
+        ), g
