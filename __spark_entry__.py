@@ -1293,6 +1293,21 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 session paths (pipeline/funnel.session_paths): most
+    common event-type sequences per 360-min-gap session, paths
+    truncated at 5 steps ('>' joined, (ts, event_id) order) — the
+    path-mining view of the event log; multi-step paths appear from
+    rank 6. Strings + int64 with a deterministic (count DESC, path)
+    rank — hash-exact."""
+    from linkgraph.pipeline import session_paths
+
+    return session_paths(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        gap_minutes=360, max_len=5, k=50,
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transitions over per-user event streams
     (pipeline/funnel.event_transitions): (from, to, cnt, prob) with
@@ -2008,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covisitation": q_covisitation,
         "funnel_steps": q_funnel,
         "event_transitions": q_event_transitions,
+        "session_paths": q_session_paths,
         "zorder_orders": q_zorder_orders,
         "retention_cohorts": q_retention,
         "weighted_sample": q_weighted_sample,
@@ -5553,6 +5569,42 @@ SELECT v AS value, MIN(hit) = 1 AS maybe_member FROM hits GROUP BY v
 """
 
 
+def _session_paths_sql(gap_minutes: int = 360, max_len: int = 5, k: int = 50) -> str:
+    """Mirrors pipeline/funnel.session_paths: same gaps-and-islands
+    sessionization (epoch-us, (us, event_id) order), same truncated
+    '>'-joined path, same (count DESC, path) rank."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+),
+tagged AS (
+  SELECT *, CASE WHEN us - LAG(us) OVER w >= {gap_us} OR
+                      LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, us, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM tagged
+),
+paths AS (
+  SELECT array_to_string(
+           (list(event_type ORDER BY us, event_id))[1:{max_len}], '>') AS path
+  FROM sess GROUP BY user_id, session_id
+),
+c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path),
+r AS (
+  SELECT path, n_sessions,
+         ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank
+  FROM c
+)
+SELECT path, n_sessions, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}
+"""
+
+
 _EVENT_TRANSITIONS_SQL = """
 WITH pairs AS (
   SELECT event_type AS from_type,
@@ -5920,6 +5972,7 @@ FROM documents GROUP BY md5(text)
         "funnel_steps": _funnel_sql(["signup", "view", "click", "purchase"]),
         "retention_cohorts": _RETENTION_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "session_paths": _session_paths_sql(),
         "zorder_orders": _zorder_orders_sql(),
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,

@@ -44,7 +44,7 @@ DOC_OPS = {
     "copy_spans", "pack", "url_canon", "group_cap", "tfidf",
     "vocab", "unigram", "index", "bm25", "pmi", "norm_dedup",
     "covisit",  # --docs: events-shaped parquet (user_id, ts, props)
-    "funnel", "retention",  # --docs: events-shaped parquet
+    "funnel", "retention", "paths",  # --docs: events-shaped parquet
     "weighted_sample",  # --query names the weight column
     "c4", "chunk",  # chunk: --k = window tokens (overlap = k // 4)
     "cms", "hll", "hll_by",  # sketches: --k = CMS width / HLL 2^b buckets exponent
@@ -216,6 +216,8 @@ def main(argv: list[str]) -> int:
         if not args.query:
             raise SystemExit("--op zorder requires --query <col,col[,col]>")
         out = P.zorder_key(source, args.query.split(","), bits=opt(args.k, 16))
+    elif args.op == "paths":
+        out = P.session_paths(source, gap_minutes=360, k=opt(args.k, 50))
     elif args.op == "funnel":
         steps = (args.query or "signup view click purchase").split()
         out = P.funnel_counts(source, steps)

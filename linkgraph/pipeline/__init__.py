@@ -50,7 +50,7 @@ from linkgraph.pipeline.bloom import bloom_build, bloom_probe
 from linkgraph.pipeline.layout import zorder_expr, zorder_key
 from linkgraph.pipeline.bpe import bpe_encode, bpe_learn
 from linkgraph.pipeline.covisit import covisitation
-from linkgraph.pipeline.funnel import event_transitions, funnel_counts, retention_cohorts
+from linkgraph.pipeline.funnel import event_transitions, funnel_counts, retention_cohorts, session_paths
 from linkgraph.pipeline.embedcluster import (
     cluster_balanced_sample,
     kmeans,
@@ -94,6 +94,7 @@ __all__ = [
     "covisitation",
     "funnel_counts",
     "retention_cohorts",
+    "session_paths",
     "bpe_token_stats",
     "c4_quality",
     "chunk_documents",

@@ -145,3 +145,73 @@ def event_transitions(
         "cnt",
         (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("prob"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_len: int = 8,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k session paths — the most common event-type sequences per
+    session (the path-mining view funnel_counts aggregates away):
+
+      (path, n_sessions, rank)
+
+    Sessions by the covisit gaps-and-islands rule (epoch-us gap on a
+    per-user window); the path is the session's first `max_len` event
+    types in (ts, event_id) order joined with '>' (the truncation
+    bound keeps the path string — and the groupBy key — bounded on
+    pathological sessions). Strings + int64 with a deterministic
+    (count DESC, path) rank — hash-exact.
+
+    Scale shape: one per-user window pass (sessionize + order), one
+    per-session collect_list (bounded by max_len after slice), one
+    hash groupBy on the path key, one top-k rank over ≤ distinct-path
+    rows."""
+    if gap_minutes < 1 or max_len < 1 or k < 1:
+        raise ValueError("gap_minutes, max_len and k must be >= 1")
+    from pyspark.sql import Window
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    ev = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (
+        F.coalesce(
+            (F.col("us") - F.lag("us").over(w)) >= F.lit(gap_us), F.lit(True)
+        )
+    ).cast("long")
+    sess = ev.select(
+        "user_id", "us", "event_id", "event_type",
+        F.sum(new_s).over(w).alias("session_id"),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.expr(
+                f"array_join(slice(transform(array_sort(collect_list("
+                f"struct(us, event_id, event_type))), s -> s.event_type),"
+                f" 1, {max_len}), '>')"
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    ranked = (
+        paths.orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+        .select(
+            "path",
+            "n_sessions",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_sessions"), F.asc("path")))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    return ranked

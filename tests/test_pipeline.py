@@ -2401,3 +2401,56 @@ def test_hll_distinct_by_matches_ungrouped_per_group(spark):
         assert got[g] == (
             r["m"], r["z_scaled"], r["zero_buckets"], r["estimate"]
         ), g
+
+
+def test_session_paths_matches_replay(spark):
+    """Ranked paths == a sequential sessionize-and-count replay
+    (same gap rule, same (ts, event_id) order, same truncation,
+    same tie-break); guards raise."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from linkgraph.pipeline import session_paths
+
+    rows = [
+        # user, minute, event_id, type
+        (1, 0, 1, "a"), (1, 5, 2, "b"), (1, 100, 3, "c"),  # 2 sessions
+        (2, 0, 4, "a"), (2, 5, 5, "b"),
+        (3, 0, 6, "a"), (3, 1, 7, "b"), (3, 2, 8, "c"), (3, 3, 9, "d"),
+        (4, 0, 10, "a"), (4, 0, 11, "b"),  # simultaneous: id order
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "minute", "event_id", "event_type"])
+    pdf["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(pdf["minute"], unit="m")
+    df = spark.createDataFrame(pdf[["user_id", "ts", "event_id", "event_type"]])
+    got = [
+        (r["path"], r["n_sessions"], r["rank"])
+        for r in session_paths(df, gap_minutes=30, max_len=3, k=10)
+        .orderBy("rank").collect()
+    ]
+    from collections import Counter, defaultdict
+
+    by_user = defaultdict(list)
+    for u, m, eid, t in rows:
+        by_user[u].append((m, eid, t))
+    cnt = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = []
+        last = None
+        for m, eid, t in evs:
+            if last is not None and (m - last) * 60_000_000 >= 30 * 60 * 1_000_000:
+                cnt[">".join(cur[:3])] += 1
+                cur = []
+            cur.append(t)
+            last = m
+        if cur:
+            cnt[">".join(cur[:3])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = [(p, c, i + 1) for i, (p, c) in enumerate(want)]
+    assert got == want
+    # truncation: user 3's 4-event session reports a 3-step path
+    assert any(p == "a>b>c" for p, _, _ in got)
+    with _pytest.raises(ValueError):
+        session_paths(df, gap_minutes=0)
+    with _pytest.raises(ValueError):
+        session_paths(df, max_len=0)
