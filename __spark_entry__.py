@@ -1766,6 +1766,19 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+def q_mask_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MLM masking (pipeline/masking.mask_tokens,
+    Devlin et al. §3.1 mask-only subset): ~15% of token positions per
+    doc selected by the shared seeded md5-prefix membership hash —
+    exact, layout-independent, rerun-reproducible. masked_text +
+    "pos:token" labels + counts; strings/int64 hash-exact."""
+    from linkgraph.pipeline import mask_tokens
+
+    return mask_tokens(
+        _documents(spark, sf_dir).select("doc_id", "text"), rate=0.15, seed=7
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher repetition family (pipeline/textstats.repetition_
     signals, Rae et al. 2021 Table A1, word-level): per (doc, n) the
@@ -2047,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "mask_tokens": q_mask_tokens,
         "c4_quality": q_c4_quality,
         "chunk_documents": q_chunk_documents,
         "cms_top_words": q_cms_top_words,
@@ -5852,6 +5866,35 @@ FROM fin
 """
 
 
+def _mask_tokens_sql(rate: float = 0.15, seed: int = 7) -> str:
+    """Mirrors pipeline/masking.mask_tokens — DuckDB's lambda index
+    is 1-based where Spark's is 0-based, so the hash key uses i-1."""
+    thr = int(rate * (1 << 32))
+    h = (f"('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR) || ':' ||"
+         f" CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+  FROM documents
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list_transform(w, (t, i) ->
+         CASE WHEN {h} < {thr} THEN '[MASK]' ELSE t END), ' '), '')
+         AS masked_text,
+       -- DuckDB array_to_string([]) is NULL where Spark's is ''
+       COALESCE(array_to_string(list_filter(list_transform(w, (t, i) ->
+         CASE WHEN {h} < {thr}
+              THEN CAST(i - 1 AS VARCHAR) || ':' || t END),
+         x -> x IS NOT NULL), ' '), '') AS labels,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(list_transform(w, (t, i) -> {h} < {thr}),
+                            x -> x)) AS BIGINT) AS n_masked
+FROM base
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -6086,6 +6129,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "repetition_signals": _repetition_signals_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
+        "mask_tokens": _mask_tokens_sql(),
         "c4_quality": _c4_quality_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "cms_top_words": _cms_top_words_sql(),

@@ -52,6 +52,7 @@ DOC_OPS = {
     "transitions",  # --docs: events-shaped parquet
     "repetition",  # Gopher dup/top n-gram coverage fractions
     "bpe", "bpe_encode",  # --k = number of merges to learn
+    "mask",  # --threshold = mask rate
     "zorder",  # --query: comma-separated key columns; --k = bits
 }
 EMB_OPS = {
@@ -146,6 +147,10 @@ def main(argv: list[str]) -> int:
         out = P.gopher_quality(source)
     elif args.op == "repetition":
         out = P.repetition_signals(source)
+    elif args.op == "mask":
+        out = P.mask_tokens(
+            source, rate=opt(args.threshold, 0.15), seed=opt(args.seed, 0)
+        )
     elif args.op == "bpe":
         out = P.bpe_learn(source, n_merges=opt(args.k, 32)).merges
     elif args.op == "bpe_encode":

@@ -2454,3 +2454,46 @@ def test_session_paths_matches_replay(spark):
         session_paths(df, gap_minutes=0)
     with _pytest.raises(ValueError):
         session_paths(df, max_len=0)
+
+
+def test_mask_tokens_matches_hashlib_replay(spark):
+    """Masked positions == a hashlib membership replay; labels align
+    with positions; rate 0/1 closed forms; repartition-stable;
+    guard raises."""
+    import pytest as _pytest
+
+    from linkgraph.pipeline import mask_tokens
+
+    texts = ["alpha beta gamma delta epsilon zeta", "one", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rate, seed = 0.4, 3
+    thr = int(rate * (1 << 32))
+    got = {r["doc_id"]: r.asDict() for r in mask_tokens(df, rate, seed).collect()}
+    for i, t in enumerate(texts):
+        words = t.split()
+        masked = [
+            j for j in range(len(words))
+            if _md5_int(f"{seed}:{i}:{j}", 8) < thr
+        ]
+        want_text = " ".join(
+            "[MASK]" if j in masked else w for j, w in enumerate(words)
+        )
+        want_labels = " ".join(f"{j}:{words[j]}" for j in masked)
+        g = got[i]
+        assert g["masked_text"] == want_text
+        assert g["labels"] == want_labels
+        assert g["n_tokens"] == len(words) and g["n_masked"] == len(masked)
+    # closed forms + layout independence
+    all_m = mask_tokens(df, 1.0, seed).collect()
+    assert all(r["n_masked"] == r["n_tokens"] for r in all_m)
+    none_m = mask_tokens(df, 0.0, seed).collect()
+    assert all(r["n_masked"] == 0 for r in none_m)
+    re = {
+        r["doc_id"]: r["masked_text"]
+        for r in mask_tokens(df.repartition(7), rate, seed).collect()
+    }
+    assert re == {r["doc_id"]: r["masked_text"] for r in mask_tokens(df, rate, seed).collect()}
+    with _pytest.raises(ValueError):
+        mask_tokens(df, rate=1.5)
