@@ -1779,6 +1779,18 @@ def q_mask_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram pair counts (pipeline/masking.skipgram_pairs,
+    Mikolov et al. NIPS'13): window 2, min_count 2 over the corpus —
+    the word2vec training-data table (941 distinct pairs before the
+    cut at sf0.01). Strings + int64 — hash-exact."""
+    from linkgraph.pipeline import skipgram_pairs
+
+    return skipgram_pairs(
+        _documents(spark, sf_dir).select("text"), window=2, min_count=2
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher repetition family (pipeline/textstats.repetition_
     signals, Rae et al. 2021 Table A1, word-level): per (doc, n) the
@@ -2061,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "mask_tokens": q_mask_tokens,
+        "skipgram_pairs": q_skipgram_pairs,
         "c4_quality": q_c4_quality,
         "chunk_documents": q_chunk_documents,
         "cms_top_words": q_cms_top_words,
@@ -5895,6 +5908,29 @@ FROM base
 """
 
 
+def _skipgram_pairs_sql(window: int = 2, min_count: int = 2) -> str:
+    """Mirrors pipeline/masking.skipgram_pairs (DuckDB 1-based lambda
+    index ↦ Spark's 0-based handled by symmetric offsets)."""
+    return f"""
+WITH base AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+pos AS (
+  SELECT w, unnest(generate_series(1, len(w))) AS i FROM base
+),
+pairs AS (
+  SELECT w[i] AS center, w[j] AS context
+  FROM pos, unnest(generate_series(GREATEST(i - {window}, 1),
+                                   LEAST(i + {window}, len(w)))) t(j)
+  WHERE j <> i
+)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1, 2
+HAVING COUNT(*) >= {min_count}
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
@@ -6130,6 +6166,7 @@ SELECT comp, COUNT(*) AS csize FROM (
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "mask_tokens": _mask_tokens_sql(),
+        "skipgram_pairs": _skipgram_pairs_sql(),
         "c4_quality": _c4_quality_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "cms_top_words": _cms_top_words_sql(),

@@ -53,6 +53,7 @@ DOC_OPS = {
     "repetition",  # Gopher dup/top n-gram coverage fractions
     "bpe", "bpe_encode",  # --k = number of merges to learn
     "mask",  # --threshold = mask rate
+    "skipgram",  # --k = context window
     "zorder",  # --query: comma-separated key columns; --k = bits
 }
 EMB_OPS = {
@@ -147,6 +148,8 @@ def main(argv: list[str]) -> int:
         out = P.gopher_quality(source)
     elif args.op == "repetition":
         out = P.repetition_signals(source)
+    elif args.op == "skipgram":
+        out = P.skipgram_pairs(source, window=opt(args.k, 2))
     elif args.op == "mask":
         out = P.mask_tokens(
             source, rate=opt(args.threshold, 0.15), seed=opt(args.seed, 0)

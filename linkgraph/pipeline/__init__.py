@@ -49,7 +49,7 @@ from linkgraph.pipeline.embedpca import embedding_covariance, pca_project
 from linkgraph.pipeline.bloom import bloom_build, bloom_probe
 from linkgraph.pipeline.layout import zorder_expr, zorder_key
 from linkgraph.pipeline.bpe import bpe_encode, bpe_learn
-from linkgraph.pipeline.masking import mask_tokens
+from linkgraph.pipeline.masking import mask_tokens, skipgram_pairs
 from linkgraph.pipeline.covisit import covisitation
 from linkgraph.pipeline.funnel import event_transitions, funnel_counts, retention_cohorts, session_paths
 from linkgraph.pipeline.embedcluster import (
@@ -104,6 +104,7 @@ __all__ = [
     "bpe_encode",
     "bpe_learn",
     "mask_tokens",
+    "skipgram_pairs",
     "bloom_probe",
     "embedding_covariance",
     "event_transitions",

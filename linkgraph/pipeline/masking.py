@@ -72,3 +72,40 @@ def mask_tokens(
         F.size("w").cast("long").alias("n_tokens"),
         n_masked.cast("long").alias("n_masked"),
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram (center, context) pair counts (Mikolov et al.
+    NIPS'13) — the word2vec training-data op, and (fed a walk corpus
+    re-joined to text form) the DeepWalk/node2vec embedding-data op:
+
+      (center, context, cnt) for all 1 ≤ |i − j| ≤ window, i ≠ j.
+
+    Pair generation is ONE codegen projection (a nested flatten/
+    transform over token positions — no join, no shuffle); the count
+    is one hash groupBy with map-side combine over the vocab² key
+    space. Deterministic strings + int64 — hash-exact. The fixed
+    window (vs word2vec's RNG-shrunk window) is the deterministic
+    variant, documented."""
+    if window < 1 or min_count < 1:
+        raise ValueError("window and min_count must be >= 1")
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.expr(
+        f"flatten(transform(w, (t, i) -> "
+        f"transform(filter(sequence(greatest(i - {window}, 0),"
+        f" least(i + {window}, size(w) - 1)), j -> j != i),"
+        f" j -> struct(t AS center, w[j] AS context))))"
+    )
+    return (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(w.alias("w"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )

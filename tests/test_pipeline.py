@@ -2497,3 +2497,47 @@ def test_mask_tokens_matches_hashlib_replay(spark):
     assert re == {r["doc_id"]: r["masked_text"] for r in mask_tokens(df, rate, seed).collect()}
     with _pytest.raises(ValueError):
         mask_tokens(df, rate=1.5)
+
+
+def test_skipgram_pairs_matches_replay(spark):
+    """Pair counts == a Counter replay over all in-window ordered
+    pairs; window truncation at doc edges; guard raises."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from linkgraph.pipeline import skipgram_pairs
+
+    texts = ["a b c a b", "x y", "solo", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for window in (1, 2):
+        got = {
+            (r["center"], r["context"]): r["cnt"]
+            for r in skipgram_pairs(df, window=window).collect()
+        }
+        want = Counter()
+        for t in texts:
+            ws = t.split()
+            for i, c in enumerate(ws):
+                for j in range(max(0, i - window), min(len(ws), i + window + 1)):
+                    if j != i:
+                        want[(c, ws[j])] += 1
+        assert got == dict(want), window
+    # min_count cut (recompute the window-1 truth — the loop exits
+    # with window-2 counts in `want`)
+    want1 = Counter()
+    for t in texts:
+        ws = t.split()
+        for i, c in enumerate(ws):
+            for j in range(max(0, i - 1), min(len(ws), i + 2)):
+                if j != i:
+                    want1[(c, ws[j])] += 1
+    got2 = {
+        (r["center"], r["context"])
+        for r in skipgram_pairs(df, window=1, min_count=2).collect()
+    }
+    assert got2 == {p for p, c in want1.items() if c >= 2}
+    with _pytest.raises(ValueError):
+        skipgram_pairs(df, window=0)
