@@ -1966,6 +1966,88 @@ def entry(spark: SparkSession) -> DataFrame:
     return res.df.orderBy(F.desc("rank"), F.asc("id")).limit(100)
 
 
+def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full truss decomposition of the part-succession graph
+    (kernels/truss.trussness): (u, w, truss) for every symmetrized
+    canonical edge via level-synchronous edge peeling — the edge
+    analog of the coreness row. Measured at sf0.01: 2 rounds to
+    fixpoint, max truss 3 (trusses {2: 2614, 3: 15}). The oracle
+    unrolls 8 rounds with the level derived per round by scalar
+    subquery; rounds past the fixpoint are no-ops."""
+    from linkgraph.kernels import trussness
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    return trussness(g).df
+
+
+def q_landmark_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance-oracle sketch + triangle-inequality pair
+    estimates (kernels/msbfs.landmark_distances / estimate_distances;
+    ALT landmarks, Goldberg & Harrelson SODA'05) over the DIRECTED
+    part-succession graph: 4 smallest vertices as landmarks (one
+    forward + one reverse msbfs sweep), query pairs = (id % 97 == 0) ×
+    (id % 101 == 0), answer = min-over-landmarks relay bound with the
+    smaller landmark winning ties. All int64 — hash-exact."""
+    from linkgraph.kernels import estimate_distances, landmark_distances
+
+    g = _graph(_part_succession_edges(spark, sf_dir))
+    landmarks = [
+        int(r["id"]) for r in g.vertices.orderBy("id").limit(4).collect()
+    ]
+    idx = landmark_distances(g, landmarks, max_iter=30)
+    srcs = g.vertices.where(F.col("id") % 97 == 0).select(
+        F.col("id").alias("src")
+    )
+    dsts = g.vertices.where(F.col("id") % 101 == 0).select(
+        F.col("id").alias("dst")
+    )
+    return estimate_distances(idx, srcs.crossJoin(dsts))
+
+
+def q_fold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test fold assignment
+    (pipeline/sampling.fold_split): 80/10/10 by the seeded md5-prefix
+    id hash against exact int64 boundaries — membership is engine-
+    and layout-independent, so the oracle reproduces every row."""
+    from linkgraph.pipeline import fold_split
+
+    return fold_split(
+        _documents(spark, sf_dir),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7,
+    ).select("doc_id", "fold")
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level corpus filtering (pipeline/urlnorm.url_filter,
+    RefinedWeb §3.1-style): urls synthesized deterministically from
+    o_orderkey across two domain families with an adult-ish keyword
+    path segment on some; blocklist = one whole domain + one specific
+    host (suffix matching blocks subdomains of both), one 'casino'
+    keyword at max_kw_hits=0. Returns the audit annotation (host,
+    blocked_domain, kw_hits, keep) — strings/int64/bool, hash-exact."""
+    from linkgraph.pipeline import url_filter
+
+    k = F.col("o_orderkey")
+    h = (k % 50).cast("string")
+    ks = k.cast("string")
+    url = (
+        F.when(k % 6 == 0, F.concat(F.lit("http://ads.host"), h, F.lit(".example.com/p/"), ks))
+        .when(k % 6 == 1, F.concat(F.lit("https://host"), h, F.lit(".site.org/p/"), ks))
+        .when(k % 6 == 2, F.concat(F.lit("http://host"), h, F.lit(".example.com/casino/"), ks))
+        .when(k % 6 == 3, F.concat(F.lit("https://host"), h, F.lit(".site.org/free-casino/"), ks))
+        .when(k % 6 == 4, F.concat(F.lit("http://host"), h, F.lit(".blocked.net/x/"), ks))
+        .otherwise(F.concat(F.lit("no scheme here "), ks))
+    )
+    urls = _orders(spark, sf_dir).select(url.alias("url"))
+    return url_filter(
+        urls,
+        blocked_domains=["blocked.net", "host3.example.com"],
+        blocked_keywords=["casino"],
+        max_kw_hits=0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degree_counts": q_degree_counts,
@@ -2016,6 +2098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "kcore": q_kcore,
         "coreness": q_coreness,
+        "trussness": q_trussness,
+        "landmark_est": q_landmark_est,
+        "fold_split": q_fold_split,
+        "url_filter": q_url_filter,
         "mis": q_mis,
         "coloring": q_coloring,
         "anf_sketch": q_anf_sketch,
@@ -6026,6 +6112,160 @@ FROM {prev}
     return sql
 
 
+def _trussness_sql(rounds: int = 8) -> str:
+    """Unrolled level-synchronous edge peeling on the canonical
+    symmetrized part-succession edge list (kernels/truss.trussness).
+    Each round recomputes residual support via the wedge-center 3-way
+    self-join (the ktruss oracle's triangle SQL), advances the level
+    to max(previous, min support + 2) by scalar subquery (DATA-
+    derived, no literals to drift), peels everything at or below
+    level-2 with that truss number, and keeps the rest. Rounds past
+    the fixpoint are no-ops (empty MIN -> COALESCE keeps the level).
+    MATERIALIZED throughout per the sssp/betweenness oracle lesson."""
+    sql = f"""WITH e0 AS MATERIALIZED ({_PART_SUCC_E}),
+sym0 AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+ec0 AS MATERIALIZED (SELECT src AS u, dst AS w FROM sym0 WHERE src < dst),
+lv0 AS (SELECT CAST(2 AS BIGINT) AS lv)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+sy{r} AS MATERIALIZED (SELECT u AS src, w AS dst FROM ec{p} UNION ALL SELECT w, u FROM ec{p}),
+tr{r} AS (
+  SELECT a.dst AS v, b.dst AS w
+  FROM sy{r} a JOIN sy{r} b ON a.src = b.src AND a.dst < b.dst
+  JOIN sy{r} c ON c.src = a.dst AND c.dst = b.dst
+),
+su{r} AS MATERIALIZED (SELECT v AS u, w, COUNT(*) AS support FROM tr{r} GROUP BY v, w),
+fu{r} AS MATERIALIZED (
+  SELECT e.u, e.w, COALESCE(s.support, CAST(0 AS BIGINT)) AS support
+  FROM ec{p} e LEFT JOIN su{r} s ON e.u = s.u AND e.w = s.w
+),
+lv{r} AS MATERIALIZED (
+  SELECT GREATEST((SELECT lv FROM lv{p}),
+                  COALESCE((SELECT MIN(support) + 2 FROM fu{r}), CAST(0 AS BIGINT))) AS lv
+),
+pe{r} AS MATERIALIZED (
+  SELECT u, w, CAST((SELECT lv FROM lv{r}) AS BIGINT) AS truss
+  FROM fu{r} WHERE support <= (SELECT lv FROM lv{r}) - 2
+),
+ec{r} AS MATERIALIZED (
+  SELECT u, w FROM fu{r} WHERE support > (SELECT lv FROM lv{r}) - 2
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT u, w, truss FROM pe{r}" for r in range(1, rounds + 1)
+    )
+    return sql + f"\n{union}\n"
+
+
+def _landmark_sql(max_level: int = 30) -> str:
+    """Forward + reverse bounded recursive sweeps from the 4 smallest
+    vertices of the DIRECTED part-succession graph (the landmark
+    index), then the min-over-landmarks relay bound per query pair
+    with ROW_NUMBER picking the (bound, landmark) minimum — mirrors
+    estimate_distances' struct-min tie-break exactly. All BIGINT."""
+    return f"""
+WITH RECURSIVE e0 AS MATERIALIZED ({_PART_SUCC_E}),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e0 UNION SELECT dst AS id FROM e0)),
+lm AS (SELECT id FROM v ORDER BY id LIMIT 4),
+fwd(id, landmark, dist) AS (
+  SELECT id, id, 0 FROM lm
+  UNION
+  SELECT e.dst, f.landmark, f.dist + 1
+  FROM fwd f JOIN e0 e ON f.id = e.src
+  WHERE f.dist < {max_level}
+),
+dfrom AS (SELECT id, landmark, CAST(MIN(dist) AS BIGINT) AS d_from FROM fwd GROUP BY id, landmark),
+rev(id, landmark, dist) AS (
+  SELECT id, id, 0 FROM lm
+  UNION
+  SELECT e.src, f.landmark, f.dist + 1
+  FROM rev f JOIN e0 e ON f.id = e.dst
+  WHERE f.dist < {max_level}
+),
+dto AS (SELECT id, landmark, CAST(MIN(dist) AS BIGINT) AS d_to FROM rev GROUP BY id, landmark),
+pairs AS (
+  SELECT s.id AS src, d.id AS dst
+  FROM (SELECT id FROM v WHERE id % 97 = 0) s
+  CROSS JOIN (SELECT id FROM v WHERE id % 101 = 0) d
+),
+cand AS (
+  SELECT p.src, p.dst, t.d_to + f.d_from AS bound, t.landmark
+  FROM pairs p
+  JOIN dto t ON p.src = t.id
+  JOIN dfrom f ON f.landmark = t.landmark AND p.dst = f.id
+)
+SELECT src, dst, bound AS ub, landmark AS via FROM (
+  SELECT src, dst, bound, landmark,
+         ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY bound, landmark) AS rn
+  FROM cand
+) t WHERE rn = 1
+"""
+
+
+def _fold_split_sql(seed: int = 7) -> str:
+    """Exact-membership fold assignment: boundaries computed by the
+    SAME Python expressions as pipeline/sampling.fold_split (cumsum of
+    fractions scaled to 2^32) so literal drift is impossible."""
+    folds = {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(folds)
+    bounds = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += folds[name]
+        bounds.append(int(cum * (1 << 32)))
+    whens = "\n".join(
+        f"    WHEN h < {b} THEN '{name}'" for name, b in zip(names[:-1], bounds)
+    )
+    return f"""
+SELECT doc_id, CASE
+{whens}
+    ELSE '{names[-1]}' END AS fold
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+)
+"""
+
+
+_URL_FILTER_SQL = """
+WITH u AS (
+  SELECT CASE o_orderkey % 6
+    WHEN 0 THEN 'http://ads.host' || (o_orderkey % 50) || '.example.com/p/' || o_orderkey
+    WHEN 1 THEN 'https://host' || (o_orderkey % 50) || '.site.org/p/' || o_orderkey
+    WHEN 2 THEN 'http://host' || (o_orderkey % 50) || '.example.com/casino/' || o_orderkey
+    WHEN 3 THEN 'https://host' || (o_orderkey % 50) || '.site.org/free-casino/' || o_orderkey
+    WHEN 4 THEN 'http://host' || (o_orderkey % 50) || '.blocked.net/x/' || o_orderkey
+    ELSE 'no scheme here ' || o_orderkey
+  END AS url
+  FROM orders
+),
+bl AS (SELECT * FROM (VALUES ('blocked.net'), ('host3.example.com')) t(domain)),
+hh AS (
+  SELECT url,
+    regexp_replace(
+      lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)),
+      ':[0-9]+$', '') AS host,
+    CAST((length(lower(url)) - length(replace(lower(url), 'casino', ''))) / 6 AS BIGINT) AS kw_hits
+  FROM u
+),
+sfx AS (
+  SELECT url, array_to_string(labels[CAST(g.i AS INTEGER):], '.') AS suffix
+  FROM (SELECT url, string_split(host, '.') AS labels FROM hh) s,
+       UNNEST(range(1, length(s.labels) + 1)) AS g(i)
+),
+hit AS (
+  SELECT s.url, MIN(b.domain) AS blocked_domain
+  FROM sfx s JOIN bl b ON s.suffix = b.domain
+  GROUP BY s.url
+)
+SELECT h.url, h.host, t.blocked_domain, h.kw_hits,
+       (t.blocked_domain IS NULL AND h.kw_hits <= 0) AS keep
+FROM hh h LEFT JOIN hit t ON h.url = t.url
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """
@@ -6074,6 +6314,10 @@ FROM documents GROUP BY md5(text)
         "sssp_weighted": _sssp_sql(rounds=12),
         "kcore": _kcore_sql(20, rounds=4),
         "coreness": _coreness_sql(rounds=24),
+        "trussness": _trussness_sql(rounds=8),
+        "landmark_est": _landmark_sql(max_level=30),
+        "fold_split": _fold_split_sql(seed=7),
+        "url_filter": _URL_FILTER_SQL,
         "mis": _mis_sql(rounds=6),
         "coloring": _coloring_sql(layers=4, rounds=5),
         "anf_sketch": _anf_sketch_sql(rounds=8, registers=8),

@@ -38,7 +38,7 @@ def main(argv: list[str]) -> int:
             "matching", "msf", "jaccard", "butterflies", "pagerank_w", "coreness",
             "degrees", "alpha", "knn", "spam", "sweep", "closeness",
             "redirects", "diameter", "node2vec", "richclub", "assort", "rwsample",
-            "kclique",
+            "kclique", "trussness", "landmarks",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -434,6 +434,39 @@ def main(argv: list[str]) -> int:
         res = kernels.graph_stats(graph)
         out = res.df
         summary = {"kernel": "stats"}
+    elif args.kernel == "trussness":
+        res = kernels.trussness(graph, ckpt=ckpt)
+        out = res.df.orderBy("u", "w")
+        summary = {
+            "kernel": "trussness",
+            "rounds": res.iterations,
+            "max_truss": res.max_truss,
+            "edges": out.count(),
+            "wall_s": round(res.wall_seconds, 3),
+        }
+    elif args.kernel == "landmarks":
+        if args.sources:
+            lms = [int(s) for s in args.sources.split(",")]
+        else:
+            lms = [
+                int(r["id"])
+                for r in graph.vertices.orderBy("id").limit(4).collect()
+            ]
+        idx = kernels.landmark_distances(graph, lms)
+        srcs = graph.vertices.where(F.col("id") % 97 == 0).select(
+            F.col("id").alias("src")
+        )
+        dsts = graph.vertices.where(F.col("id") % 101 == 0).select(
+            F.col("id").alias("dst")
+        )
+        out = kernels.estimate_distances(idx, srcs.crossJoin(dsts)).orderBy(
+            "src", "dst"
+        )
+        summary = {
+            "kernel": "landmarks",
+            "landmarks": lms,
+            "pairs_bounded": out.count(),
+        }
     elif args.kernel == "degrees":
         out = kernels.degree_distribution(graph).orderBy("direction", "bin")
         summary = {"kernel": "degrees"}

@@ -41,7 +41,8 @@ DOC_OPS = {
     "exact_dedup", "minhash", "lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard",
     "dedup_clusters", "token_stats", "lang_id", "gopher", "fingerprints",
     "sample", "minhash_jaccard", "bpe_stats", "decontam", "pii",
-    "copy_spans", "pack", "url_canon", "group_cap", "tfidf",
+    "copy_spans", "pack", "url_canon", "url_filter", "group_cap", "tfidf",
+    "fold_split",  # --query: comma-separated name:frac folds
     "vocab", "unigram", "index", "bm25", "pmi", "norm_dedup",
     "covisit",  # --docs: events-shaped parquet (user_id, ts, props)
     "funnel", "retention", "paths",  # --docs: events-shaped parquet
@@ -252,6 +253,18 @@ def main(argv: list[str]) -> int:
         )
     elif args.op == "url_canon":
         out = P.canonicalize_urls(source)  # --docs: any parquet with a url column
+    elif args.op == "url_filter":
+        # --docs: any parquet with a url column; --query = comma-
+        # separated blocked domains (keywords stay library-level here)
+        blocked = (args.query or "example.invalid").split(",")
+        out = P.url_filter(source, blocked_domains=blocked)
+    elif args.op == "fold_split":
+        spec = args.query or "train:0.8,val:0.1,test:0.1"
+        folds = {
+            part.split(":")[0]: float(part.split(":")[1])
+            for part in spec.split(",")
+        }
+        out = P.fold_split(source, folds, seed=opt(args.seed, 0))
     elif args.op == "pack":
         out = P.pack_sequences(source, budget=opt(args.k, 2048))
     elif args.op == "copy_spans":

@@ -88,7 +88,14 @@ from linkgraph.kernels.bfs import bfs
 from linkgraph.kernels.labelprop import label_propagation
 from linkgraph.kernels.triangles import kclique_count, triangle_count
 from linkgraph.kernels.pagerank_delta import pagerank_delta
-from linkgraph.kernels.msbfs import msbfs, harmonic_centrality, radii, closeness_centrality
+from linkgraph.kernels.msbfs import (
+    msbfs,
+    harmonic_centrality,
+    radii,
+    closeness_centrality,
+    landmark_distances,
+    estimate_distances,
+)
 from linkgraph.kernels.kcore import kcore
 from linkgraph.kernels.coreness import coreness
 from linkgraph.kernels.betweenness import betweenness
@@ -121,7 +128,7 @@ from linkgraph.kernels.graphstats import (
     power_law_alpha,
     rich_club,
 )
-from linkgraph.kernels.truss import ktruss
+from linkgraph.kernels.truss import ktruss, trussness
 from linkgraph.kernels.egonet import ego_net
 from linkgraph.kernels.matching import maximal_matching
 from linkgraph.kernels.msf import minimum_spanning_forest
@@ -181,6 +188,9 @@ __all__ = [
     "knn_curve",
     "resolve_redirects",
     "ktruss",
+    "trussness",
+    "landmark_distances",
+    "estimate_distances",
     "ego_net",
     "maximal_matching",
     "minimum_spanning_forest",

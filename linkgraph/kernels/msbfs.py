@@ -54,10 +54,12 @@ def msbfs(
     max_iter: int = 10_000,
     ckpt: CheckpointManager | None = None,
     compact_every: int = 32,
+    reverse: bool = False,
 ) -> MSBFSResult:
     """(id, source, dist) over all lanes: dist = shortest hop count
     from `source` to `id`; a (vertex, lane) pair appears iff reachable.
-    Sources are deduplicated; each source reaches itself at dist 0."""
+    Sources are deduplicated; each source reaches itself at dist 0.
+    reverse=True walks in-edges (dist = hops from `id` TO `source`)."""
     spark = graph.edges.sparkSession
     t0 = time.time()
 
@@ -121,6 +123,7 @@ def msbfs(
             frontier,
             aggs=[F.count(F.lit(1)).alias("paths")],
             volume=est_volume,
+            reverse=reverse,
             exclude_dst=visited.select("id", "source"),
             info=info,
             group_extra=["source"],
@@ -241,3 +244,82 @@ def closeness_centrality(
             ).alias("closeness"),
         )
     )
+
+
+def landmark_distances(
+    graph: Graph,
+    landmarks: list[int],
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """(id, landmark, d_from long|NULL, d_to long|NULL): the landmark
+    distance-oracle sketch (ALT landmarks, Goldberg & Harrelson
+    SODA'05; sketch-based distance oracles, Das Sarma et al. WSDM'10)
+    — per vertex, its hop distance FROM each landmark (d_from, forward
+    sweep) and TO each landmark (d_to, reverse sweep over in-edges).
+    A (vertex, landmark) row exists iff at least one direction
+    reaches; the absent direction is NULL.
+
+    Two msbfs runs (|L| lanes each in one frontier loop apiece) — the
+    precompute is 2·|L| BFS traversals collapsed into ~2·diameter
+    rounds, and the output is n·|L| int64 rows: the index a 100 TB
+    deployment writes once, partitioned by landmark, and reuses for
+    every point-to-point query (estimate_distances below).
+    """
+    fwd = msbfs(graph, landmarks, max_iter=max_iter).df.select(
+        "id", F.col("source").alias("landmark"), F.col("dist").alias("d_from")
+    )
+    rev = msbfs(graph, landmarks, max_iter=max_iter, reverse=True).df.select(
+        "id", F.col("source").alias("landmark"), F.col("dist").alias("d_to")
+    )
+    return fwd.join(rev, ["id", "landmark"], "full").select(
+        "id", "landmark", "d_from", "d_to"
+    )
+
+
+def estimate_distances(
+    dist_df: DataFrame,
+    pairs: DataFrame,
+) -> DataFrame:
+    """(src, dst, ub long, via long): triangle-inequality upper bound
+    on the directed hop distance src→dst through the landmark index —
+    ub = min_L d_to(src→L) + d_from(L→dst), via = the argmin landmark
+    (ties broken by smaller landmark id, so the answer is
+    deterministic). Pairs neither side of which shares a reaching
+    landmark are absent (no path certificate). Exact whenever a
+    shortest path passes a landmark — in particular when src or dst
+    IS a landmark.
+
+    Scale shape: two equi-joins keyed on the pair endpoints + one
+    struct-min groupBy over ≤ |pairs|·|L| candidate rows — all
+    partial+final combinable; no per-query traversal touches the
+    graph, which is the entire point of the landmark precompute.
+    All values are exact int64 sums of BFS levels.
+    """
+    to_l = dist_df.where(F.col("d_to").isNotNull()).select(
+        F.col("id").alias("src"), "landmark", "d_to"
+    )
+    from_l = dist_df.where(F.col("d_from").isNotNull()).select(
+        F.col("id").alias("dst"), "landmark", "d_from"
+    )
+    cand = (
+        pairs.select("src", "dst")
+        .join(to_l, "src")
+        .join(from_l, ["dst", "landmark"])
+        .select(
+            "src",
+            "dst",
+            (F.col("d_to") + F.col("d_from")).alias("bound"),
+            "landmark",
+        )
+    )
+    best = (
+        cand.groupBy("src", "dst")
+        .agg(F.min(F.struct("bound", "landmark")).alias("m"))
+        .select(
+            "src",
+            "dst",
+            F.col("m.bound").alias("ub"),
+            F.col("m.landmark").alias("via"),
+        )
+    )
+    return best

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph, symmetrize
-from linkgraph.checkpoint import release, sever
+from linkgraph.checkpoint import CheckpointManager, release, sever
 
 
 @dataclass
@@ -149,6 +149,195 @@ def ktruss(graph: Graph, k: int, max_iter: int = 10_000) -> TrussResult:
     return TrussResult(
         df=out,
         iterations=iterations,
+        wall_seconds=time.time() - t0,
+        metrics=metrics,
+    )
+
+
+@dataclass
+class TrussnessResult:
+    df: DataFrame  # (u long, w long, truss long): per-edge truss number
+    iterations: int
+    max_truss: int  # truss degeneracy of the graph
+    wall_seconds: float
+    metrics: list[dict] = field(default_factory=list)
+
+
+def trussness(
+    graph: Graph,
+    max_iter: int = 10_000,
+    ckpt: CheckpointManager | None = None,
+) -> TrussnessResult:
+    """Full truss decomposition — per-edge truss numbers, the edge
+    analog of coreness: truss(e) = the largest k such that e belongs
+    to the k-truss (Cohen 2008; parallel peeling per Julienne's
+    bucketed KTruss, Dhulipala/Blelloch/Shun SPAA'17). The fixed-k
+    `ktruss` kernel answers "which edges are in the k-truss?"; this
+    answers it for EVERY k at once.
+
+    Level-synchronous bucket peeling, coreness.py's loop at edge
+    granularity. Per round:
+      1. recompute residual triangle support (ONE degree-ordered
+         triangle enumeration of the residual graph — _support, the
+         skew-killer orientation);
+      2. advance the level: t = max(t, min support + 2) — exact, not
+         heuristic: a residual graph whose edges all have support
+         >= s is itself an (s+2)-truss, so the level jump cannot
+         overshoot any edge's truss number;
+      3. peel ALL edges with support <= t-2 in one batch at truss
+         number exactly t (each survived complete peeling at level
+         t-1, so it sits in the t-truss; its residual support bars it
+         from the (t+1)-truss). Cascades stay at the same level
+         (max() keeps t pinned while a cascade runs).
+    until no edges remain. Peeling support <= t-2 after phase t-1
+    completed leaves exactly the (t+1)-truss, mirroring coreness's
+    deg <= l / (l+1)-core invariant.
+
+    Consistency contract with the fixed-k kernel (pinned by pytest):
+        ktruss(g, k).df edges == {e : trussness(g).truss(e) >= k}.
+
+    Scale shape per round: the support recompute is the round's real
+    cost (a triangle enumeration of the shrinking residual graph —
+    inherent to truss peeling; the orientation bounds per-vertex wedge
+    work); the peel and the residual are both filter VIEWS over the
+    persisted (u, w, support) frame, so beyond the support table each
+    round adds one severed delta materialization and zero extra
+    shuffles. min-support and edge counts ride the two Observations.
+    No driver-side data beyond per-round scalars.
+
+    With a CheckpointManager, each round persists its peeled DELTA
+    (u, w, truss — O(peeled) rows); resume unions the deltas,
+    re-derives the residual edge list by one anti-join against the
+    assigned pairs, and restores the level from the record. A
+    converged record short-circuits without touching the edge table.
+
+    Call with any graph; edges are symmetrized and canonicalized
+    (u < w) internally, as for ktruss.
+    """
+    t0 = time.time()
+    spark = graph.edges.sparkSession
+    sym0 = symmetrize(graph.edges).where(F.col("src") != F.col("dst"))
+    cur = sever(
+        sym0.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("w")
+        )
+    )
+    assigned: list[DataFrame] = []
+    old_state: list[DataFrame] = [cur]
+    level = 2
+    iterations = 0
+    metrics: list[dict] = []
+    start_rnd = 1
+    if ckpt is not None:
+        done = ckpt.complete_iters()
+        if done:
+            last = done[-1]
+            parts = []
+            rec_last: dict = {}
+            for it_k in done:
+                st, _, rec = ckpt.load(spark, it_k)
+                parts.append(st.select("u", "w", "truss"))
+                if it_k == last:
+                    rec_last = rec
+            prior = parts[0]
+            for p in parts[1:]:
+                prior = prior.union(p)
+            prior = sever(prior)
+            assigned.append(prior)
+            iterations = last
+            level = int(rec_last.get("level", 2))
+            metrics.append(rec_last)
+            if rec_last.get("converged"):
+                start_rnd = max_iter + 1  # skip the loop entirely
+            else:
+                peeled = F.broadcast(prior.select("u", "w"))
+                residual = sever(
+                    cur.join(peeled, ["u", "w"], "left_anti").select("u", "w")
+                )
+                release(cur)
+                old_state = [residual]
+                cur = residual
+                start_rnd = last + 1
+    for rnd in range(start_rnd, max_iter + 1):
+        sup = _support(cur)
+        sobs = Observation(f"trussness_sup_{rnd}")
+        scored = sever(
+            cur.join(sup, ["u", "w"], "left")
+            .select(
+                "u",
+                "w",
+                F.coalesce(F.col("support"), F.lit(0).cast("long")).alias(
+                    "support"
+                ),
+            )
+            .observe(
+                sobs,
+                F.count(F.lit(1)).alias("n_remaining"),
+                F.min("support").alias("min_sup"),
+            )
+        )
+        n_remaining = int(sobs.get["n_remaining"] or 0)
+        if n_remaining == 0:
+            iterations = rnd
+            metrics.append(
+                {"iteration": rnd, "level": level, "peeled": 0,
+                 "remaining": 0, "converged": True,
+                 "wall_s": time.time() - t0}
+            )
+            if ckpt is not None:
+                ckpt.save(
+                    rnd,
+                    scored.select(
+                        "u", "w", F.lit(level).cast("long").alias("truss")
+                    ),
+                    metrics=metrics[-1],
+                )
+            release(scored)
+            break
+        level = max(level, int(sobs.get["min_sup"]) + 2)
+        pobs = Observation(f"trussness_peel_{rnd}")
+        delta = sever(
+            scored.where(F.col("support") <= level - 2)
+            .select("u", "w", F.lit(level).cast("long").alias("truss"))
+            .observe(pobs, F.count(F.lit(1)).alias("peeled"))
+        )
+        n_peeled = int(pobs.get["peeled"] or 0)
+        iterations = rnd
+        rec = {
+            "iteration": rnd,
+            "level": level,
+            "peeled": n_peeled,
+            "remaining": n_remaining - n_peeled,
+            "converged": n_remaining - n_peeled == 0,
+            "wall_s": time.time() - t0,
+        }
+        if ckpt is not None:
+            ckpt.save(rnd, delta, metrics=rec)
+        metrics.append(rec)
+        assigned.append(delta)
+        # residual = filter VIEW over the persisted scored frame — one
+        # lineage hop, no anti-join, no extra shuffle
+        nxt = scored.where(F.col("support") > level - 2).select("u", "w")
+        for d in old_state:
+            release(d)
+        old_state = [scored]
+        cur = nxt
+        if n_remaining - n_peeled == 0:
+            break
+    out = assigned[0] if assigned else spark.createDataFrame(
+        [], "u long, w long, truss long"
+    )
+    for p in assigned[1:]:
+        out = out.union(p)
+    out = sever(out)
+    for p in assigned:
+        release(p)
+    for d in old_state:
+        release(d)
+    return TrussnessResult(
+        df=out,
+        iterations=iterations,
+        max_truss=level,
         wall_seconds=time.time() - t0,
         metrics=metrics,
     )

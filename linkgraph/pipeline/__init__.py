@@ -63,12 +63,13 @@ from linkgraph.pipeline.pii import pii_redact
 from linkgraph.pipeline.embedprop import feature_propagation
 from linkgraph.pipeline.packing import pack_sequences
 from linkgraph.pipeline.sampling import (
+    fold_split,
     group_capped_sample,
     hash_sample,
     stratified_sample,
     weighted_sample,
 )
-from linkgraph.pipeline.urlnorm import canonicalize_urls
+from linkgraph.pipeline.urlnorm import canonicalize_urls, url_filter
 
 __all__ = [
     "exact_dup_groups",
@@ -123,6 +124,8 @@ __all__ = [
     "copy_candidates",
     "pack_sequences",
     "canonicalize_urls",
+    "url_filter",
+    "fold_split",
     "group_capped_sample",
     "kmeans",
     "semantic_dedup",

@@ -122,6 +122,59 @@ def group_capped_sample(
     )
 
 
+def fold_split(
+    docs: DataFrame,
+    folds: dict[str, float],
+    seed: int = 0,
+    id_col: str = "doc_id",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic train/val/test (or any k-way) fold assignment —
+    the split every training-data pipeline needs to be REPRODUCIBLE:
+    re-running the pipeline, adding documents, or changing partition
+    layout must never move an existing document between folds (a val
+    document leaking into train on a re-shard is a silent eval bug).
+
+    Each document's fold is decided by where its seeded md5-prefix id
+    hash (shared with hash_sample) lands among cumulative fraction
+    boundaries over the [0, 2^32) hash space: fold i covers
+    [cum_i * 2^32, cum_{i+1} * 2^32). Fractions must sum to 1 (within
+    1e-9); boundaries are exact int64 literals so the assignment is
+    engine-reproducible bit-for-bit. Folds are disjoint and exhaustive
+    BY CONSTRUCTION — one row in, one (row, fold) out.
+
+    Iteration order of `folds` fixes boundary order (Python dicts
+    preserve insertion order); the same dict always yields the same
+    split. Scale shape: one codegen projection — no shuffle, no state,
+    trivially 100 TB-safe.
+    """
+    if not folds:
+        raise ValueError("folds must be non-empty")
+    total = sum(folds.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fold fractions must sum to 1, got {total}")
+    for name, frac in folds.items():
+        if frac <= 0.0:
+            raise ValueError(f"fold {name!r} must have positive fraction")
+    key = F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(F.encode(key, "utf-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    names = list(folds)
+    # exact int64 boundaries; the last fold absorbs the rounding tail
+    # so the cover of [0, 2^32) is exhaustive regardless of float error.
+    bounds: list[int] = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += folds[name]
+        bounds.append(int(cum * HASH_SPACE))
+    # ascending CASE chain: the first (smallest) matching boundary wins
+    expr = F.lit(names[-1])
+    for name, b in reversed(list(zip(names[:-1], bounds))):
+        expr = F.when(h < F.lit(b), F.lit(name)).otherwise(expr)
+    return docs.withColumn(fold_col, expr)
+
+
 def weighted_sample(
     docs: DataFrame,
     weight_col: str,

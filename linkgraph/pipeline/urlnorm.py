@@ -80,3 +80,89 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         ).otherwise(F.lit("")).alias("host"),
         is_valid.alias("is_valid"),
     )
+
+
+def url_filter(
+    df: DataFrame,
+    blocked_domains: DataFrame | list[str],
+    blocked_keywords: list[str] | None = None,
+    max_kw_hits: int = 0,
+    url_col: str = "url",
+) -> DataFrame:
+    """URL-level corpus filtering (RefinedWeb §3.1 / C4-style): drop
+    documents whose url is on a domain blocklist or whose url contains
+    too many blocked keywords — the cheap pre-fetch screen that runs
+    before any content-based quality op.
+
+    Domain rule: the host (lowercased, port-stripped, via the same
+    extraction as canonicalize_urls) is blocked iff the host itself OR
+    ANY of its dot-suffixes equals a blocklist entry — i.e.
+    `ads.example.com` is blocked by `example.com`. Suffixes are
+    enumerated per host (≤ label-count rows, hosts have a handful of
+    labels) and matched by an EQUI-join against the blocklist, which a
+    100 TB run broadcasts (real blocklists are MBs): no regex scan of
+    the list, no cartesian. Matching a suffix — not substring — means
+    `notexample.com` is NOT blocked by `example.com`.
+
+    Keyword rule: `kw_hits` counts total occurrences of the blocked
+    keywords in the lowercased url via exact substring arithmetic
+    ((len(u) - len(replace(u, kw))) / len(kw)) — no regex, so Spark,
+    DuckDB, and Python agree byte-for-byte. A row is kept iff its host
+    is not blocked AND kw_hits <= max_kw_hits.
+
+    Returns (<url_col>, host, blocked_domain string|NULL, kw_hits
+    long, keep boolean) — annotation, not deletion, so callers can
+    audit before filtering (`.where("keep")` to apply).
+    """
+    spark = df.sparkSession
+    if isinstance(blocked_domains, list):
+        blocked_domains = spark.createDataFrame(
+            [(d.lower(),) for d in blocked_domains], "domain string"
+        )
+    bl = blocked_domains.select(F.lower(F.col("domain")).alias("domain")).distinct()
+
+    u = F.col(url_col)
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    hostport = F.lower(F.regexp_extract(no_frag, _HOSTPORT_RE, 1))
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+
+    lowered = F.lower(u)
+    kw_hits = F.lit(0).cast("long")
+    for kw in blocked_keywords or []:
+        k = kw.lower()
+        kw_hits = kw_hits + (
+            (F.length(lowered) - F.length(F.replace(lowered, F.lit(k))))
+            / F.lit(len(k))
+        ).cast("long")
+
+    base = df.select(url_col, host.alias("host"), kw_hits.alias("kw_hits"))
+    # all dot-suffixes of the host: labels[i:] joined by '.' — bounded
+    # by the label count, generated in one codegen projection.
+    labels = F.split(F.col("host"), r"\.")
+    suffixes = base.select(
+        url_col,
+        F.explode(
+            F.transform(
+                labels,
+                lambda _, i: F.array_join(F.slice(labels, i + 1, F.size(labels)), "."),
+            )
+        ).alias("suffix"),
+    )
+    hit = (
+        suffixes.join(
+            F.broadcast(bl), suffixes["suffix"] == bl["domain"], "inner"
+        )
+        .groupBy(url_col)
+        .agg(F.min("domain").alias("blocked_domain"))
+    )
+    out = base.join(hit, url_col, "left")
+    return out.select(
+        url_col,
+        "host",
+        "blocked_domain",
+        "kw_hits",
+        (
+            F.col("blocked_domain").isNull()
+            & (F.col("kw_hits") <= F.lit(int(max_kw_hits)))
+        ).alias("keep"),
+    )

@@ -1129,3 +1129,48 @@ def node2vec_replay(
                         break
                 rows.add((s, r, t, v))
     return rows
+
+
+def trussness_py(src: np.ndarray, dst: np.ndarray) -> dict[tuple[int, int], int]:
+    """{(u, w): truss number} via SEQUENTIAL min-support peeling over
+    the given (assumed symmetric) edge list, canonical u < w — the
+    textbook serial edge-peeling the parallel bucket kernel must agree
+    with exactly (Cohen 2008; any valid peel order yields the same
+    truss numbers)."""
+    edges = {
+        (min(s, d), max(s, d))
+        for s, d in zip(src.tolist(), dst.tolist())
+        if s != d
+    }
+    t = 2
+    truss: dict[tuple[int, int], int] = {}
+    adj: dict[int, set[int]] = {}
+    for u, w in edges:
+        adj.setdefault(u, set()).add(w)
+        adj.setdefault(w, set()).add(u)
+    while edges:
+        sup = {(u, w): len(adj[u] & adj[w]) for u, w in edges}
+        e = min(edges, key=lambda x: (sup[x], x))
+        t = max(t, sup[e] + 2)
+        truss[e] = t
+        edges.remove(e)
+        adj[e[0]].discard(e[1])
+        adj[e[1]].discard(e[0])
+    return truss
+
+
+def bfs_dists_py(
+    adj: dict[int, list[int]], source: int
+) -> dict[int, int]:
+    """Hop distances from `source` over the given adjacency dict."""
+    from collections import deque
+
+    dist = {source: 0}
+    q = deque([source])
+    while q:
+        v = q.popleft()
+        for nb in adj.get(v, ()):
+            if nb not in dist:
+                dist[nb] = dist[v] + 1
+                q.append(nb)
+    return dist

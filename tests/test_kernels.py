@@ -2481,3 +2481,159 @@ def test_kclique_count_matches_bruteforce(rmat_graph, spark):
     with _pytest.raises(ValueError):
         kclique_count(g5, 7)
     g5.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# trussness (full truss decomposition)
+# ---------------------------------------------------------------------------
+
+
+def test_trussness_matches_sequential_peeling(rmat_graph):
+    """Parallel bucket peeling must equal the textbook sequential
+    min-support edge peeling edge-for-edge, and max_truss must be the
+    max truss number."""
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import trussness
+    from tests.oracles import trussness_py
+
+    g, pdf, n = rmat_graph
+    res = trussness(g)
+    got = {(r["u"], r["w"]): r["truss"] for r in res.df.collect()}
+    sym = symmetrize(
+        g.edges.sparkSession.createDataFrame(pdf, "src long, dst long")
+    ).toPandas()
+    assert got == trussness_py(sym["src"].to_numpy(), sym["dst"].to_numpy())
+    assert res.max_truss == max(got.values())
+
+
+def test_trussness_consistent_with_fixed_k_kernel(rmat_graph):
+    """Contract: ktruss(g, k) edge set == {e : trussness(g) >= k}."""
+    from linkgraph.kernels import ktruss, trussness
+
+    g, pdf, n = rmat_graph
+    tr = {(r["u"], r["w"]): r["truss"] for r in trussness(g).df.collect()}
+    for k in (3, 4):
+        want = {e for e, t in tr.items() if t >= k}
+        assert {
+            (r["u"], r["w"]) for r in ktruss(g, k).df.collect()
+        } == want
+
+
+def test_trussness_k4_with_pendant_triangle(spark):
+    """K4 edges have truss 4; the pendant triangle's edges truss 3."""
+    from linkgraph.kernels import trussness
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tri = [(3, 4), (3, 5), (4, 5)]
+    g = _graph(spark, pd.DataFrame(k4 + tri, columns=["src", "dst"]), 6)
+    res = trussness(g)
+    got = {(r["u"], r["w"]): r["truss"] for r in res.df.collect()}
+    assert got == {**{e: 4 for e in k4}, **{e: 3 for e in tri}}
+    assert res.max_truss == 4
+    g.unpersist()
+
+
+def test_trussness_path_all_two(spark):
+    """A triangle-free graph: every edge has truss exactly 2."""
+    from linkgraph.kernels import trussness
+
+    g = _graph(spark, path_graph_edges(), 4)
+    got = {(r["u"], r["w"]): r["truss"] for r in trussness(g).df.collect()}
+    assert got == {(0, 1): 2, (1, 2): 2, (2, 3): 2}
+    g.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# landmark distance oracle
+# ---------------------------------------------------------------------------
+
+
+def _adj_from_pdf(pdf: pd.DataFrame, reverse: bool = False):
+    adj: dict[int, list[int]] = {}
+    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        if reverse:
+            s, d = d, s
+        adj.setdefault(s, []).append(d)
+    return adj
+
+
+def test_landmark_distances_match_bfs_replay(rmat_graph):
+    """d_from / d_to must equal per-landmark forward / reverse BFS."""
+    from linkgraph.kernels import landmark_distances
+    from tests.oracles import bfs_dists_py
+
+    g, pdf, n = rmat_graph
+    landmarks = [0, 5, 9]
+    rows = landmark_distances(g, landmarks).collect()
+    fwd_adj = _adj_from_pdf(pdf)
+    rev_adj = _adj_from_pdf(pdf, reverse=True)
+    expected: dict[tuple[int, int], list] = {}
+    for lm in landmarks:
+        for v, d in bfs_dists_py(fwd_adj, lm).items():
+            expected.setdefault((v, lm), [None, None])[0] = d
+        for v, d in bfs_dists_py(rev_adj, lm).items():
+            expected.setdefault((v, lm), [None, None])[1] = d
+    got = {
+        (r["id"], r["landmark"]): [r["d_from"], r["d_to"]] for r in rows
+    }
+    assert got == expected
+
+
+def test_estimate_distances_path_exact_and_tiebreak(spark):
+    """On 0→1→2→3: bounds through landmarks are exact path distances;
+    equal bounds resolve to the smaller landmark id; pairs with no
+    landmark certificate are absent."""
+    from linkgraph.kernels import estimate_distances, landmark_distances
+
+    g = _graph(spark, path_graph_edges(), 4)
+    idx = landmark_distances(g, [1, 2])
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 0), (0, 2)], "src long, dst long"
+    )
+    got = {
+        (r["src"], r["dst"]): (r["ub"], r["via"])
+        for r in estimate_distances(idx, pairs).collect()
+    }
+    # (0,3): via 1 → 1+2 = 3; via 2 → 2+1 = 3; tie → landmark 1
+    # (0,2): via 1 → 1+1 = 2; via 2 → 2+0 = 2; tie → landmark 1
+    # (3,0): 3 reaches no landmark → absent
+    assert got == {(0, 3): (3, 1), (0, 2): (2, 1)}
+    g.unpersist()
+
+
+def test_estimate_distances_upper_bound_property(rmat_graph):
+    """Every published bound must be >= the true directed distance and
+    equal to the best landmark relay in the replay."""
+    from linkgraph.kernels import estimate_distances, landmark_distances
+    from tests.oracles import bfs_dists_py
+
+    g, pdf, n = rmat_graph
+    landmarks = [0, 7]
+    idx = landmark_distances(g, landmarks)
+    srcs = [1, 2, 3]
+    dsts = [4, 8, 12]
+    pairs = g.edges.sparkSession.createDataFrame(
+        [(s, t) for s in srcs for t in dsts], "src long, dst long"
+    )
+    got = {
+        (r["src"], r["dst"]): (r["ub"], r["via"])
+        for r in estimate_distances(idx, pairs).collect()
+    }
+    fwd_adj = _adj_from_pdf(pdf)
+    rev_adj = _adj_from_pdf(pdf, reverse=True)
+    d_from = {lm: bfs_dists_py(fwd_adj, lm) for lm in landmarks}
+    d_to = {lm: bfs_dists_py(rev_adj, lm) for lm in landmarks}
+    for s in srcs:
+        true_d = bfs_dists_py(fwd_adj, s)
+        for t in dsts:
+            cands = [
+                (d_to[lm][s] + d_from[lm][t], lm)
+                for lm in landmarks
+                if s in d_to[lm] and t in d_from[lm]
+            ]
+            if not cands:
+                assert (s, t) not in got
+                continue
+            assert got[(s, t)] == min(cands)
+            if t in true_d:
+                assert got[(s, t)][0] >= true_d[t]

@@ -2541,3 +2541,125 @@ def test_skipgram_pairs_matches_replay(spark):
     assert got2 == {p for p, c in want1.items() if c >= 2}
     with _pytest.raises(ValueError):
         skipgram_pairs(df, window=0)
+
+
+# ---------------------------------------------------------------------------
+# fold_split
+# ---------------------------------------------------------------------------
+
+
+def _h32(seed: int, doc_id) -> int:
+    return int(
+        hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16
+    )
+
+
+def test_fold_split_matches_hashlib_replay(spark):
+    """Fold assignment must equal the boundary arithmetic replayed with
+    hashlib, be exhaustive, and be stable under repartitioning."""
+    from linkgraph.pipeline import fold_split
+
+    ids = list(range(500))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    folds = {"train": 0.8, "val": 0.1, "test": 0.1}
+    seed = 7
+    out = fold_split(docs, folds, seed=seed)
+    got = {r["doc_id"]: r["fold"] for r in out.collect()}
+    b_train = int(0.8 * (1 << 32))
+    b_val = int(0.9 * (1 << 32))
+    for i in ids:
+        h = _h32(seed, i)
+        want = "train" if h < b_train else ("val" if h < b_val else "test")
+        assert got[i] == want, i
+    assert len(got) == len(ids)  # exhaustive: one fold per row
+    # layout-independence
+    got8 = {
+        r["doc_id"]: r["fold"]
+        for r in fold_split(docs.repartition(8), folds, seed=seed).collect()
+    }
+    assert got8 == got
+    # seed sensitivity: a different seed moves at least one document
+    got_s = {
+        r["doc_id"]: r["fold"] for r in fold_split(docs, folds, seed=8).collect()
+    }
+    assert got_s != got
+
+
+def test_fold_split_validates_fractions(spark):
+    from linkgraph.pipeline import fold_split
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        fold_split(docs, {"a": 0.5, "b": 0.4})  # sums to 0.9
+    with pytest.raises(ValueError):
+        fold_split(docs, {})
+    with pytest.raises(ValueError):
+        fold_split(docs, {"a": 1.5, "b": -0.5})
+
+
+# ---------------------------------------------------------------------------
+# url_filter
+# ---------------------------------------------------------------------------
+
+
+def test_url_filter_domain_and_keyword_rules(spark):
+    """Blocklist matches host dot-suffixes only (never substrings);
+    kw_hits counts exact substring occurrences; keep combines both."""
+    from linkgraph.pipeline import url_filter
+
+    urls = [
+        "http://ads.example.com/x",        # subdomain of blocked
+        "https://example.com/",            # exact blocked
+        "https://notexample.com/page",     # NOT blocked (substring only)
+        "http://good.org/casino/poker",    # 2 keyword hits
+        "http://good.org/CASINO",          # case-insensitive hit
+        "plain-text-not-a-url",            # invalid: host '', kept
+        "https://ok.net:8080/a?x=1",       # port stripped from host
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = url_filter(
+        df,
+        blocked_domains=["example.com", "bad.org"],
+        blocked_keywords=["casino", "poker"],
+        max_kw_hits=1,
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["http://ads.example.com/x"]["blocked_domain"] == "example.com"
+    assert not rows["http://ads.example.com/x"]["keep"]
+    assert rows["https://example.com/"]["blocked_domain"] == "example.com"
+    assert rows["https://notexample.com/page"]["blocked_domain"] is None
+    assert rows["https://notexample.com/page"]["keep"]
+    r = rows["http://good.org/casino/poker"]
+    assert r["blocked_domain"] is None and r["kw_hits"] == 2 and not r["keep"]
+    r = rows["http://good.org/CASINO"]
+    assert r["kw_hits"] == 1 and r["keep"]  # <= max_kw_hits
+    r = rows["plain-text-not-a-url"]
+    assert r["host"] == "" and r["blocked_domain"] is None and r["keep"]
+    assert rows["https://ok.net:8080/a?x=1"]["host"] == "ok.net"
+
+
+def test_url_filter_matches_python_replay(spark):
+    """Full-row replay: suffix blocking + substring counting in pure
+    Python over a deterministic url set."""
+    from linkgraph.pipeline import url_filter
+
+    blocked = ["spam.example", "tracker.io"]
+    kws = ["win", "free"]
+    urls = [
+        f"http://h{i % 5}.{'spam.example' if i % 3 == 0 else 'site.org'}"
+        f"/p{i}{'?win=free' if i % 4 == 0 else ''}"
+        for i in range(60)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: (r["blocked_domain"], r["kw_hits"], r["keep"])
+        for r in url_filter(df, blocked, kws, max_kw_hits=0).collect()
+    }
+    for u in urls:
+        host = u.split("://")[1].split("/")[0].lower()
+        labels = host.split(".")
+        sufs = {".".join(labels[i:]) for i in range(len(labels))}
+        bd = min((b for b in blocked if b in sufs), default=None)
+        lo = u.lower()
+        hits = sum(lo.count(k) for k in kws)
+        assert got[u] == (bd, hits, bd is None and hits == 0), u
