@@ -1966,6 +1966,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return res.df.orderBy(F.desc("rank"), F.asc("id")).limit(100)
 
 
+def q_louvain_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain local-move phase (kernels/louvain.louvain_moves):
+    3 fixed synchronous rounds of exact-integer modularity-ascent
+    moves on the symmetrized cust→supp graph under the parity batch
+    schedule (round r moves ids with id % 2 == r % 2) — the unrolled
+    oracle replays the move arithmetic; the default coloring schedule
+    and its convergence are pinned by pytest replay instead. All
+    int64 — hash-exact, no rounding."""
+    from linkgraph.kernels import louvain_moves
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    res = louvain_moves(g, max_iter=3, schedule="parity")
+    return res.df.select("id", "comm")
+
+
 def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full truss decomposition of the part-succession graph
     (kernels/truss.trussness): (u, w, truss) for every symmetrized
@@ -2099,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "coreness": q_coreness,
         "trussness": q_trussness,
+        "louvain_k": q_louvain_k,
         "landmark_est": q_landmark_est,
         "fold_split": q_fold_split,
         "url_filter": q_url_filter,
@@ -6112,6 +6128,61 @@ FROM {prev}
     return sql
 
 
+def _louvain_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous modularity-ascent moves on the symmetrized
+    cust→supp graph under the parity schedule (kernels/louvain.py).
+    Per round: community degree totals, per-(vertex, neighbor-comm)
+    edge counts ∪ a zero own-community candidate, the exact integer
+    score M2·kvc − k·(tot − [own]·k) for this round's parity class,
+    the (score DESC, comm ASC) winner via ROW_NUMBER, and the
+    strictly-better-than-staying move gate. All BIGINT arithmetic —
+    the argmax is engine-identical with no tolerance."""
+    sql = f"""WITH {_SYM_CUST_SUPP},
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS k FROM sym GROUP BY src),
+mm AS (SELECT COUNT(*) AS m2 FROM sym),
+s0 AS MATERIALIZED (SELECT id, id AS comm FROM deg)"""
+    for r in range(rounds):
+        p, q = r, r + 1
+        sql += f""",
+tot{q} AS MATERIALIZED (
+  SELECT s.comm, SUM(d.k) AS tot FROM s{p} s JOIN deg d USING (id) GROUP BY s.comm
+),
+cand{q} AS MATERIALIZED (
+  SELECT src, ncomm, MAX(kvc) AS kvc FROM (
+    SELECT e.src, s.comm AS ncomm, COUNT(*) AS kvc
+    FROM sym e JOIN s{p} s ON e.dst = s.id GROUP BY e.src, s.comm
+    UNION ALL
+    SELECT id AS src, comm AS ncomm, CAST(0 AS BIGINT) FROM s{p}
+  ) GROUP BY src, ncomm
+),
+sc{q} AS MATERIALIZED (
+  SELECT c.src, c.ncomm, s.comm,
+         (SELECT m2 FROM mm) * c.kvc
+           - d.k * (t.tot - CASE WHEN c.ncomm = s.comm THEN d.k ELSE 0 END) AS score
+  FROM cand{q} c
+  JOIN tot{q} t ON c.ncomm = t.comm
+  JOIN s{p} s ON c.src = s.id
+  JOIN deg d ON c.src = d.id
+  WHERE c.src % 2 = {r % 2}
+),
+win{q} AS MATERIALIZED (
+  SELECT b.src, b.bc, b.bs, t.ss FROM (
+    SELECT src, ncomm AS bc, score AS bs,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, ncomm ASC) AS rn
+    FROM sc{q}
+  ) b JOIN (
+    SELECT src, MAX(CASE WHEN ncomm = comm THEN score END) AS ss FROM sc{q} GROUP BY src
+  ) t ON b.src = t.src
+  WHERE b.rn = 1
+),
+s{q} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN w.src IS NOT NULL AND w.bs > w.ss THEN w.bc ELSE s.comm END AS comm
+  FROM s{p} s LEFT JOIN win{q} w ON s.id = w.src
+)"""
+    return sql + f"\nSELECT id, comm FROM s{rounds}\n"
+
+
 def _trussness_sql(rounds: int = 8) -> str:
     """Unrolled level-synchronous edge peeling on the canonical
     symmetrized part-succession edge list (kernels/truss.trussness).
@@ -6315,6 +6386,7 @@ FROM documents GROUP BY md5(text)
         "kcore": _kcore_sql(20, rounds=4),
         "coreness": _coreness_sql(rounds=24),
         "trussness": _trussness_sql(rounds=8),
+        "louvain_k": _louvain_sql(rounds=3),
         "landmark_est": _landmark_sql(max_level=30),
         "fold_split": _fold_split_sql(seed=7),
         "url_filter": _URL_FILTER_SQL,

@@ -38,7 +38,7 @@ def main(argv: list[str]) -> int:
             "matching", "msf", "jaccard", "butterflies", "pagerank_w", "coreness",
             "degrees", "alpha", "knn", "spam", "sweep", "closeness",
             "redirects", "diameter", "node2vec", "richclub", "assort", "rwsample",
-            "kclique", "trussness", "landmarks",
+            "kclique", "trussness", "landmarks", "louvain",
         ],
     )
     ap.add_argument("--ckpt", help="checkpoint root for resumable runs")
@@ -360,6 +360,20 @@ def main(argv: list[str]) -> int:
             "components": out.count(),
             "dag_depth": res.depth,
             "rounds": res.rounds,
+        }
+    elif args.kernel == "louvain":
+        res = kernels.louvain_moves(graph, max_iter=args.max_iter, ckpt=ckpt)
+        out = res.df.orderBy("id")
+        qrow = kernels.modularity(
+            graph, res.df.select("id", F.col("comm").alias("label"))
+        ).first()
+        summary = {
+            "kernel": "louvain",
+            "rounds": res.iterations,
+            "converged": bool(res.metrics and res.metrics[-1]["converged"]),
+            "moves": [m["moves"] for m in res.metrics],
+            "communities": qrow["communities"],
+            "q": qrow["q"],
         }
     elif args.kernel == "modularity":
         lp = kernels.label_propagation(graph, max_iter=args.max_iter, ckpt=ckpt)

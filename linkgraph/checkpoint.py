@@ -162,7 +162,25 @@ def sever(df: DataFrame) -> DataFrame:
     """Cut lineage after each iteration (SURVEY hard-part #1: the
     iterative-join plan otherwise doubles per round). localCheckpoint
     materializes to executor-local storage — cheap, no HDFS round trip;
-    durable resume is the CheckpointManager's job, not this one's."""
+    durable resume is the CheckpointManager's job, not this one's.
+
+    NARROW-DIAMOND CAVEAT (measured, Spark 4.1): a loop of the form
+    `state = sever(state ⋈ f(state))` stays flat across rounds ONLY
+    when, at every JOIN in the round's plan, at most ONE input path
+    from the checkpointed state is un-aggregated. Two state-derived
+    paths meeting in a join with no intervening aggregation (e.g. a
+    pure projection of the state joined back against another
+    projection of it) make the localCheckpoint call itself compound
+    ~2.6× per round: 0.14 s → 168 s by round 25 on a 64-row state,
+    with the analyzed/optimized/physical plans ALL constant-size —
+    the blowup is inside the checkpoint's RDD machinery, not
+    Catalyst. An Exchange alone (repartition) does NOT reset the
+    path; a groupBy aggregation does — when a branch must re-read
+    per-row state, wrap it in an identity groupBy on its key.
+    pagerank's loop is naturally immune because its only derived
+    branch passes the gather aggregation; louvain needed an explicit
+    identity-aggregate (kernels/louvain.py `vstate`). Pinned by
+    tests/test_plans.py::test_sever_loop_stays_flat."""
     return df.localCheckpoint(eager=True)
 
 

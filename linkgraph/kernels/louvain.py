@@ -1,0 +1,297 @@
+"""Louvain local-move phase — synchronous modularity-ascent label
+moves (Blondel, Guillaume, Lambiotte & Lefebvre 2008 §2; the
+parallel-synchronous variant per Staudt & Meyerhenke's PLM, TPDS'16).
+labelprop spreads labels by frequency; this kernel moves each vertex
+to the neighboring community with the LARGEST modularity gain, i.e.
+it optimizes the objective kernels/modularity.py measures. One level
+only (no coarsening): the local-move phase is where virtually all of
+Louvain's modularity is gained, and its output feeds modularity() /
+conductance() / community_stats() directly.
+
+Update rule, synchronous rounds over the symmetrized self-loop-free
+graph with unit weights (k_v = undirected degree, M2 = Σ k_v = 2m):
+
+    candidate communities of v = {comm(u) : u ~ v} ∪ {comm(v)}
+    score(v→c) = M2·k_{v,c} − k_v·(Σ_tot(c) − [comm(v)=c]·k_v)
+    best = argmax score, ties → smaller community id
+    new comm(v) = best iff score(best) > score(v→comm(v)), else stay
+    (the sequential-Louvain strictly-positive-gain gate: equal-gain
+    churn never moves anything)
+
+which is the standard ΔQ(v→c) = k_{v,c}/m − k_v·Σ_tot(c∖v)/(2m²)
+scaled by the positive constant 2m² — the argmax is identical, and
+every term is EXACT int64 arithmetic: the winner is engine- and
+partition-layout-independent with no float tolerance anywhere (the
+repo-wide determinism contract). Overflow bound: M2·k_{v,c} ≤ 2m·k_max
+needs 2m·k_max < 2^63 — safe to m ~ 10^12 edges with 10^6-degree hubs.
+Because score(v→comm(v)) is always a candidate and argmax is >=-based
+with the tie rule, an isolated-in-place vertex keeps its community.
+
+SCHEDULING (the part sequential Louvain gets for free): fully-
+synchronous moves can oscillate — MEASURED on the bipartite sf0.01
+cust→supp graph: schedule="all" moves ALL 1600 vertices EVERY round
+forever (both sides swap in lockstep, the known parallel-Louvain
+pathology), and schedule="parity" (vertices with id % 2 == r % 2
+eligible on round r) still churns 550-770 of 1600 indefinitely —
+parity is not a proper coloring, so adjacent same-parity vertices
+keep invalidating each other's gains. The default
+schedule="coloring" is the color-class batching of Lu, Halappanavar
+& Kalyanaraman (Parallel Computing 2015): a proper coloring from the
+MIS-layered coloring kernel partitions vertices into independent
+sets; round r moves only color class r % n_colors, so no two
+ADJACENT vertices ever move together and every accepted gain is
+evaluated against its neighbors' settled communities. MEASURED:
+cust→supp converges (a dense quasi-random bipartite graph correctly
+collapses toward the no-structure answer), and a planted 4-block
+partition graph is recovered exactly (4/4 pure blocks, Q = 0.674,
+28 rounds, 9 colors — pinned in pytest). Not a termination PROOF
+(color classes still interact through Σ_tot), so the kernel runs at
+most max_iter rounds, reports per-round move counts, and stops when
+a full quiet color cycle (n_colors consecutive zero-move rounds)
+certifies the fixpoint. The driver row pins schedule="parity" at a
+FIXED round count — the unrolled oracle checks the exact integer
+move arithmetic; the coloring composition is pinned by the pytest
+replay instead (its oracle would otherwise embed the whole coloring
+oracle as a prefix).
+
+Spark shape per round: ONE m-row join (edges ⋈ state on dst — the
+labelprop scatter) + a (src, comm)-keyed partial+final count, two
+small joins against the community-total and per-vertex tables, and a
+max_by hash aggregate for the winner (no Window). The move count
+rides the severing job's Observation — one job per round. Uniform
+CheckpointManager lifecycle: (id, comm) durable per round; resume
+continues from the last complete round; a moves==0 record
+short-circuits.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from linkgraph.build import Graph, symmetrize
+from linkgraph.checkpoint import CheckpointManager, release, sever
+from linkgraph.session import conf_override
+
+
+@dataclass
+class LouvainResult:
+    df: DataFrame  # (id long, comm long)
+    iterations: int
+    wall_seconds: float
+    metrics: list[dict] = field(default_factory=list)
+
+
+def louvain_moves(
+    graph: Graph,
+    max_iter: int = 60,
+    schedule: str = "coloring",
+    ckpt: CheckpointManager | None = None,
+) -> LouvainResult:
+    if schedule not in ("coloring", "parity", "all"):
+        raise ValueError(
+            f"schedule must be 'coloring', 'parity' or 'all', got {schedule!r}"
+        )
+    t0 = time.time()
+    spark = graph.edges.sparkSession
+    sym = sever(
+        symmetrize(graph.edges).where(F.col("src") != F.col("dst"))
+    )
+    colors = None
+    if schedule == "coloring":
+        from linkgraph.build import build_graph_from_edges
+        from linkgraph.kernels.coloring import coloring
+
+        # the coloring kernel wants an undirected (symmetrized) graph;
+        # gs derives its own vertex set so unpersisting it cannot touch
+        # the caller's graph.vertices
+        gs = build_graph_from_edges(sym, assume_deduped=True)
+        cres = coloring(gs)
+        colors = sever(
+            cres.df.select(F.col("id").alias("src"), "color")
+        )
+        n_colors = int(cres.colors_used)
+        gs.unpersist()
+    else:
+        n_colors = 2 if schedule == "parity" else 1
+    # undirected degree = out-degree of the symmetrized encoding
+    k = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    m2 = sym.count()  # Σ k_v = 2m, exact int64
+
+    state = None
+    start_iter = 0
+    if ckpt is not None:
+        last = ckpt.last_complete()
+        if last is not None:
+            loaded, _, rec = ckpt.load(spark, last)
+            state = sever(loaded)
+            start_iter = last + 1
+            if rec.get("converged"):
+                release(sym)
+                return LouvainResult(state, last + 1, 0.0, [rec])
+    if state is None:
+        state = sever(graph.vertices.select("id", F.col("id").alias("comm")))
+
+    prev_ckpt = state
+    iterations = start_iter
+    metrics: list[dict] = []
+    with conf_override(spark, {"spark.sql.adaptive.enabled": "false"}):
+        for it in range(start_iter, max_iter):
+            it_t0 = time.time()
+            # HARD-WON RULE (measured, see the sever() docstring and
+            # tests/test_plans.py::test_sever_loop_stays_flat): at
+            # every join, at most ONE input path from the checkpointed
+            # state may be un-aggregated, else the localCheckpoint
+            # compounds ~2.6× per round (0.4 s → 280 s by round 24 on
+            # a 64-vertex graph). Here the single un-aggregated path
+            # is `rest`'s anti-join probe; every other branch passes a
+            # groupBy. The shared hash repartition is a plan choice
+            # (one Exchange feeding all branches), not the fix.
+            state_sh = state.repartition("id")
+            tot = (
+                state_sh.join(k, "id")
+                .groupBy("comm")
+                .agg(F.sum("k").alias("tot"))
+                .select(F.col("comm").alias("ncomm"), "tot")
+            )
+            kvc = (
+                sym.join(
+                    state_sh.select(
+                        F.col("id").alias("dst"), F.col("comm").alias("ncomm")
+                    ),
+                    "dst",
+                )
+                .groupBy("src", "ncomm")
+                .agg(F.count(F.lit(1)).alias("kvc"))
+            )
+            own = state_sh.select(
+                F.col("id").alias("src"),
+                F.col("comm").alias("ncomm"),
+                F.lit(0).cast("long").alias("kvc"),
+            )
+            cand = (
+                kvc.unionByName(own)
+                .groupBy("src", "ncomm")
+                .agg(F.max("kvc").alias("kvc"))
+            )
+            # only this round's batch is eligible to move — pruned
+            # BEFORE any scoring work happens
+            if schedule == "coloring":
+                cand = cand.join(
+                    F.broadcast(
+                        colors.where(F.col("color") == F.lit(it % n_colors))
+                        .select("src")
+                    ),
+                    "src",
+                    "semi",
+                )
+            elif schedule == "parity":
+                cand = cand.where(F.col("src") % 2 == F.lit(it % 2))
+            # aggregated per-vertex (comm, k) view: the identity
+            # groupBy is load-bearing — see the sever() narrow-diamond
+            # rule; without it this is a second un-aggregated state
+            # path meeting cand/tot in one join tree and the
+            # localCheckpoint compounds geometrically
+            vstate = (
+                state_sh.join(k, "id")
+                .groupBy(F.col("id").alias("src"))
+                .agg(F.max("comm").alias("comm"), F.max("k").alias("k"))
+            )
+            scored = (
+                cand.join(tot, "ncomm")
+                .join(vstate, "src")
+                .select(
+                    "src",
+                    "ncomm",
+                    "comm",
+                    (
+                        F.lit(int(m2)) * F.col("kvc")
+                        - F.col("k")
+                        * (
+                            F.col("tot")
+                            - F.when(
+                                F.col("ncomm") == F.col("comm"), F.col("k")
+                            ).otherwise(F.lit(0).cast("long"))
+                        )
+                    ).alias("score"),
+                )
+            )
+            winners = (
+                scored.groupBy("src")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("score"),
+                            F.negate(F.col("ncomm")).alias("nc"),
+                        )
+                    ).alias("m"),
+                    F.max(
+                        F.when(
+                            F.col("ncomm") == F.col("comm"), F.col("score")
+                        )
+                    ).alias("stay"),
+                    F.max("comm").alias("_old"),  # constant per src
+                )
+                .select(
+                    F.col("src").alias("id"),
+                    F.when(
+                        F.col("m.score") > F.col("stay"),
+                        F.negate(F.col("m.nc")),
+                    ).otherwise(F.col("_old")).alias("comm"),
+                    "_old",
+                )
+            )
+            # apply WITHOUT a narrow state reference (the sever()
+            # narrow-diamond rule): decided rows ∪ everyone else via an
+            # anti-join against the decided ids — the fallback covers
+            # ineligible batches AND eligible vertices with no incident
+            # edges, both of which keep their community
+            rest = state_sh.join(
+                winners.select("id"), "id", "left_anti"
+            ).select("id", "comm", F.col("comm").alias("_old"))
+            nxt = winners.unionByName(rest)
+            obs = Observation("louvain_iter")
+            new_state = sever(
+                nxt.observe(
+                    obs,
+                    F.sum(
+                        (F.col("comm") != F.col("_old")).cast("long")
+                    ).alias("moves"),
+                ).select("id", "comm")
+            )
+            moves = int(obs.get["moves"] or 0)
+            release(prev_ckpt)
+            prev_ckpt = new_state
+            state = new_state
+            iterations = it + 1
+            # each batch is visited once per n_colors rounds, so the
+            # fixpoint certificate is one quiet FULL color cycle
+            tail = [m["moves"] for m in metrics[-(n_colors - 1):]] if n_colors > 1 else []
+            converged = moves == 0 and len(tail) == n_colors - 1 and all(
+                m == 0 for m in tail
+            )
+            rec = {
+                "iteration": it,
+                "moves": moves,
+                "converged": converged,
+                "wall_s": time.time() - it_t0,
+            }
+            metrics.append(rec)
+            if ckpt is not None:
+                ckpt.save(it, state, metrics=rec)
+            if converged:
+                break
+    release(sym)
+    if colors is not None:
+        release(colors)
+    return LouvainResult(
+        df=state,
+        iterations=iterations,
+        wall_seconds=time.time() - t0,
+        metrics=metrics,
+    )

@@ -1174,3 +1174,57 @@ def bfs_dists_py(
                 dist[nb] = dist[v] + 1
                 q.append(nb)
     return dist
+
+
+def louvain_moves_py(
+    src: np.ndarray,
+    dst: np.ndarray,
+    batch_of: dict[int, int],
+    n_batches: int,
+    max_iter: int,
+) -> dict[int, int]:
+    """{id: community} after synchronous batched modularity-ascent
+    moves — mirrors kernels/louvain.py move-for-move: candidates =
+    neighbor communities ∪ own, exact integer score
+    M2·k_vc − k_v·(tot(c) − [own]·k_v), argmax with smaller-community
+    tie-break, move iff strictly better than staying, round r moves
+    only batch r % n_batches, stop on a quiet full batch cycle."""
+    sym = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            sym.add((s, d))
+            sym.add((d, s))
+    adj: dict[int, set[int]] = {}
+    for s, d in sym:
+        adj.setdefault(s, set()).add(d)
+    k = {v: len(ns) for v, ns in adj.items()}
+    m2 = len(sym)
+    comm = {v: v for v in adj}
+    quiet = 0
+    for r in range(max_iter):
+        tot: dict[int, int] = {}
+        for v in adj:
+            tot[comm[v]] = tot.get(comm[v], 0) + k[v]
+        new = dict(comm)
+        moves = 0
+        for v in adj:
+            if batch_of.get(v, 0) % n_batches != r % n_batches:
+                continue
+            kvc: dict[int, int] = {comm[v]: 0}
+            for u in adj[v]:
+                kvc[comm[u]] = kvc.get(comm[u], 0) + 1
+            best_s = best_c = stay = None
+            for c, x in kvc.items():
+                s_ = m2 * x - k[v] * (tot[c] - (k[v] if c == comm[v] else 0))
+                if c == comm[v]:
+                    stay = s_
+                if best_s is None or s_ > best_s or (s_ == best_s and c < best_c):
+                    best_s, best_c = s_, c
+            if best_s > stay:
+                new[v] = best_c
+                moves += 1
+        comm = new
+        quiet = quiet + 1 if moves == 0 else 0
+        if quiet >= n_batches:
+            break
+    return comm

@@ -2637,3 +2637,102 @@ def test_estimate_distances_upper_bound_property(rmat_graph):
             assert got[(s, t)] == min(cands)
             if t in true_d:
                 assert got[(s, t)][0] >= true_d[t]
+
+
+# ---------------------------------------------------------------------------
+# louvain_moves (modularity-ascent local moves)
+# ---------------------------------------------------------------------------
+
+
+def test_louvain_moves_parity_matches_replay(rmat_graph):
+    """schedule='parity', fixed rounds: distributed == sequential
+    replay vertex-for-vertex (exact integer gains, no tolerance)."""
+    from linkgraph.kernels import louvain_moves
+    from tests.oracles import louvain_moves_py
+
+    g, pdf, n = rmat_graph
+    res = louvain_moves(g, max_iter=6, schedule="parity")
+    got = {r["id"]: r["comm"] for r in res.df.collect()}
+    want = louvain_moves_py(
+        pdf["src"].to_numpy(),
+        pdf["dst"].to_numpy(),
+        batch_of={v: v % 2 for v in range(n)},
+        n_batches=2,
+        max_iter=6,
+    )
+    for v, c in want.items():
+        assert got[v] == c, v
+    # vertices with no edges never move
+    for v in set(got) - set(want):
+        assert got[v] == v
+
+
+def test_louvain_moves_coloring_matches_replay(rmat_graph):
+    """schedule='coloring' (default): replay fed the KERNEL's own
+    color classes must agree exactly, and the run must reach the
+    quiet-cycle fixpoint certificate."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.build import build_graph_from_edges, symmetrize
+    from linkgraph.kernels import louvain_moves
+    from linkgraph.kernels.coloring import coloring
+    from tests.oracles import louvain_moves_py
+
+    g, pdf, n = rmat_graph
+    spark = g.edges.sparkSession
+    sym = symmetrize(
+        spark.createDataFrame(pdf, "src long, dst long")
+    ).where(F.col("src") != F.col("dst"))
+    gs = build_graph_from_edges(sym)
+    cres = coloring(gs)
+    batch = {r["id"]: r["color"] for r in cres.df.collect()}
+    res = louvain_moves(g, max_iter=60)
+    assert res.metrics[-1]["converged"]
+    got = {r["id"]: r["comm"] for r in res.df.collect()}
+    want = louvain_moves_py(
+        pdf["src"].to_numpy(),
+        pdf["dst"].to_numpy(),
+        batch_of=batch,
+        n_batches=cres.colors_used,
+        max_iter=60,
+    )
+    for v, c in want.items():
+        assert got[v] == c, v
+    gs.unpersist()
+
+
+def test_louvain_moves_recovers_planted_partition(spark):
+    """4 planted 12-vertex blocks (dense inside, one bridge between
+    consecutive blocks): the converged communities are exactly the
+    blocks and modularity is high."""
+    import itertools
+
+    from linkgraph.kernels import louvain_moves, modularity
+
+    edges = []
+    for b in range(4):
+        base = 12 * b
+        edges += [
+            (base + i, base + j)
+            for i, j in itertools.combinations(range(12), 2)
+            if (i + j) % 3 != 0  # dense but not complete
+        ]
+    edges += [(11, 12), (23, 24), (35, 36)]  # sparse bridges
+    g = _graph(spark, pd.DataFrame(edges, columns=["src", "dst"]), 48)
+    res = louvain_moves(g, max_iter=80)
+    assert res.metrics[-1]["converged"]
+    got = {r["id"]: r["comm"] for r in res.df.collect()}
+    blocks = [{got[12 * b + i] for i in range(12)} for b in range(4)]
+    assert all(len(s) == 1 for s in blocks), blocks
+    assert len({next(iter(s)) for s in blocks}) == 4
+    q = modularity(g, res.df.withColumnRenamed("comm", "label"))
+    assert q.collect()[0]["q"] > 0.6
+    g.unpersist()
+
+
+def test_louvain_moves_validates_schedule(rmat_graph):
+    from linkgraph.kernels import louvain_moves
+
+    g, _, _ = rmat_graph
+    with pytest.raises(ValueError):
+        louvain_moves(g, schedule="nope")

@@ -599,3 +599,30 @@ def test_node2vec_step_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning(start") == 1
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     g.unpersist()
+
+
+def test_sever_loop_stays_flat(spark):
+    """Pins the sever() narrow-diamond rule (checkpoint.py): a round
+    with two un-aggregated checkpointed-state paths meeting in one
+    join compounds localCheckpoint ~2.6x per round (0.6 s -> minutes
+    by round ~22 on 64 rows). louvain_moves' round is the shape that
+    originally triggered it; 22 rounds must stay flat."""
+    import pandas as pd
+
+    from linkgraph.build import build_graph_from_edges
+    from linkgraph.datagen import rmat_edges
+    from linkgraph.kernels import louvain_moves
+
+    pdf = rmat_edges(scale=6, edge_factor=6)
+    g = build_graph_from_edges(
+        spark.createDataFrame(pdf, "src long, dst long"), n=64, num_partitions=4
+    )
+    res = louvain_moves(g, max_iter=22, schedule="parity")
+    walls = [m["wall_s"] for m in res.metrics]
+    assert len(walls) == 22
+    head = sum(walls[:5]) / 5
+    tail = sum(walls[-3:]) / 3
+    # compounding puts the tail at ~10-60x the head by round 22;
+    # flat runs sit within noise of 1x
+    assert tail < 8 * head + 0.5, (head, tail, walls)
+    g.unpersist()
