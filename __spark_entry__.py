@@ -1981,6 +1981,20 @@ def q_louvain_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", "comm")
 
 
+def q_louvain_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multilevel Louvain (kernels/louvain.louvain): phase 1 on
+    the symmetrized cust→supp graph, community contraction (weights
+    summed, intra weight → self-loops), phase 2 on the community
+    graph — parity schedule, 3 fixed rounds per level, 2 levels, the
+    assignment composed down to original ids. The oracle unrolls both
+    phases and the contraction; all int64, hash-exact."""
+    from linkgraph.kernels import louvain
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    res = louvain(g, max_iter=3, schedule="parity", max_levels=2)
+    return res.df.select("id", "comm")
+
+
 def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full truss decomposition of the part-succession graph
     (kernels/truss.trussness): (u, w, truss) for every symmetrized
@@ -2115,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "trussness": q_trussness,
         "louvain_k": q_louvain_k,
+        "louvain_ml": q_louvain_ml,
         "landmark_est": q_landmark_est,
         "fold_split": q_fold_split,
         "url_filter": q_url_filter,
@@ -6128,41 +6143,42 @@ FROM {prev}
     return sql
 
 
-def _louvain_sql(rounds: int = 3) -> str:
-    """Unrolled synchronous modularity-ascent moves on the symmetrized
-    cust→supp graph under the parity schedule (kernels/louvain.py).
-    Per round: community degree totals, per-(vertex, neighbor-comm)
-    edge counts ∪ a zero own-community candidate, the exact integer
-    score M2·kvc − k·(tot − [own]·k) for this round's parity class,
-    the (score DESC, comm ASC) winner via ROW_NUMBER, and the
-    strictly-better-than-staying move gate. All BIGINT arithmetic —
-    the argmax is engine-identical with no tolerance."""
-    sql = f"""WITH {_SYM_CUST_SUPP},
-deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS k FROM sym GROUP BY src),
-mm AS (SELECT COUNT(*) AS m2 FROM sym),
-s0 AS MATERIALIZED (SELECT id, id AS comm FROM deg)"""
+def _louvain_level_ctes(lv: str, edges: str, init_state: str, rounds: int) -> str:
+    """CTE chain for one parity-scheduled Louvain move phase over the
+    weighted symmetric frame `edges` (src, dst, w — self-loop rows
+    allowed: their weight counts in k/tot, never as a candidate),
+    starting from `init_state` (id, comm). Emits s{lv}_{rounds} as the
+    final assignment. Mirrors kernels/louvain._move_phase round-for-
+    round: exact integer score M2·kvc − k·(tot − [own]·k), the
+    (score DESC, comm ASC) ROW_NUMBER winner, and the strictly-
+    better-than-staying gate. All BIGINT — engine-identical."""
+    sql = f""",
+deg{lv} AS MATERIALIZED (SELECT src AS id, SUM(w) AS k FROM {edges} GROUP BY src),
+mm{lv} AS (SELECT SUM(w) AS m2 FROM {edges}),
+s_{lv}_0 AS MATERIALIZED (SELECT id, comm FROM {init_state})"""
     for r in range(rounds):
-        p, q = r, r + 1
+        p, q = f"_{lv}_{r}", f"_{lv}_{r + 1}"
         sql += f""",
 tot{q} AS MATERIALIZED (
-  SELECT s.comm, SUM(d.k) AS tot FROM s{p} s JOIN deg d USING (id) GROUP BY s.comm
+  SELECT s.comm, SUM(d.k) AS tot FROM s{p} s JOIN deg{lv} d USING (id) GROUP BY s.comm
 ),
 cand{q} AS MATERIALIZED (
   SELECT src, ncomm, MAX(kvc) AS kvc FROM (
-    SELECT e.src, s.comm AS ncomm, COUNT(*) AS kvc
-    FROM sym e JOIN s{p} s ON e.dst = s.id GROUP BY e.src, s.comm
+    SELECT e.src, s.comm AS ncomm, SUM(e.w) AS kvc
+    FROM {edges} e JOIN s{p} s ON e.dst = s.id
+    WHERE e.src <> e.dst GROUP BY e.src, s.comm
     UNION ALL
     SELECT id AS src, comm AS ncomm, CAST(0 AS BIGINT) FROM s{p}
   ) GROUP BY src, ncomm
 ),
 sc{q} AS MATERIALIZED (
   SELECT c.src, c.ncomm, s.comm,
-         (SELECT m2 FROM mm) * c.kvc
+         (SELECT m2 FROM mm{lv}) * c.kvc
            - d.k * (t.tot - CASE WHEN c.ncomm = s.comm THEN d.k ELSE 0 END) AS score
   FROM cand{q} c
   JOIN tot{q} t ON c.ncomm = t.comm
   JOIN s{p} s ON c.src = s.id
-  JOIN deg d ON c.src = d.id
+  JOIN deg{lv} d ON c.src = d.id
   WHERE c.src % 2 = {r % 2}
 ),
 win{q} AS MATERIALIZED (
@@ -6180,7 +6196,44 @@ s{q} AS MATERIALIZED (
          CASE WHEN w.src IS NOT NULL AND w.bs > w.ss THEN w.bc ELSE s.comm END AS comm
   FROM s{p} s LEFT JOIN win{q} w ON s.id = w.src
 )"""
-    return sql + f"\nSELECT id, comm FROM s{rounds}\n"
+    return sql
+
+
+def _louvain_sql(rounds: int = 3) -> str:
+    """Unrolled one-phase parity Louvain on the symmetrized cust→supp
+    graph (kernels/louvain.louvain_moves' driver pin)."""
+    sql = f"""WITH {_SYM_CUST_SUPP},
+e_w AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym),
+v0 AS (SELECT src AS id, src AS comm FROM (SELECT DISTINCT src FROM sym))"""
+    sql += _louvain_level_ctes("a", "e_w", "v0", rounds)
+    return sql + f"\nSELECT id, comm FROM s_a_{rounds}\n"
+
+
+def _louvain_ml_sql(rounds: int = 3) -> str:
+    """Unrolled TWO-LEVEL multilevel Louvain (kernels/louvain.louvain,
+    parity schedule, fixed rounds per level): phase 1 on the unit-
+    weight graph, contraction (inter-community weights summed,
+    intra-community weight becoming the super-vertex self-loop row —
+    the symmetric frame does this by plain GROUP BY), phase 2 on the
+    community graph, final assignment composed down to original ids."""
+    sql = f"""WITH {_SYM_CUST_SUPP},
+e_w AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym),
+v0 AS (SELECT src AS id, src AS comm FROM (SELECT DISTINCT src FROM sym))"""
+    sql += _louvain_level_ctes("a", "e_w", "v0", rounds)
+    sql += f""",
+e2 AS MATERIALIZED (
+  SELECT sa.comm AS src, sb.comm AS dst, SUM(e.w) AS w
+  FROM e_w e
+  JOIN s_a_{rounds} sa ON e.src = sa.id
+  JOIN s_a_{rounds} sb ON e.dst = sb.id
+  GROUP BY sa.comm, sb.comm
+),
+v2 AS (SELECT DISTINCT comm AS id, comm FROM s_a_{rounds})"""
+    sql += _louvain_level_ctes("b", "e2", "v2", rounds)
+    return sql + f"""
+SELECT a.id, b.comm
+FROM s_a_{rounds} a JOIN s_b_{rounds} b ON a.comm = b.id
+"""
 
 
 def _trussness_sql(rounds: int = 8) -> str:
@@ -6387,6 +6440,7 @@ FROM documents GROUP BY md5(text)
         "coreness": _coreness_sql(rounds=24),
         "trussness": _trussness_sql(rounds=8),
         "louvain_k": _louvain_sql(rounds=3),
+        "louvain_ml": _louvain_ml_sql(rounds=3),
         "landmark_est": _landmark_sql(max_level=30),
         "fold_split": _fold_split_sql(seed=7),
         "url_filter": _URL_FILTER_SQL,

@@ -362,16 +362,16 @@ def main(argv: list[str]) -> int:
             "rounds": res.rounds,
         }
     elif args.kernel == "louvain":
-        res = kernels.louvain_moves(graph, max_iter=args.max_iter, ckpt=ckpt)
+        res = kernels.louvain(graph, max_iter=args.max_iter, ckpt=ckpt)
         out = res.df.orderBy("id")
         qrow = kernels.modularity(
             graph, res.df.select("id", F.col("comm").alias("label"))
         ).first()
         summary = {
             "kernel": "louvain",
+            "levels": res.levels,
             "rounds": res.iterations,
-            "converged": bool(res.metrics and res.metrics[-1]["converged"]),
-            "moves": [m["moves"] for m in res.metrics],
+            "level_metrics": res.metrics,
             "communities": qrow["communities"],
             "q": qrow["q"],
         }

@@ -1,17 +1,21 @@
-"""Louvain local-move phase — synchronous modularity-ascent label
-moves (Blondel, Guillaume, Lambiotte & Lefebvre 2008 §2; the
-parallel-synchronous variant per Staudt & Meyerhenke's PLM, TPDS'16).
-labelprop spreads labels by frequency; this kernel moves each vertex
-to the neighboring community with the LARGEST modularity gain, i.e.
-it optimizes the objective kernels/modularity.py measures. One level
-only (no coarsening): the local-move phase is where virtually all of
-Louvain's modularity is gained, and its output feeds modularity() /
-conductance() / community_stats() directly.
+"""Louvain community detection — modularity-ascent local moves plus
+multilevel coarsening (Blondel, Guillaume, Lambiotte & Lefebvre 2008;
+the parallel-synchronous move variant per Staudt & Meyerhenke's PLM,
+TPDS'16). labelprop spreads labels by frequency; this kernel moves
+each vertex to the neighboring community with the LARGEST modularity
+gain, i.e. it optimizes the objective kernels/modularity.py measures.
 
-Update rule, synchronous rounds over the symmetrized self-loop-free
-graph with unit weights (k_v = undirected degree, M2 = Σ k_v = 2m):
+`louvain_moves` is one local-move phase (what gains virtually all the
+modularity); `louvain` is the full algorithm — move phase, contract
+each community to a super-vertex (inter-community edge weights
+summed, intra-community weight becoming the super-vertex self-loop),
+repeat on the community graph until a level moves nothing.
 
-    candidate communities of v = {comm(u) : u ~ v} ∪ {comm(v)}
+Update rule, synchronous rounds over the symmetric weighted edge
+frame (k_v = weighted degree INCLUDING the self-loop row's full
+weight; M2 = Σ_rows w = 2m):
+
+    candidate communities of v = {comm(u) : u ~ v, u != v} ∪ {comm(v)}
     score(v→c) = M2·k_{v,c} − k_v·(Σ_tot(c) − [comm(v)=c]·k_v)
     best = argmax score, ties → smaller community id
     new comm(v) = best iff score(best) > score(v→comm(v)), else stay
@@ -20,12 +24,14 @@ graph with unit weights (k_v = undirected degree, M2 = Σ k_v = 2m):
 
 which is the standard ΔQ(v→c) = k_{v,c}/m − k_v·Σ_tot(c∖v)/(2m²)
 scaled by the positive constant 2m² — the argmax is identical, and
-every term is EXACT int64 arithmetic: the winner is engine- and
-partition-layout-independent with no float tolerance anywhere (the
-repo-wide determinism contract). Overflow bound: M2·k_{v,c} ≤ 2m·k_max
-needs 2m·k_max < 2^63 — safe to m ~ 10^12 edges with 10^6-degree hubs.
-Because score(v→comm(v)) is always a candidate and argmax is >=-based
-with the tie rule, an isolated-in-place vertex keeps its community.
+every term is EXACT int64 arithmetic (weights are edge
+multiplicities), so the winner is engine- and partition-layout-
+independent with no float tolerance anywhere (the repo-wide
+determinism contract). Overflow bound: M2·k_{v,c} ≤ 2m·k_max needs
+2m·k_max < 2^63 — safe to m ~ 10^12 edges with 10^6-degree hubs.
+k_{v,c} sums edges from v to OTHER members of c (self-loop rows are
+excluded from candidates but counted in k_v and Σ_tot — the textbook
+treatment).
 
 SCHEDULING (the part sequential Louvain gets for free): fully-
 synchronous moves can oscillate — MEASURED on the bipartite sf0.01
@@ -45,23 +51,32 @@ cust→supp converges (a dense quasi-random bipartite graph correctly
 collapses toward the no-structure answer), and a planted 4-block
 partition graph is recovered exactly (4/4 pure blocks, Q = 0.674,
 28 rounds, 9 colors — pinned in pytest). Not a termination PROOF
-(color classes still interact through Σ_tot), so the kernel runs at
+(color classes still interact through Σ_tot), so each phase runs at
 most max_iter rounds, reports per-round move counts, and stops when
 a full quiet color cycle (n_colors consecutive zero-move rounds)
 certifies the fixpoint. The driver row pins schedule="parity" at a
 FIXED round count — the unrolled oracle checks the exact integer
-move arithmetic; the coloring composition is pinned by the pytest
-replay instead (its oracle would otherwise embed the whole coloring
-oracle as a prefix).
+move arithmetic; the coloring composition and the multilevel
+contraction are pinned by the pytest replay instead (their oracle
+would otherwise embed the whole coloring oracle as a prefix).
 
 Spark shape per round: ONE m-row join (edges ⋈ state on dst — the
-labelprop scatter) + a (src, comm)-keyed partial+final count, two
+labelprop scatter) + a (src, comm)-keyed partial+final SUM, two
 small joins against the community-total and per-vertex tables, and a
 max_by hash aggregate for the winner (no Window). The move count
-rides the severing job's Observation — one job per round. Uniform
-CheckpointManager lifecycle: (id, comm) durable per round; resume
-continues from the last complete round; a moves==0 record
-short-circuits.
+rides the severing job's Observation — one job per round. The
+contraction between levels is two aggregated label-tagging joins +
+one (cs, cd)-keyed SUM — the community graph shrinks geometrically,
+so upper levels are nearly free. Per the sever() narrow-diamond rule
+(checkpoint.py), at every join at most one input path from the
+checkpointed state is un-aggregated — `vstate` and the contraction
+tag map are identity aggregates for exactly that reason.
+
+`louvain_moves` has the uniform CheckpointManager lifecycle: (id,
+comm) durable per round; resume continues from the last complete
+round; a converged record short-circuits. The multilevel driver is
+checkpointed per-phase through the same manager when one is given
+(ckpt/<level>/ subdirectories).
 """
 
 from __future__ import annotations
@@ -83,45 +98,53 @@ class LouvainResult:
     iterations: int
     wall_seconds: float
     metrics: list[dict] = field(default_factory=list)
+    levels: int = 1
+    n_communities: int | None = None
 
 
-def louvain_moves(
-    graph: Graph,
-    max_iter: int = 60,
-    schedule: str = "coloring",
+def _unit_sym(graph: Graph) -> DataFrame:
+    """Level-0 weighted symmetric frame: unit weights, no self-loops."""
+    return sever(
+        symmetrize(graph.edges)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.lit(1).cast("long").alias("w"))
+    )
+
+
+def _move_phase(
+    sym: DataFrame,
+    vertices: DataFrame,
+    max_iter: int,
+    schedule: str,
     ckpt: CheckpointManager | None = None,
 ) -> LouvainResult:
-    if schedule not in ("coloring", "parity", "all"):
-        raise ValueError(
-            f"schedule must be 'coloring', 'parity' or 'all', got {schedule!r}"
-        )
+    """One local-move phase over a symmetric weighted edge frame
+    (src, dst, w) — self-loop rows allowed (their weight counts in
+    k_v and Σ_tot, never as a move candidate). `vertices` is the
+    (id)-schema universe; isolated ids keep their own community."""
     t0 = time.time()
-    spark = graph.edges.sparkSession
-    sym = sever(
-        symmetrize(graph.edges).where(F.col("src") != F.col("dst"))
-    )
+    spark = sym.sparkSession
     colors = None
     if schedule == "coloring":
         from linkgraph.build import build_graph_from_edges
         from linkgraph.kernels.coloring import coloring
 
-        # the coloring kernel wants an undirected (symmetrized) graph;
+        # the coloring kernel wants an undirected self-loop-free graph;
         # gs derives its own vertex set so unpersisting it cannot touch
-        # the caller's graph.vertices
-        gs = build_graph_from_edges(sym, assume_deduped=True)
-        cres = coloring(gs)
-        colors = sever(
-            cres.df.select(F.col("id").alias("src"), "color")
+        # the caller's frames
+        gs = build_graph_from_edges(
+            sym.where(F.col("src") != F.col("dst")).select("src", "dst"),
+            assume_deduped=True,
         )
+        cres = coloring(gs)
+        colors = sever(cres.df.select(F.col("id").alias("src"), "color"))
         n_colors = int(cres.colors_used)
         gs.unpersist()
     else:
         n_colors = 2 if schedule == "parity" else 1
-    # undirected degree = out-degree of the symmetrized encoding
-    k = sym.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("k")
-    )
-    m2 = sym.count()  # Σ k_v = 2m, exact int64
+    # weighted degree: self-loop rows carry their full 2x contribution
+    k = sym.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
+    m2 = int(sym.agg(F.sum("w")).first()[0] or 0)  # Σ k_v = 2m
 
     state = None
     start_iter = 0
@@ -132,10 +155,11 @@ def louvain_moves(
             state = sever(loaded)
             start_iter = last + 1
             if rec.get("converged"):
-                release(sym)
+                if colors is not None:
+                    release(colors)
                 return LouvainResult(state, last + 1, 0.0, [rec])
     if state is None:
-        state = sever(graph.vertices.select("id", F.col("id").alias("comm")))
+        state = sever(vertices.select("id", F.col("id").alias("comm")))
 
     prev_ckpt = state
     iterations = start_iter
@@ -160,14 +184,15 @@ def louvain_moves(
                 .select(F.col("comm").alias("ncomm"), "tot")
             )
             kvc = (
-                sym.join(
+                sym.where(F.col("src") != F.col("dst"))
+                .join(
                     state_sh.select(
                         F.col("id").alias("dst"), F.col("comm").alias("ncomm")
                     ),
                     "dst",
                 )
                 .groupBy("src", "ncomm")
-                .agg(F.count(F.lit(1)).alias("kvc"))
+                .agg(F.sum("w").alias("kvc"))
             )
             own = state_sh.select(
                 F.col("id").alias("src"),
@@ -210,7 +235,7 @@ def louvain_moves(
                     "ncomm",
                     "comm",
                     (
-                        F.lit(int(m2)) * F.col("kvc")
+                        F.lit(m2) * F.col("kvc")
                         - F.col("k")
                         * (
                             F.col("tot")
@@ -286,7 +311,6 @@ def louvain_moves(
                 ckpt.save(it, state, metrics=rec)
             if converged:
                 break
-    release(sym)
     if colors is not None:
         release(colors)
     return LouvainResult(
@@ -294,4 +318,128 @@ def louvain_moves(
         iterations=iterations,
         wall_seconds=time.time() - t0,
         metrics=metrics,
+    )
+
+
+def louvain_moves(
+    graph: Graph,
+    max_iter: int = 60,
+    schedule: str = "coloring",
+    ckpt: CheckpointManager | None = None,
+) -> LouvainResult:
+    """One local-move phase on the (unit-weight, symmetrized) graph."""
+    if schedule not in ("coloring", "parity", "all"):
+        raise ValueError(
+            f"schedule must be 'coloring', 'parity' or 'all', got {schedule!r}"
+        )
+    sym = _unit_sym(graph)
+    res = _move_phase(sym, graph.vertices, max_iter, schedule, ckpt=ckpt)
+    release(sym)
+    return res
+
+
+def louvain(
+    graph: Graph,
+    max_levels: int = 10,
+    max_iter: int = 60,
+    schedule: str = "coloring",
+    ckpt: CheckpointManager | None = None,
+) -> LouvainResult:
+    """Full multilevel Louvain: local moves, contract communities to
+    super-vertices (inter-community weights summed; intra-community
+    weight becomes the super-vertex self-loop), repeat on the
+    community graph until a level moves nothing or max_levels.
+
+    Returns the composed assignment over the ORIGINAL vertex ids;
+    community labels are the top level's super-vertex ids (stable
+    across runs — every stage is deterministic). metrics carries one
+    entry per level with that phase's rounds/moves and the community
+    count after contraction. With a CheckpointManager, each level's
+    move phase checkpoints under <root>/level=<L>/ and a finished
+    level's phase is not re-run on resume.
+    """
+    if schedule not in ("coloring", "parity", "all"):
+        raise ValueError(
+            f"schedule must be 'coloring', 'parity' or 'all', got {schedule!r}"
+        )
+    t0 = time.time()
+    sym = _unit_sym(graph)
+    verts = graph.vertices.select("id")
+    mapping: DataFrame | None = None  # (id, comm) over original ids
+    metrics: list[dict] = []
+    iterations = 0
+    n_comms = None
+    for level in range(max_levels):
+        lv_ckpt = None
+        if ckpt is not None:
+            lv_ckpt = CheckpointManager(
+                f"{ckpt.root.rstrip('/')}/level={level}", ckpt.job
+            )
+        phase = _move_phase(sym, verts, max_iter, schedule, ckpt=lv_ckpt)
+        iterations += phase.iterations
+        total_moves = sum(m.get("moves", 0) for m in phase.metrics)
+        if total_moves == 0 and level > 0:
+            release(phase.df)
+            break
+        # compose the assignment down to original ids (level 0's
+        # phase.df IS the mapping — do not release it below)
+        phase_is_mapping = mapping is None
+        if phase_is_mapping:
+            mapping = phase.df
+        else:
+            new_map = sever(
+                mapping.join(
+                    phase.df.select(
+                        F.col("id").alias("comm"),
+                        F.col("comm").alias("_new"),
+                    ),
+                    "comm",
+                ).select("id", F.col("_new").alias("comm"))
+            )
+            release(mapping)
+            mapping = new_map
+        # contract: aggregated tag map (identity groupBy — the sever()
+        # narrow-diamond rule) used for BOTH endpoint taggings
+        tag = phase.df.groupBy("id").agg(F.max("comm").alias("comm"))
+        contracted = sever(
+            sym.join(
+                tag.select(F.col("id").alias("src"), F.col("comm").alias("cs")),
+                "src",
+            )
+            .join(
+                tag.select(F.col("id").alias("dst"), F.col("comm").alias("cd")),
+                "dst",
+            )
+            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .agg(F.sum("w").alias("w"))
+        )
+        release(sym)
+        sym = contracted
+        verts = mapping.select(F.col("comm").alias("id")).distinct()
+        n_comms = verts.count()
+        metrics.append(
+            {
+                "level": level,
+                "rounds": phase.iterations,
+                "moves": total_moves,
+                "communities": n_comms,
+                "converged": bool(
+                    phase.metrics and phase.metrics[-1].get("converged")
+                ),
+            }
+        )
+        if not phase_is_mapping:
+            release(phase.df)
+        if total_moves == 0:
+            break
+    release(sym)
+    if mapping is None:
+        mapping = sever(verts.select("id", F.col("id").alias("comm")))
+    return LouvainResult(
+        df=mapping,
+        iterations=iterations,
+        wall_seconds=time.time() - t0,
+        metrics=metrics,
+        levels=len(metrics),
+        n_communities=n_comms,
     )

@@ -59,6 +59,7 @@ def pagerank(
     ckpt_every: int = 5,
     adaptive: bool = False,
     check_every: int = 1,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """check_every=K chains K power-iteration rounds into ONE Spark job:
     the dangling mass enters each chained round as an IN-PLAN broadcast
@@ -98,11 +99,36 @@ def pagerank(
     if state is None:
         # state skeleton: (id, out_deg, rank); out_deg joined in once so
         # the hot loop never touches the degrees table again.
-        state = sever(
-            graph.degrees.select(
-                "id", "out_deg", (F.lit(1.0) / n).alias("rank")
+        #
+        # init_ranks (id, rank) warm-starts the iteration — the
+        # incremental-crawl companion to build.update_graph: surviving
+        # urls keep their ids, so a previous run's converged scores are
+        # directly joinable and power iteration converges from them in
+        # a handful of rounds instead of from uniform (the fixpoint is
+        # unique for damping < 1, so warm == cold at convergence —
+        # pinned by pytest). Vertices absent from init_ranks (novel
+        # pages) start at 1/n; the vector is NOT renormalized — power
+        # iteration's dangling handling restores ||r||1 = 1 within the
+        # first rounds and renormalizing would perturb the surviving
+        # scores' relative values for no faster convergence.
+        if init_ranks is not None:
+            state = sever(
+                graph.degrees.join(
+                    init_ranks.select("id", F.col("rank").alias("_ir")),
+                    "id",
+                    "left",
+                ).select(
+                    "id",
+                    "out_deg",
+                    F.coalesce("_ir", F.lit(1.0 / n)).alias("rank"),
+                )
             )
-        )
+        else:
+            state = sever(
+                graph.degrees.select(
+                    "id", "out_deg", (F.lit(1.0) / n).alias("rank")
+                )
+            )
 
     t0 = time.time()
     check_every = max(1, check_every)

@@ -1228,3 +1228,73 @@ def louvain_moves_py(
         if quiet >= n_batches:
             break
     return comm
+
+
+def louvain_py(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_batches: int,
+    max_iter: int,
+    max_levels: int = 10,
+) -> dict[int, int]:
+    """{orig_id: community} after full multilevel Louvain under the
+    PARITY batch schedule — weighted move phases (self-loop weights in
+    k_v / Σ_tot, excluded from candidates) + community contraction,
+    mirroring kernels/louvain.louvain stage-for-stage."""
+    sym: dict[tuple[int, int], int] = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            sym[(s, d)] = 1
+            sym[(d, s)] = 1
+    mapping: dict[int, int] | None = None
+    for _level in range(max_levels):
+        verts = sorted({s for s, _ in sym} | {d for _, d in sym})
+        k = {v: 0 for v in verts}
+        for (s, d), w in sym.items():
+            k[s] += w
+        m2 = sum(sym.values())
+        comm = {v: v for v in verts}
+        quiet = 0
+        total_moves = 0
+        for r in range(max_iter):
+            tot: dict[int, int] = {}
+            for v in verts:
+                tot[comm[v]] = tot.get(comm[v], 0) + k[v]
+            new = dict(comm)
+            moves = 0
+            for v in verts:
+                if v % 2 != r % n_batches and n_batches > 1:
+                    continue
+                kvc: dict[int, int] = {comm[v]: 0}
+                for (s, d), w in sym.items():
+                    if s == v and d != v:
+                        kvc[comm[d]] = kvc.get(comm[d], 0) + w
+                best_s = best_c = stay = None
+                for c, x in kvc.items():
+                    s_ = m2 * x - k[v] * (tot[c] - (k[v] if c == comm[v] else 0))
+                    if c == comm[v]:
+                        stay = s_
+                    if best_s is None or s_ > best_s or (
+                        s_ == best_s and c < best_c
+                    ):
+                        best_s, best_c = s_, c
+                if best_s > stay:
+                    new[v] = best_c
+                    moves += 1
+            comm = new
+            total_moves += moves
+            quiet = quiet + 1 if moves == 0 else 0
+            if quiet >= n_batches:
+                break
+        if mapping is None:
+            mapping = dict(comm)
+        else:
+            mapping = {o: comm[c] for o, c in mapping.items()}
+        if total_moves == 0:
+            break
+        contracted: dict[tuple[int, int], int] = {}
+        for (s, d), w in sym.items():
+            key = (comm[s], comm[d])
+            contracted[key] = contracted.get(key, 0) + w
+        sym = contracted
+    return mapping or {}

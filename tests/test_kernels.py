@@ -2736,3 +2736,96 @@ def test_louvain_moves_validates_schedule(rmat_graph):
     g, _, _ = rmat_graph
     with pytest.raises(ValueError):
         louvain_moves(g, schedule="nope")
+
+
+def test_pagerank_warm_start_converges_to_same_fixpoint(rmat_graph):
+    """init_ranks warm start: restarting from converged scores
+    converges immediately; after a graph change, warm and cold runs
+    reach the same (unique) fixpoint, warm in fewer iterations."""
+    from linkgraph.kernels import pagerank
+
+    g, pdf, n = rmat_graph
+    cold = pagerank(g, tol=1e-10, max_iter=300)
+    warm_same = pagerank(g, tol=1e-10, max_iter=300, init_ranks=cold.df)
+    assert warm_same.iterations <= 2
+    a = cold.df.toPandas().sort_values("id")["rank"].to_numpy()
+    b = warm_same.df.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+    # perturb the graph: add a few edges, rebuild
+    spark = g.edges.sparkSession
+    extra = pd.DataFrame({"src": [1, 2, 3], "dst": [40, 41, 42]})
+    g2 = _graph(spark, pd.concat([pdf, extra], ignore_index=True), n)
+    cold2 = pagerank(g2, tol=1e-10, max_iter=300)
+    warm2 = pagerank(g2, tol=1e-10, max_iter=300, init_ranks=cold.df)
+    a2 = cold2.df.toPandas().sort_values("id")["rank"].to_numpy()
+    b2 = warm2.df.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(a2, b2, atol=1e-8)
+    assert warm2.iterations <= cold2.iterations
+    g2.unpersist()
+
+
+def test_louvain_multilevel_parity_matches_replay(rmat_graph):
+    """Full multilevel Louvain under the parity schedule: distributed
+    == sequential replay (move phases + contraction), exactly."""
+    from linkgraph.kernels import louvain
+    from tests.oracles import louvain_py
+
+    g, pdf, n = rmat_graph
+    res = louvain(g, max_iter=30, schedule="parity", max_levels=4)
+    got = {r["id"]: r["comm"] for r in res.df.collect()}
+    want = louvain_py(
+        pdf["src"].to_numpy(),
+        pdf["dst"].to_numpy(),
+        n_batches=2,
+        max_iter=30,
+        max_levels=4,
+    )
+    for v, c in want.items():
+        assert got[v] == c, v
+    # isolated vertices keep their own label
+    for v in set(got) - set(want):
+        assert got[v] == v
+
+
+def test_louvain_multilevel_merges_hierarchy(spark):
+    """Two-scale planted graph: 8 K6 cliques, 6 bridges per clique
+    pair inside each of two super-groups, one bridge across groups.
+    Phase 1 finds the cliques (8 communities); the CONTRACTED level
+    must merge further (measured: clique pairs — full-group merges
+    are blocked by modularity's own resolution math, checked by the
+    exact integer gain). Pinned: a second level runs, communities
+    shrink below 8, none spans the two groups, and multilevel Q is
+    at least single-phase Q."""
+    import itertools
+
+    from linkgraph.kernels import louvain, louvain_moves, modularity
+
+    edges = []
+    for c in range(8):
+        base = 6 * c
+        edges += [
+            (base + i, base + j)
+            for i, j in itertools.combinations(range(6), 2)
+        ]
+    # 6 in-group bridges per clique pair
+    for group in (range(4), range(4, 8)):
+        for a, b in itertools.combinations(group, 2):
+            edges += [(6 * a + i, 6 * b + (i + 1) % 6) for i in range(6)]
+    edges += [(0, 47)]  # single cross-group bridge
+    g = _graph(spark, pd.DataFrame(edges, columns=["src", "dst"]), 48)
+    res = louvain(g, max_iter=80, max_levels=5)
+    assert res.levels >= 2
+    got = {r["id"]: r["comm"] for r in res.df.collect()}
+    groups = [{got[v] for v in range(24)}, {got[v] for v in range(24, 48)}]
+    assert len(groups[0] | groups[1]) < 8  # contraction merged cliques
+    assert not (groups[0] & groups[1])  # nothing spans the two groups
+    q_multi = modularity(
+        g, res.df.withColumnRenamed("comm", "label")
+    ).first()["q"]
+    one = louvain_moves(g, max_iter=80)
+    q_one = modularity(
+        g, one.df.withColumnRenamed("comm", "label")
+    ).first()["q"]
+    assert q_multi >= q_one - 1e-12
+    g.unpersist()

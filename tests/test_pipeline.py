@@ -2548,7 +2548,7 @@ def test_skipgram_pairs_matches_replay(spark):
 # ---------------------------------------------------------------------------
 
 
-def _h32(seed: int, doc_id) -> int:
+def _fold_h32(seed: int, doc_id) -> int:
     return int(
         hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16
     )
@@ -2568,7 +2568,7 @@ def test_fold_split_matches_hashlib_replay(spark):
     b_train = int(0.8 * (1 << 32))
     b_val = int(0.9 * (1 << 32))
     for i in ids:
-        h = _h32(seed, i)
+        h = _fold_h32(seed, i)
         want = "train" if h < b_train else ("val" if h < b_val else "test")
         assert got[i] == want, i
     assert len(got) == len(ids)  # exhaustive: one fold per row
