@@ -772,6 +772,38 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph community detection — the host_pagerank composition
+    with louvain_weighted instead of ranking: host_rollup builds the
+    multiplicity-weighted host graph (same synthetic urls / regexp id
+    re-derivation), then one weighted Louvain phase under the parity
+    schedule, 3 fixed rounds, 1 level. Weighted gains are exact
+    int64, so the row is hash-exact with no rounding."""
+    from linkgraph.build import host_rollup
+    from linkgraph.kernels import louvain_weighted
+
+    g = _graph(_cust_supp_edges(spark, sf_dir))
+    g.vertices = g.vertices.withColumn(
+        "url",
+        F.concat(
+            F.lit("http://host"),
+            (F.col("id") % 50).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("id").cast("string"),
+        ),
+    )
+    rolled = host_rollup(g)
+    wdf = rolled.select(
+        F.regexp_extract("src_host", r"host(\d+)", 1).cast("long").alias("src"),
+        F.regexp_extract("dst_host", r"host(\d+)", 1).cast("long").alias("dst"),
+        F.col("weight"),
+    )
+    res = louvain_weighted(
+        wdf, max_iter=3, schedule="parity", max_levels=1
+    )
+    return res.df.select(F.col("id").alias("host_id"), "comm")
+
+
 def q_labelprop_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 3 synchronous label-propagation rounds on the
     customer→supplier graph (SURVEY §2.6: adopt the most frequent
@@ -2130,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trussness": q_trussness,
         "louvain_k": q_louvain_k,
         "louvain_ml": q_louvain_ml,
+        "host_communities": q_host_communities,
         "landmark_est": q_landmark_est,
         "fold_split": q_fold_split,
         "url_filter": q_url_filter,
@@ -6236,6 +6269,31 @@ FROM s_a_{rounds} a JOIN s_b_{rounds} b ON a.comm = b.id
 """
 
 
+def _host_communities_sql(rounds: int = 3) -> str:
+    """Host-graph weighted Louvain oracle: host edge weights by the
+    same direct id%50 construction as the host_pagerank oracle, then
+    one weighted parity-scheduled move phase via the shared per-level
+    CTE generator (the kernel's symmetric frame sums directed pair
+    weights; host_rollup drops self-loops)."""
+    sql = f"""WITH e AS MATERIALIZED ({_CUST_SUPP_E}),
+we AS (
+  SELECT src % 50 AS src, dst % 50 AS dst, COUNT(*) AS w
+  FROM e WHERE src % 50 <> dst % 50
+  GROUP BY 1, 2
+),
+cn AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, SUM(w) AS w
+  FROM we GROUP BY 1, 2
+),
+e_hw AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM cn
+  UNION ALL SELECT v, u, w FROM cn
+),
+vh0 AS (SELECT DISTINCT src AS id, src AS comm FROM e_hw)"""
+    sql += _louvain_level_ctes("h", "e_hw", "vh0", rounds)
+    return sql + f"\nSELECT id AS host_id, comm FROM s_h_{rounds}\n"
+
+
 def _trussness_sql(rounds: int = 8) -> str:
     """Unrolled level-synchronous edge peeling on the canonical
     symmetrized part-succession edge list (kernels/truss.trussness).
@@ -6441,6 +6499,7 @@ FROM documents GROUP BY md5(text)
         "trussness": _trussness_sql(rounds=8),
         "louvain_k": _louvain_sql(rounds=3),
         "louvain_ml": _louvain_ml_sql(rounds=3),
+        "host_communities": _host_communities_sql(rounds=3),
         "landmark_est": _landmark_sql(max_level=30),
         "fold_split": _fold_split_sql(seed=7),
         "url_filter": _URL_FILTER_SQL,

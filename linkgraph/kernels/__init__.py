@@ -108,7 +108,7 @@ from linkgraph.kernels.eigen import eigenvector_centrality
 from linkgraph.kernels.katz import katz
 from linkgraph.kernels.salsa import salsa
 from linkgraph.kernels.modularity import community_stats, conductance, modularity
-from linkgraph.kernels.louvain import louvain, louvain_moves
+from linkgraph.kernels.louvain import louvain, louvain_moves, louvain_weighted
 from linkgraph.kernels.walks import random_walks
 from linkgraph.kernels.sampling import negative_sample, neighbor_sample, rw_sample
 from linkgraph.kernels.condense import condensation
@@ -173,6 +173,7 @@ __all__ = [
     "conductance",
     "louvain",
     "louvain_moves",
+    "louvain_weighted",
     "random_walks",
     "neighbor_sample",
     "negative_sample",

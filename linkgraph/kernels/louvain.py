@@ -362,9 +362,91 @@ def louvain(
         raise ValueError(
             f"schedule must be 'coloring', 'parity' or 'all', got {schedule!r}"
         )
+    return _multilevel(
+        _unit_sym(graph),
+        graph.vertices.select("id"),
+        max_levels,
+        max_iter,
+        schedule,
+        ckpt,
+    )
+
+
+def louvain_weighted(
+    edges: DataFrame,
+    weight_col: str = "weight",
+    max_levels: int = 10,
+    max_iter: int = 60,
+    schedule: str = "coloring",
+    ckpt: CheckpointManager | None = None,
+) -> LouvainResult:
+    """Full multilevel Louvain over a WEIGHTED edge list (src, dst,
+    <weight_col> long) — e.g. host_rollup's multiplicity-weighted host
+    graph, where an edge's weight is how many hrefs connect the two
+    hosts and modularity should weigh it accordingly.
+
+    Directed weights are combined per unordered pair (w_uv + w_vu =
+    the undirected weight, emitted in both directions); self-loop
+    weights are DOUBLED into the single (v, v) row so their degree
+    contribution follows the frame convention (k_v includes the row's
+    full weight — the textbook 2w self-loop treatment). All weights
+    must be integers: the exact-int64 gain arithmetic is the
+    determinism contract. The weighted move math itself is
+    driver-checked — the `louvain_ml` row's second level runs these
+    exact expressions over a contracted weighted graph with
+    self-loops; this wrapper is additionally pytest-pinned
+    (unit-weight degeneration == louvain, heavy-bridge closed form,
+    weighted parity replay).
+    """
+    if schedule not in ("coloring", "parity", "all"):
+        raise ValueError(
+            f"schedule must be 'coloring', 'parity' or 'all', got {schedule!r}"
+        )
+    e = edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    canon = (
+        e.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "w",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    und = canon.where(F.col("u") != F.col("v"))
+    sym0 = sever(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionByName(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+        )
+        .unionByName(
+            canon.where(F.col("u") == F.col("v")).select(
+                F.col("u").alias("src"),
+                F.col("v").alias("dst"),
+                (F.col("w") * 2).alias("w"),
+            )
+        )
+    )
+    verts = (
+        sym0.select(F.col("src").alias("id"))
+        .union(sym0.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return _multilevel(sym0, verts, max_levels, max_iter, schedule, ckpt)
+
+
+def _multilevel(
+    sym: DataFrame,
+    verts: DataFrame,
+    max_levels: int,
+    max_iter: int,
+    schedule: str,
+    ckpt: CheckpointManager | None,
+) -> LouvainResult:
     t0 = time.time()
-    sym = _unit_sym(graph)
-    verts = graph.vertices.select("id")
     mapping: DataFrame | None = None  # (id, comm) over original ids
     metrics: list[dict] = []
     iterations = 0

@@ -2829,3 +2829,57 @@ def test_louvain_multilevel_merges_hierarchy(spark):
     ).first()["q"]
     assert q_multi >= q_one - 1e-12
     g.unpersist()
+
+
+def test_louvain_weighted_unit_degeneration(rmat_graph):
+    """louvain_weighted with all weights 1 equals louvain exactly."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.build import symmetrize
+    from linkgraph.kernels import louvain, louvain_weighted
+
+    g, pdf, n = rmat_graph
+    spark = g.edges.sparkSession
+    base = louvain(g, max_iter=20, schedule="parity", max_levels=3)
+    # feed the same undirected structure as a unit-weighted edge list
+    und = (
+        symmetrize(spark.createDataFrame(pdf, "src long, dst long"))
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.lit(1).alias("weight"))
+    )
+    w = louvain_weighted(
+        und, max_iter=20, schedule="parity", max_levels=3
+    )
+    got_b = {r["id"]: r["comm"] for r in base.df.collect()}
+    got_w = {r["id"]: r["comm"] for r in w.df.collect()}
+    for v, c in got_w.items():
+        assert got_b[v] == c, v
+
+
+def test_louvain_weighted_heavy_bridge_rebinds(spark):
+    """Two triangles joined by one bridge 2-3: at weight 1 the bridge
+    is ignored (each triangle is a community, 2 stays with 0,1); at
+    weight 50 the bridge dominates modularity and rips 2 and 3 OUT of
+    their triangles into their own community (all-in-one is never the
+    answer — a single community has Q = 0 by definition)."""
+    from linkgraph.kernels import louvain_weighted
+
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    rows = [(s, d, 1) for s, d in tri]
+    light = spark.createDataFrame(
+        rows + [(2, 3, 1)], "src long, dst long, weight long"
+    )
+    heavy = spark.createDataFrame(
+        rows + [(2, 3, 50)], "src long, dst long, weight long"
+    )
+    res_l = louvain_weighted(light, max_iter=40)
+    comm_l = {r["id"]: r["comm"] for r in res_l.df.collect()}
+    assert len(set(comm_l.values())) == 2
+    assert comm_l[0] == comm_l[1] == comm_l[2]
+    assert comm_l[3] == comm_l[4] == comm_l[5]
+    res_h = louvain_weighted(heavy, max_iter=40)
+    comm_h = {r["id"]: r["comm"] for r in res_h.df.collect()}
+    assert comm_h[2] == comm_h[3]  # the heavy pair binds
+    assert comm_h[2] not in (comm_h[0], comm_h[4])  # ripped out
+    assert comm_h[0] == comm_h[1] and comm_h[4] == comm_h[5]
+    assert len(set(comm_h.values())) == 3
