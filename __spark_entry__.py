@@ -2027,6 +2027,57 @@ def q_louvain_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("id", "comm")
 
 
+def _part_succession_edges_q(
+    spark: SparkSession, sf_dir: str, qmax: int
+) -> DataFrame:
+    """_part_succession_edges with a parameterized quantity cutoff —
+    two cutoffs give two deterministic crawl 'snapshots' of the same
+    underlying link structure for the diff rows."""
+    li = (
+        _lineitem(spark, sf_dir)
+        .where(F.col("l_quantity") <= qmax)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o2"),
+        F.col("l_linenumber").alias("ln2"),
+        F.col("l_partkey").alias("p2"),
+    )
+    return (
+        li.join(
+            b,
+            (li["l_orderkey"] == b["o2"])
+            & (b["ln2"] == li["l_linenumber"] + 1),
+        )
+        .where(F.col("l_partkey") != F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+
+
+def q_edge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot edge diff (build.edge_diff): the re-crawl monitoring
+    view — old = part-succession at l_quantity <= 15, new = the same
+    graph at <= 17, so both added AND removed edges are real (the
+    looser cutoff adds lines, which inserts new successions and also
+    reroutes existing ones). Two anti-joins; all strings/int64."""
+    from linkgraph.build import edge_diff
+
+    old = _part_succession_edges_q(spark, sf_dir, 15)
+    new = _part_succession_edges_q(spark, sf_dir, 17)
+    return edge_diff(old, new)
+
+
+def q_degree_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex degree churn between the same two snapshots
+    (build.degree_delta) — all int64, changed vertices only."""
+    from linkgraph.build import degree_delta
+
+    old = _part_succession_edges_q(spark, sf_dir, 15)
+    new = _part_succession_edges_q(spark, sf_dir, 17)
+    return degree_delta(old, new)
+
+
 def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full truss decomposition of the part-succession graph
     (kernels/truss.trussness): (u, w, truss) for every symmetrized
@@ -2163,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_k": q_louvain_k,
         "louvain_ml": q_louvain_ml,
         "host_communities": q_host_communities,
+        "edge_diff": q_edge_diff,
+        "degree_delta": q_degree_delta,
         "landmark_est": q_landmark_est,
         "fold_split": q_fold_split,
         "url_filter": q_url_filter,
@@ -6269,6 +6322,61 @@ FROM s_a_{rounds} a JOIN s_b_{rounds} b ON a.comm = b.id
 """
 
 
+def _part_succ_e_q(qmax: int) -> str:
+    """_PART_SUCC_E with a parameterized quantity cutoff."""
+    return f"""
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= {qmax}) a
+  JOIN (SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem WHERE l_quantity <= {qmax}) b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey
+"""
+
+
+_EDGE_DIFF_SQL = f"""
+WITH o AS MATERIALIZED ({_part_succ_e_q(15)}),
+n AS MATERIALIZED ({_part_succ_e_q(17)})
+SELECT src, dst, 'added' AS change FROM n
+WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.src = n.src AND o.dst = n.dst)
+UNION ALL
+SELECT src, dst, 'removed' AS change FROM o
+WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.src = o.src AND n.dst = o.dst)
+"""
+
+
+_DEGREE_DELTA_SQL = f"""
+WITH o AS MATERIALIZED ({_part_succ_e_q(15)}),
+n AS MATERIALIZED ({_part_succ_e_q(17)}),
+vo AS (
+  SELECT COALESCE(od.id, idg.id) AS id,
+         COALESCE(od.c, 0) AS out_old, COALESCE(idg.c, 0) AS in_old
+  FROM (SELECT src AS id, COUNT(*) AS c FROM o GROUP BY src) od
+  FULL JOIN (SELECT dst AS id, COUNT(*) AS c FROM o GROUP BY dst) idg
+    ON od.id = idg.id
+),
+vn AS (
+  SELECT COALESCE(od.id, idg.id) AS id,
+         COALESCE(od.c, 0) AS out_new, COALESCE(idg.c, 0) AS in_new
+  FROM (SELECT src AS id, COUNT(*) AS c FROM n GROUP BY src) od
+  FULL JOIN (SELECT dst AS id, COUNT(*) AS c FROM n GROUP BY dst) idg
+    ON od.id = idg.id
+)
+SELECT id, out_old, out_new, in_old, in_new,
+       out_new - out_old AS d_out, in_new - in_old AS d_in
+FROM (
+  SELECT COALESCE(vo.id, vn.id) AS id,
+         COALESCE(vo.out_old, 0) AS out_old,
+         COALESCE(vn.out_new, 0) AS out_new,
+         COALESCE(vo.in_old, 0) AS in_old,
+         COALESCE(vn.in_new, 0) AS in_new
+  FROM vo FULL JOIN vn ON vo.id = vn.id
+) t
+WHERE out_new - out_old <> 0 OR in_new - in_old <> 0
+"""
+
+
 def _host_communities_sql(rounds: int = 3) -> str:
     """Host-graph weighted Louvain oracle: host edge weights by the
     same direct id%50 construction as the host_pagerank oracle, then
@@ -6500,6 +6608,8 @@ FROM documents GROUP BY md5(text)
         "louvain_k": _louvain_sql(rounds=3),
         "louvain_ml": _louvain_ml_sql(rounds=3),
         "host_communities": _host_communities_sql(rounds=3),
+        "edge_diff": _EDGE_DIFF_SQL,
+        "degree_delta": _DEGREE_DELTA_SQL,
         "landmark_est": _landmark_sql(max_level=30),
         "fold_split": _fold_split_sql(seed=7),
         "url_filter": _URL_FILTER_SQL,

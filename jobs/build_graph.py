@@ -44,6 +44,12 @@ def main(argv: list[str]) -> int:
         help="also write the host-level rollup (src_host, dst_host, "
         "weight) to this parquet dir / table:<id>",
     )
+    ap.add_argument(
+        "--diff",
+        help="also write the edge-level diff vs this existing graph "
+        "(dir or table:<id>) — (src, dst, change added|removed) over "
+        "dense ids, plus a changed-edge summary in the output JSON",
+    )
     args = ap.parse_args(argv)
 
     from linkgraph.build import (
@@ -95,7 +101,39 @@ def main(argv: list[str]) -> int:
         write_table(host_rollup(g), args.host_graph)
         phases["host_graph"] = time.time() - t3
 
+    summary_extra = {}
+    if args.diff:
+        from linkgraph.build import edge_diff
+        from linkgraph.io import write_table
+
+        from pyspark.sql import functions as F
+
+        t5 = time.time()
+        base_g = read_graph(spark, args.diff)
+        # compare at the URL level (dense ids are snapshot-local):
+        # map both edge tables through their own vertex urls
+        def _url_edges(gr):
+            v = gr.vertices.select("id", "url")
+            return (
+                gr.edges.join(v.withColumnsRenamed({"id": "src", "url": "su"}), "src")
+                .join(v.withColumnsRenamed({"id": "dst", "url": "du"}), "dst")
+                .select(F.col("su").alias("src"), F.col("du").alias("dst"))
+            )
+
+        if "url" in g.vertices.columns and "url" in base_g.vertices.columns:
+            d = edge_diff(_url_edges(base_g), _url_edges(g))
+        else:
+            d = edge_diff(base_g.edges, g.edges)
+        write_table(d, f"{args.output.rstrip('/')}/diff" if not args.output.startswith("table:") else args.output + "_diff")
+        counts = {r["change"]: r["c"] for r in d.groupBy("change").agg(F.count(F.lit(1)).alias("c")).collect()}
+        summary_extra["diff"] = {
+            "added": int(counts.get("added", 0)),
+            "removed": int(counts.get("removed", 0)),
+        }
+        phases["diff"] = time.time() - t5
+
     print(json.dumps({"n": g.n, "m": g.m, "output": args.output,
+                      **summary_extra,
                       "phases": {k: round(v, 3) for k, v in phases.items()}}))
     return 0
 

@@ -565,3 +565,68 @@ def adjacency_gap_stats(edges: DataFrame, layout: str = "raw") -> DataFrame:
         F.sum("n").cast("long").alias("n_edges"),
         F.sum("bits").cast("long").alias("total_gap_bits"),
     )
+
+
+def edge_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """(src, dst, change 'added'|'removed'): the edge-level delta
+    between two graph snapshots — the monitoring companion to
+    update_graph (what did the re-crawl actually change?). Distinct
+    edge semantics (the engine's edge tables are deduped); unchanged
+    edges are absent. Two hash anti-joins on the (src, dst) key —
+    shuffle-partitioned by the same key the edge tables are already
+    laid out on, no driver-side state."""
+    o = old_edges.select("src", "dst").distinct()
+    n = new_edges.select("src", "dst").distinct()
+    added = n.join(o, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("added").alias("change")
+    )
+    removed = o.join(n, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("removed").alias("change")
+    )
+    return added.unionByName(removed)
+
+
+def degree_delta(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """(id, out_old, out_new, in_old, in_new, d_out, d_in): per-vertex
+    degree movement between two snapshots — the per-page churn view of
+    edge_diff (a page whose in-degree collapses lost its inbound links;
+    one whose out-degree exploded likely became a link farm). Four
+    partial+final degree aggregates + two full-outer joins keyed on id;
+    vertices with no change in either direction are dropped. Absent
+    degrees coalesce to 0, all int64."""
+    def degs(e: DataFrame, tag: str) -> DataFrame:
+        od = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias(f"out_{tag}")
+        )
+        idg = e.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias(f"in_{tag}")
+        )
+        return od.join(idg, "id", "full").select(
+            "id",
+            F.coalesce(f"out_{tag}", F.lit(0)).alias(f"out_{tag}"),
+            F.coalesce(f"in_{tag}", F.lit(0)).alias(f"in_{tag}"),
+        )
+
+    old_d = degs(old_edges.select("src", "dst").distinct(), "old")
+    new_d = degs(new_edges.select("src", "dst").distinct(), "new")
+    out = (
+        old_d.join(new_d, "id", "full")
+        .select(
+            "id",
+            F.coalesce("out_old", F.lit(0)).alias("out_old"),
+            F.coalesce("out_new", F.lit(0)).alias("out_new"),
+            F.coalesce("in_old", F.lit(0)).alias("in_old"),
+            F.coalesce("in_new", F.lit(0)).alias("in_new"),
+        )
+        .select(
+            "id",
+            "out_old",
+            "out_new",
+            "in_old",
+            "in_new",
+            (F.col("out_new") - F.col("out_old")).alias("d_out"),
+            (F.col("in_new") - F.col("in_old")).alias("d_in"),
+        )
+        .where((F.col("d_out") != 0) | (F.col("d_in") != 0))
+    )
+    return out

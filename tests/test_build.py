@@ -491,3 +491,29 @@ def test_adjacency_gap_stats_matches_replay_and_improves(spark):
     b_near = adjacency_gap_stats(near, "n").collect()[0]["total_gap_bits"]
     b_far = adjacency_gap_stats(far, "f").collect()[0]["total_gap_bits"]
     assert b_near < b_far
+
+
+def test_edge_diff_and_degree_delta_match_set_replay(spark):
+    """Snapshot diff ops: set-based replay, duplicate rows collapse,
+    unchanged vertices absent from degree_delta."""
+    from linkgraph.build import degree_delta, edge_diff
+
+    old = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    new = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 4), (4, 0), (3, 0)], "src long, dst long"
+    )
+    diff = {
+        (r["src"], r["dst"]): r["change"]
+        for r in edge_diff(old, new).collect()
+    }
+    assert diff == {(2, 3): "removed", (2, 4): "added", (4, 0): "added"}
+
+    dd = {r["id"]: (r["d_out"], r["d_in"]) for r in degree_delta(old, new).collect()}
+    # vertex 2: out 1->1, in 1->1 (unchanged, absent); vertex 3: out
+    # 1->1 BUT in 1->0; vertex 4: out 0->1, in 0->1; vertex 0: in 1->2
+    assert 2 not in dd and 1 not in dd
+    assert dd[3] == (0, -1)
+    assert dd[4] == (1, 1)
+    assert dd[0] == (0, 1)

@@ -37,6 +37,12 @@ SUBJECTS = [
     "simhash_pairs",
     "zorder_orders",
     "embedding_covariance",
+    "url_filter",
+    "fold_split",
+    "louvain_k",
+    "trussness",
+    "landmark_est",
+    "host_communities",
 ]
 
 
