@@ -172,7 +172,9 @@ print(json.dumps({"cpus": cpus, "wall_s": wall, "n": g.n, "m": g.m,
                   "gc_s": round((gc1 - gc0) / 1000.0, 1),
                   "jvm_cpu_s": round(cpu1 - cpu0, 1),
                   "cpu_util": round((cpu1 - cpu0) / (wall * cpus), 3),
-                  "edges_per_sec": res.edges_processed / wall,
+                  # CCResult has no edges_processed (pagerank-only field);
+                  # fall back to m * rounds for the cc kernel
+                  "edges_per_sec": getattr(res, "edges_processed", g.m * res.iterations) / wall,
                   "median_edges_per_sec": g.m / median}))
 """
 
