@@ -2673,8 +2673,14 @@ def _negative_sample_sql(k: int = 3, seed: int = 7, overgen: int = 4) -> str:
     )
 
     seed = int(seed) % MIX_PRIME
+    # full-src mix (r5): low 20 bits direct, high bits through one
+    # Lehmer round — byte-mirror of kernels/sampling.py:draw_expr
+    s1 = (
+        f"(((((s.id >> 20) % {MIX_PRIME}) * {MIX_MULT}) % {MIX_PRIME}"
+        f" + s.id % {MIX_MASK}) % {MIX_PRIME})"
+    )
     h = (
-        f"((((s.id % {MIX_MASK}) * {MIX_START} + t.j * {MIX_WALK} + {seed})"
+        f"((({s1} * {MIX_START} + t.j * {MIX_WALK} + {seed})"
         f" % {MIX_PRIME}) * {MIX_MULT}) % {MIX_PRIME}"
     )
     return f"""

@@ -138,8 +138,23 @@ def _move_phase(
         )
         cres = coloring(gs)
         colors = sever(cres.df.select(F.col("id").alias("src"), "color"))
-        n_colors = int(cres.colors_used)
         gs.unpersist()
+        if int(cres.colors_used) == 0:
+            # no off-diagonal edges: every vertex already sits alone in
+            # its own community, and `it % n_colors` below would divide
+            # by zero. Return the identity state as a converged phase
+            # (a self-loop-only contracted graph in _multilevel lands
+            # here and triggers the caller's moves==0 break).
+            release(colors)
+            state = sever(vertices.select("id", F.col("id").alias("comm")))
+            return LouvainResult(
+                df=state,
+                iterations=0,
+                wall_seconds=time.time() - t0,
+                metrics=[{"iteration": -1, "moves": 0, "converged": True,
+                          "wall_s": 0.0}],
+            )
+        n_colors = max(1, int(cres.colors_used))
     else:
         n_colors = 2 if schedule == "parity" else 1
     # weighted degree: self-loop rows carry their full 2x contribution

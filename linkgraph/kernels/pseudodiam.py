@@ -73,7 +73,18 @@ def pseudo_diameter(
     )
     try:
         if start is None:
-            start = int(work.vertices.agg(F.min("id")).collect()[0][0])
+            min_id = work.vertices.agg(F.min("id")).collect()[0][0]
+            if min_id is None:
+                raise ValueError(
+                    "pseudo_diameter: graph has no vertices"
+                )
+            start = int(min_id)
+        elif work.vertices.where(F.col("id") == F.lit(int(start))).limit(
+            1
+        ).count() == 0:
+            raise ValueError(
+                f"pseudo_diameter: start id {start} is not a vertex"
+            )
         rows: list[tuple[int, int, int, int]] = []
         metrics: list[dict] = []
         cur = start

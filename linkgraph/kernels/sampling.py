@@ -145,9 +145,19 @@ def draw_expr(src: Column, j: Column, seed: int) -> Column:
     """Portable candidate draw — the same two-round Lehmer shape as
     walks.mix_expr but producing the candidate itself: the hash IS the
     sample, mapped into the id space by the caller's `% (max_id + 1)`.
+
+    The FULL src feeds the draw: low 20 bits directly, the remaining
+    high bits through one Lehmer round (MIX_MULT is coprime to
+    MIX_PRIME, so the high-bit round is injective mod the prime) —
+    two srcs share a candidate sequence only if they agree in the low
+    20 bits AND mod-prime on the high bits, i.e. every 2^51 ids, not
+    every 2^20 as the pre-r5 low-bits-only draw did. All intermediates
+    stay < 2^63: (hi % P)*MULT < 2^62.3, s1*MIX_START < 2^52.
     Mirrored verbatim in the driver oracle SQL
     (__spark_entry__._negative_sample_sql); change both or neither."""
-    x = (src % MIX_MASK) * MIX_START + j * MIX_WALK + F.lit(int(seed)).cast("long")
+    hi = F.shiftright(src, 20)
+    s1 = (((hi % MIX_PRIME) * MIX_MULT) % MIX_PRIME + src % MIX_MASK) % MIX_PRIME
+    x = s1 * MIX_START + j * MIX_WALK + F.lit(int(seed)).cast("long")
     return ((x % MIX_PRIME) * MIX_MULT) % MIX_PRIME
 
 

@@ -114,6 +114,12 @@ def url_filter(
     long, keep boolean) — annotation, not deletion, so callers can
     audit before filtering (`.where("keep")` to apply).
     """
+    for kw in blocked_keywords or []:
+        if not kw:
+            raise ValueError(
+                "blocked_keywords must be non-empty strings; an empty "
+                "keyword would divide the occurrence count by len(kw)=0"
+            )
     spark = df.sparkSession
     if isinstance(blocked_domains, list):
         blocked_domains = spark.createDataFrame(

@@ -570,7 +570,10 @@ def negative_sample_replay(
     seed = int(seed) % p
 
     def draw(s: int, j: int) -> int:
-        x = (s % mask) * 2097169 + j * 131071 + seed
+        # full-src mix (r5): low 20 bits direct, high bits via one
+        # Lehmer round — mirror of kernels/sampling.py:draw_expr
+        s1 = (((s >> 20) % p) * mult % p + s % mask) % p
+        x = s1 * 2097169 + j * 131071 + seed
         return ((x % p) * mult) % p
 
     verts = (

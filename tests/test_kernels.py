@@ -2883,3 +2883,97 @@ def test_louvain_weighted_heavy_bridge_rebinds(spark):
     assert comm_h[2] not in (comm_h[0], comm_h[4])  # ripped out
     assert comm_h[0] == comm_h[1] and comm_h[4] == comm_h[5]
     assert len(set(comm_h.values())) == 3
+
+
+def test_louvain_degenerate_graphs_terminate(spark):
+    """r5 ADVICE fix: coloring on a graph whose contraction leaves no
+    off-diagonal edges returns colors_used=0; louvain must not divide
+    by zero (it % n_colors). Single edge, self-loop-only, and disjoint
+    cliques (every component collapses to one community at level 1)
+    all previously crashed with ZeroDivisionError."""
+    from linkgraph.kernels import louvain, louvain_moves
+    from linkgraph.kernels.louvain import louvain_weighted
+
+    # single edge: level 1 contracts to one self-loop vertex
+    g1 = build_graph_from_edges(
+        spark.createDataFrame([(0, 1)], "src long, dst long")
+    )
+    r1 = louvain(g1)
+    comm = {r["id"]: r["comm"] for r in r1.df.collect()}
+    assert comm[0] == comm[1]
+    g1.unpersist()
+
+    # self-loop only: zero off-diagonal edges at level 0
+    g0 = build_graph_from_edges(
+        spark.createDataFrame([(5, 5)], "src long, dst long")
+    )
+    assert [tuple(r) for r in louvain_moves(g0).df.collect()] == [(5, 5)]
+    rw = louvain_weighted(
+        spark.createDataFrame([(5, 5, 1)], "src long, dst long, weight long")
+    )
+    assert [tuple(r) for r in rw.df.collect()] == [(5, 5)]
+    g0.unpersist()
+
+    # three disjoint 4-cliques: each collapses to one community
+    edges = [
+        (b * 10 + u, b * 10 + v)
+        for b in range(3)
+        for u in range(4)
+        for v in range(4)
+        if u != v
+    ]
+    g2 = build_graph_from_edges(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+    r2 = louvain(g2)
+    comm2 = {r["id"]: r["comm"] for r in r2.df.collect()}
+    assert len(set(comm2.values())) == 3
+    for b in range(3):
+        assert len({comm2[b * 10 + u] for u in range(4)}) == 1
+    g2.unpersist()
+
+
+def test_pseudo_diameter_validates_input(spark):
+    """r5 ADVICE fix: empty graph and absent start id raise clear
+    ValueErrors instead of TypeError / silent ecc=0."""
+    from linkgraph.kernels import pseudo_diameter
+
+    gempty = build_graph_from_edges(
+        spark.createDataFrame([], "src long, dst long")
+    )
+    with pytest.raises(ValueError, match="no vertices"):
+        pseudo_diameter(gempty)
+    gempty.unpersist()
+
+    g = build_graph_from_edges(
+        spark.createDataFrame([(0, 1)], "src long, dst long")
+    )
+    with pytest.raises(ValueError, match="not a vertex"):
+        pseudo_diameter(g, start=999)
+    g.unpersist()
+
+
+def test_negative_sample_high_bits_decorrelate(spark):
+    """r5 ADVICE fix: the candidate draw mixes the FULL src — sources
+    congruent mod 2^20 must draw different candidate sequences. Build
+    a graph on {0, 2^20} plus enough filler vertices that draws
+    survive the hole filter, then compare the two slates."""
+    from linkgraph.kernels import negative_sample
+    from tests.oracles import negative_sample_replay
+
+    n = 64
+    lo, hi = 0, 1 << 20
+    pairs = [(lo, 1), (hi, 2)] + [(3, i) for i in range(4, n)]
+    src = np.array([p[0] for p in pairs], dtype=np.int64)
+    dst = np.array([p[1] for p in pairs], dtype=np.int64)
+    g = build_graph_from_edges(
+        spark.createDataFrame(pairs, "src long, dst long"), n=hi + 1
+    )
+    res = negative_sample(g, k=4, seed=7)
+    rows = {(r["src"], r["slot"], r["dst"]) for r in res.df.collect()}
+    want = negative_sample_replay(src, dst, k=4, seed=7, n=hi + 1)
+    assert rows == want
+    seq_lo = sorted((s, d) for s, sl, d in rows if s == lo)
+    seq_hi = sorted(d for s, sl, d in rows if s == hi)
+    assert seq_hi and [d for _, d in seq_lo] != seq_hi
+    g.unpersist()

@@ -2663,3 +2663,16 @@ def test_url_filter_matches_python_replay(spark):
         lo = u.lower()
         hits = sum(lo.count(k) for k in kws)
         assert got[u] == (bd, hits, bd is None and hits == 0), u
+
+
+def test_url_filter_rejects_empty_keyword(spark):
+    """r5 ADVICE fix: an empty blocked keyword would divide the
+    occurrence count by len(kw)=0 (NULL kw_hits, NULL keep) — it must
+    be rejected up front."""
+    from linkgraph.pipeline import url_filter
+
+    df = spark.createDataFrame([("http://a.com/x",)], "url string")
+    with pytest.raises(ValueError, match="non-empty"):
+        url_filter(df, ["bad.com"], blocked_keywords=[""])
+    with pytest.raises(ValueError, match="non-empty"):
+        url_filter(df, ["bad.com"], blocked_keywords=["ok", ""])
