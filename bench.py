@@ -250,6 +250,35 @@ def main() -> None:
     prw, web_phases = best_of("web_pipeline", web_run, n=3)
     detail["web_phases"] = web_phases  # split of the BEST (min-wall) run
 
+    # VERDICT r4 item 1: the driver tail-captures stdout, so the big
+    # telemetry blob must NOT ride the headline line (r4's record was
+    # truncated to parsed:null). Full detail goes to a sidecar file +
+    # an earlier stdout line; the compact headline JSON is the FINAL
+    # line and stays well under any tail-capture window.
+    full_detail = {
+        "methodology": (
+            "per query: 1 excluded warm-up + best-of-n min wall "
+            "(n=2; pagerank & web_pipeline n=3); medians in "
+            "*_median_s; per-run gc/cpu/host telemetry in detail"
+        ),
+        "pagerank_iterations": pr.iterations,
+        "sustained_edges_per_sec": round(sustained, 1),
+        "graph_n": g.n,
+        "graph_m": g.m,
+        "web_pagerank_iterations": prw.iterations,
+        **detail,
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run_detail.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        with open(sidecar, "w") as fh:
+            json.dump(full_detail, fh, indent=1, sort_keys=True)
+        print(f"detail -> {sidecar}")
+    except OSError as exc:  # read-only checkout: detail still on stdout
+        print(json.dumps({"detail": full_detail}))
+        print(f"detail sidecar unwritable ({exc}); printed above instead")
     print(
         json.dumps(
             {
@@ -258,21 +287,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in queries.items()},
                 "sf": sf,
-                "detail": {
-                    "methodology": (
-                        "per query: 1 excluded warm-up + best-of-n min wall "
-                        "(n=2; pagerank & web_pipeline n=3); medians in "
-                        "*_median_s; per-run gc/cpu/host telemetry in detail"
-                    ),
-                    "pagerank_iterations": pr.iterations,
-                    "sustained_edges_per_sec": round(sustained, 1),
-                    "graph_n": g.n,
-                    "graph_m": g.m,
-                    "web_pagerank_iterations": prw.iterations,
-                    **detail,
-                },
+                "detail_sidecar": "BENCH/last_run_detail.json",
             }
-        )
+        ),
+        flush=True,
     )
 
 
