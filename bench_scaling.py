@@ -89,10 +89,11 @@ def cpu_s():
         parts = f.read().split()
     return (int(parts[13]) + int(parts[14])) / os.sysconf("SC_CLK_TCK")
 
+rmat_scale = int(sys.argv[10])
 from linkgraph.build import build_graph_from_edges, symmetrize
-from linkgraph.kernels import connected_components, pagerank
+from linkgraph.kernels import connected_components, pagerank, triangle_count
 g = build_graph_from_edges(spark.read.parquet(edges_path),
-                           n=1 << 26, assume_deduped=True,
+                           n=1 << rmat_scale, assume_deduped=True,
                            num_partitions=partitions)
 if kernel == "cc":
     # symmetrize OUTSIDE the timed window: the scaling criterion is
@@ -106,6 +107,25 @@ gc0, cpu0 = gc_ms(), cpu_s()
 t0 = time.time()
 if kernel == "cc":
     res = connected_components(g, symmetrize_edges=False)
+elif kernel == "triangles":
+    # one-shot shuffle-heavy kernel: no iteration structure, so the
+    # scaling observable is the WHOLE kernel wall (symmetrize +
+    # orientation + wedge/close joins — all of it is the kernel's
+    # real work and all of it shuffles). Run `iters` back-to-back
+    # repetitions inside one JVM; per-rep walls play the role the
+    # per-iteration walls play for pagerank (warm-up exclusion and
+    # the median/min estimators then apply unchanged).
+    class _TriRuns:
+        pass
+    res = _TriRuns()
+    res.metrics = []
+    tri_counts = []
+    for _rep in range(iters):
+        r = triangle_count(g)
+        res.metrics.append({"wall_s": r.wall_seconds})
+        tri_counts.append(r.count)
+    res.iterations = iters
+    assert len(set(tri_counts)) == 1, tri_counts  # determinism pin
 else:
     res = pagerank(g, tol=0.0, max_iter=iters, salt=salt, adaptive=adaptive)
 wall = time.time() - t0
@@ -161,6 +181,7 @@ except Exception as exc:
     stage_rows = [{"err": str(exc)}]
 print(json.dumps({"cpus": cpus, "wall_s": wall, "n": g.n, "m": g.m,
                   "kernel": kernel,
+                  "triangles": tri_counts[0] if kernel == "triangles" else None,
                   "stages": stage_rows,
                   "iterations": res.iterations,
                   "iter_walls": walls,
@@ -179,15 +200,21 @@ print(json.dumps({"cpus": cpus, "wall_s": wall, "n": g.n, "m": g.m,
 """
 
 
-def ensure_rmat() -> str:
-    """Deterministic rMAT scale-26 (~67M vertex-id space, ~700M distinct
-    edges): big enough that per-iteration shuffle compute dominates
-    Spark's fixed per-job latency — the regime the scaling criterion is
-    about. Generated DISTRIBUTED (mapInPandas chunks) and written
-    pre-deduped, hash-distributed by src."""
-    if os.path.exists(os.path.join(RMAT_PATH, "_SUCCESS")):
-        return RMAT_PATH
-    print("generating rMAT scale=26 ef=12 (distributed) ...", file=sys.stderr)
+def ensure_rmat(scale: int = 26) -> str:
+    """Deterministic rMAT at the given scale (scale 26 ef 12 ≈ 67M
+    vertex-id space, ~700M distinct edges): big enough that
+    per-iteration shuffle compute dominates Spark's fixed per-job
+    latency — the regime the scaling criterion is about. Generated
+    DISTRIBUTED (mapInPandas chunks) and written pre-deduped,
+    hash-distributed by src. Smaller scales (e.g. 22 for the
+    triangles kernel, whose wedge volume grows superlinearly in m)
+    land in bench_data/rmat{scale}_edges."""
+    path = RMAT_PATH if scale == 26 else os.path.join(
+        REPO, "bench_data", f"rmat{scale}_edges"
+    )
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    print(f"generating rMAT scale={scale} ef=12 (distributed) ...", file=sys.stderr)
     # generation runs in its own subprocess: a stopped in-process
     # SparkContext leaves a JVM behind that would contaminate the
     # timed worker runs
@@ -197,12 +224,13 @@ from linkgraph.datagen import rmat_edges_distributed
 from linkgraph.session import get_spark
 spark = get_spark(app_name="rmat-gen", master="local[32]", shuffle_partitions=64,
                   extra_conf={"spark.driver.memory": "64g"})
-edges = rmat_edges_distributed(spark, scale=26, edge_factor=12)
+edges = rmat_edges_distributed(spark, scale=int(sys.argv[2]), edge_factor=12)
 (edges.distinct().repartition(64, "src").sortWithinPartitions("src", "dst")
  .write.mode("overwrite").parquet(sys.argv[1]))
 """
-    subprocess.run([sys.executable, "-c", gen, RMAT_PATH], cwd=REPO, check=True)
-    return RMAT_PATH
+    subprocess.run([sys.executable, "-c", gen, path, str(scale)], cwd=REPO,
+                   check=True)
+    return path
 
 
 def _drop_page_cache() -> None:
@@ -229,7 +257,7 @@ def run_level(edges_path: str, cpus: int, args) -> dict:
                 sys.executable, "-c", WORKER, edges_path, str(cpus),
                 str(args.iters), args.heap, str(args.partitions),
                 str(args.salt), str(int(args.adaptive)), str(args.warmup),
-                args.kernel,
+                args.kernel, str(args.scale),
             ],
             capture_output=True,
             text=True,
@@ -265,15 +293,23 @@ def main() -> None:
     ap.add_argument("--adaptive", action="store_true")
     ap.add_argument("--warmup", type=int, default=2,
                     help="iterations excluded from median/min (JIT + cache first-touch)")
-    ap.add_argument("--kernel", choices=("pagerank", "cc"), default="pagerank",
+    ap.add_argument("--kernel", choices=("pagerank", "cc", "triangles"),
+                    default="pagerank",
                     help="pagerank: fixed --iters rounds, median/min per-iteration "
                          "estimators; cc: runs to the deterministic fixpoint, "
                          "estimator = sum of dense-pull round walls (the "
-                         "compute-bound rounds; the sparse tail is fixed-latency)")
+                         "compute-bound rounds; the sparse tail is fixed-latency); "
+                         "triangles: one-shot shuffle-heavy kernel, --iters "
+                         "back-to-back repetitions, per-rep walls feed the same "
+                         "median/min estimators")
+    ap.add_argument("--scale", type=int, default=26,
+                    help="rMAT scale (vertex-id space 2^scale, ef 12); use a "
+                         "smaller scale for triangles (wedge volume grows "
+                         "superlinearly in m)")
     ap.add_argument("--only", type=int, default=0, help="run a single level, print JSON, no md append")
     args = ap.parse_args()
 
-    edges_path = ensure_rmat()
+    edges_path = ensure_rmat(args.scale)
     if args.only:
         rec = run_level(edges_path, args.only, args)
         print(json.dumps(rec))
@@ -296,7 +332,7 @@ def main() -> None:
     efficiency = (lo["median_iter_s"] / hi["median_iter_s"]) / factor
     efficiency_min = (lo["min_iter_s"] / hi["min_iter_s"]) / factor
     result = {
-        "input": f"rmat(scale=26, ef=12, distributed-gen) {args.kernel}",
+        "input": f"rmat(scale={args.scale}, ef=12, distributed-gen) {args.kernel}",
         "kernel": args.kernel,
         "config": {"heap": args.heap, "partitions": args.partitions,
                    "salt": args.salt, "adaptive": args.adaptive},
@@ -319,7 +355,7 @@ def main() -> None:
             else f"{args.iters} fixed iterations"
         )
         f.write(
-            f"\n## Scaling run {result['ts']} (rMAT scale 26, ef 12, kernel={args.kernel}, {iters_note} "
+            f"\n## Scaling run {result['ts']} (rMAT scale {args.scale}, ef 12, kernel={args.kernel}, {iters_note} "
             f"({args.warmup} warm-up excluded from stats), "
             f"heap {args.heap}, {args.partitions} partitions, salt={args.salt}, "
             f"aqe={'on' if args.adaptive else 'off'}, local.dir=tmpfs, cpuset-pinned)\n\n"

@@ -16,6 +16,7 @@ import hashlib
 import json
 import os
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -70,8 +71,10 @@ def main() -> None:
             continue
         rec = {"rows_match": None, "schema_match": None, "hash_match": None,
                "dtype_match": None, "err": None}
+        t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
+            rec["spark_wall_s"] = round(time.time() - t0, 2)
             if name not in oracles:
                 rec["err"] = "no_oracle"
                 rec["spark_rows"] = len(sdf)
@@ -105,6 +108,11 @@ def main() -> None:
     bad = [n for n, r in report.items()
            if r.get("err") not in (None, "no_oracle")
            or (r.get("hash_match") is False)]
+    out = os.environ.get("CHECK_CORRECTNESS_OUT")
+    if out and not only:
+        with open(out, "w") as fh:
+            json.dump({"sf_dir": SF_DIR, "failed": bad, "report": report},
+                      fh, indent=1, sort_keys=True)
     print(json.dumps({"failed": bad}))
     sys.exit(1 if bad else 0)
 
