@@ -285,3 +285,117 @@ def test_enrich_events_stream_static_equals_batch(spark, tmp_path):
         assert got == want and len(got) == want_rows
     with _pytest.raises(ValueError):
         enrich_events(stream, dim, "item", how="full")
+
+
+def _dedup_writer(spark, src, sink, ckpt, available_now=True):
+    """dedup_stream wired to a parquet sink + real checkpointLocation
+    (the restart tests reuse sink+ckpt across query generations)."""
+    from linkgraph.streaming import dedup_stream
+
+    base = 1_000_000_000  # keep every ts above the initial epoch-0 watermark
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # one file per microbatch
+        .parquet(src)
+        .select(
+            F.md5("text").alias("content_md5"),
+            F.timestamp_seconds(F.col("doc_id") + F.lit(base)).alias("ts"),
+        )
+    )
+    w = (
+        dedup_stream(stream, ["content_md5"], "ts", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def test_dedup_stream_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart recovery (VERDICT r4 item 5): drain batch A,
+    stop the query, append batch B whose rows duplicate A's contents,
+    restart from the SAME checkpointLocation. B's duplicates must
+    still be dropped — that happens ONLY if the dedup state store
+    recovered from the checkpoint — and the final sink must equal an
+    uninterrupted run over A+B."""
+    src = str(tmp_path / "src")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    a = spark.createDataFrame(
+        [(i, f"text-{i % 4}") for i in range(8)], "doc_id long, text string"
+    )
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = _dedup_writer(spark, src, sink, ckpt)
+    q.awaitTermination(120)
+    assert len(spark.read.parquet(sink).collect()) == 4
+
+    # batch B: 4 duplicates of A's contents + 2 genuinely new ones
+    b = spark.createDataFrame(
+        [(100 + i, f"text-{i % 4}") for i in range(4)]
+        + [(200, "fresh-a"), (201, "fresh-b")],
+        "doc_id long, text string",
+    )
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    q = _dedup_writer(spark, src, sink, ckpt)  # restart, same ckpt
+    q.awaitTermination(120)
+    got = sorted(
+        r["content_md5"] for r in spark.read.parquet(sink).collect()
+    )
+    # exactly one row per distinct content across BOTH generations:
+    # A's 4 + B's 2 new; B's duplicates died against recovered state
+    assert len(got) == 6
+
+    # uninterrupted control run over the identical source state
+    sink2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    q = _dedup_writer(spark, src, sink2, ckpt2)
+    q.awaitTermination(120)
+    want = sorted(
+        r["content_md5"] for r in spark.read.parquet(sink2).collect()
+    )
+    assert got == want
+
+
+def test_dedup_stream_kill_midstream_recovers(spark, tmp_path):
+    """Harder variant: kill a RUNNING continuous query mid-stream
+    (after >=1 microbatch of 8 queued single-row files), then restart
+    from its checkpoint with an availableNow drain. The parquet sink's
+    manifest log + recovered state must make the final output exactly
+    equal the uninterrupted run — wherever the kill landed."""
+    import time as _t
+
+    src = str(tmp_path / "src")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    # 8 single-row files: contents cycle over 4 values -> 4 survivors
+    for i in range(8):
+        spark.createDataFrame(
+            [(i, f"text-{i % 4}")], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = _dedup_writer(spark, src, sink, ckpt, available_now=False)
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        if q.lastProgress and q.lastProgress.get("numInputRows", 0) >= 0 \
+                and q.recentProgress:
+            break
+        _t.sleep(0.2)
+    q.stop()  # kill wherever processing stands
+    q.awaitTermination(60)
+
+    q = _dedup_writer(spark, src, sink, ckpt)  # resume + drain the rest
+    q.awaitTermination(120)
+    got = sorted(
+        r["content_md5"] for r in spark.read.parquet(sink).collect()
+    )
+
+    sink2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    q = _dedup_writer(spark, src, sink2, ckpt2)
+    q.awaitTermination(120)
+    want = sorted(
+        r["content_md5"] for r in spark.read.parquet(sink2).collect()
+    )
+    assert len(want) == 4
+    assert got == want
