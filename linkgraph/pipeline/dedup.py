@@ -81,6 +81,22 @@ def minhash_signatures(
     )
 
 
+def band_frame(sig: DataFrame, band_rows: int = 2) -> DataFrame:
+    """(doc_id, band_id, band_sig) — the LSH banding of a long-format
+    minhash_signatures() frame. Factored out of lsh_candidate_pairs so
+    scale tooling (tools/bench_dedup_scale.py) can measure bucket-size
+    distributions — Σ bucket² is the candidate-join's true cost — from
+    EXACTLY the frame the join uses, not a re-derivation that could
+    drift."""
+    return sig.groupBy(
+        "doc_id", (F.col("hash_idx") / band_rows).cast("int").alias("band_id")
+    ).agg(
+        F.concat_ws(
+            ":", F.sort_array(F.collect_list(F.concat_ws("=", "hash_idx", "min_hash")))
+        ).alias("band_sig")
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -112,13 +128,7 @@ def lsh_candidate_pairs(
     see minhash_jaccard_pairs)."""
     if sig is None:
         sig = minhash_signatures(docs, num_hashes, k)
-    bands = sig.groupBy(
-        "doc_id", (F.col("hash_idx") / band_rows).cast("int").alias("band_id")
-    ).agg(
-        F.concat_ws(
-            ":", F.sort_array(F.collect_list(F.concat_ws("=", "hash_idx", "min_hash")))
-        ).alias("band_sig")
-    )
+    bands = band_frame(sig, band_rows)
     if max_bucket is not None:
         small = (
             bands.groupBy("band_id", "band_sig")

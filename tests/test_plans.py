@@ -626,3 +626,31 @@ def test_sever_loop_stays_flat(spark):
     # flat runs sit within noise of 1x
     assert tail < 8 * head + 0.5, (head, tail, walls)
     g.unpersist()
+
+
+def test_committed_plan_audit_is_clean():
+    """The committed plan-audit artifact (tools/plan_audit.py ->
+    PLANS_r5.json) must show zero CartesianProduct and zero
+    row-at-a-time Python UDF eval (BatchEvalPython) in every audited
+    plan, and every subject must have produced a plan (no errors).
+    Regenerate with `python tools/plan_audit.py` after plan-affecting
+    changes — this test is the round-over-round regression tripwire."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS_r5.json")
+    if not os.path.exists(path):
+        import pytest as _pytest
+
+        _pytest.skip("PLANS_r5.json not generated yet this round")
+    with open(path) as f:
+        audit = json.load(f)["plans"]
+    assert audit, "empty audit"
+    errors = {n: p["error"] for n, p in audit.items() if "error" in p}
+    assert not errors, errors
+    dirty = {
+        n: p
+        for n, p in audit.items()
+        if p.get("cartesian", 0) or p.get("batch_eval_python", 0)
+    }
+    assert not dirty, dirty

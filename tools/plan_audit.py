@@ -2,14 +2,33 @@
 inspectable artifact behind the plan-shape claims (zero Exchange on
 per-row ops, partial+final aggregates, broadcast probes, shuffled-hash
 kernel scatters). tests/test_plans.py pins the load-bearing properties
-in CI; this tool prints the full plans for human review.
+in CI; this tool prints the full plans for human review AND emits a
+diffable per-query feature summary (PLANS_r5.json) so plan regressions
+— a Sort or CartesianProduct sneaking into a pinned loop — show up as
+a one-line diff round-over-round instead of a buried wall change.
 
-Usage: python tools/plan_audit.py [out_path]   (default PLANS.txt)
+Counted features per plan (from `explain("formatted")` node names):
+  exchanges          Exchange (shuffle) operators
+  sorts              Sort operators
+  sort_merge_joins / shuffled_hash_joins / broadcast_hash_joins
+  nested_loop_joins  BroadcastNestedLoopJoin (one-row broadcast scalars
+                     are legitimate; anything else is suspect)
+  cartesian          CartesianProduct — MUST be 0 everywhere
+  batch_eval_python  row-at-a-time Python UDF eval — MUST be 0
+  arrow_python       ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
+  wholestage         WholeStageCodegen spans
+
+Usage: python tools/plan_audit.py [out_txt] [out_json]
+       (defaults PLANS.txt, PLANS_r5.json)
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
+import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -17,15 +36,22 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-# (name, builder) — each returns a DataFrame whose plan we dump
+# The five driver-benched headline queries map to the first five
+# subjects; betweenness/trussness/louvain_ml are the most expensive r4
+# kernels (VERDICT r4 item 7); the rest are the pipeline plan shapes
+# the 100 TB posture claims rest on.
 SUBJECTS = [
     "degree_counts",
     "pagerank_k",
     "cc_components",
     "triangle_count",
     "labelprop_k",
+    "betweenness",
+    "trussness",
+    "louvain_ml",
     "lsh_pairs",
     "ann_ivf_topk",
+    "ann_topk",
     "bm25_topk",
     "cms_top_words",
     "hll_trigrams",
@@ -40,35 +66,63 @@ SUBJECTS = [
     "url_filter",
     "fold_split",
     "louvain_k",
-    "trussness",
     "landmark_est",
     "host_communities",
 ]
 
+FEATURES = {
+    "exchanges": r"\bExchange\b",
+    "sorts": r"\bSort\b",
+    "sort_merge_joins": r"\bSortMergeJoin\b",
+    "shuffled_hash_joins": r"\bShuffledHashJoin\b",
+    "broadcast_hash_joins": r"\bBroadcastHashJoin\b",
+    "nested_loop_joins": r"\bBroadcastNestedLoopJoin\b",
+    "cartesian": r"\bCartesianProduct\b",
+    "batch_eval_python": r"\bBatchEvalPython\b",
+    "arrow_python": r"\b(ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)\b",
+    "wholestage": r"\bWholeStageCodegen\b",
+}
+
+
+def summarize(plan_text: str) -> dict:
+    # Count only in the numbered operator-tree section (`(3) Sort ...`
+    # header lines), not in the per-node detail blocks below it, so a
+    # node is counted once.
+    tree_lines = [
+        line for line in plan_text.splitlines()
+        if re.match(r"^[\s:*+-]*\(\d+\)\s", line)
+    ]
+    tree = "\n".join(tree_lines)
+    return {k: len(re.findall(rx, tree)) for k, rx in FEATURES.items()}
+
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "PLANS.txt")
+    out_txt = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "PLANS.txt")
+    out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "PLANS_r5.json")
     import __spark_entry__ as entry
     from linkgraph.session import get_spark
 
     spark = get_spark(app_name="plan-audit", master="local[8]", shuffle_partitions=8)
     qs = entry.queries()
-    with open(out_path, "w") as f:
+    summary: dict[str, dict] = {}
+    with open(out_txt, "w") as f:
         for name in SUBJECTS:
             f.write(f"{'=' * 72}\n== {name}\n{'=' * 72}\n")
             try:
                 df = qs[name](spark, SF_DIR)
-                import contextlib
-                import io
-
                 buf = io.StringIO()
                 with contextlib.redirect_stdout(buf):
                     df.explain("formatted")
-                f.write(buf.getvalue())
+                text = buf.getvalue()
+                f.write(text)
+                summary[name] = summarize(text)
             except Exception as exc:  # noqa: BLE001 — audit tool, report and move on
                 f.write(f"(failed to build: {exc})\n")
+                summary[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             f.write("\n\n")
-    print(f"wrote {out_path}")
+    with open(out_json, "w") as f:
+        json.dump({"sf_dir": SF_DIR, "plans": summary}, f, indent=1, sort_keys=True)
+    print(f"wrote {out_txt} and {out_json}")
 
 
 if __name__ == "__main__":
