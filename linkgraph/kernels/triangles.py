@@ -60,14 +60,32 @@ def triangle_count(graph: Graph) -> TriangleResult:
         # if it exists — is exactly the oriented edge (v, w).
         e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddeg").alias("vdeg"))
         e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddeg").alias("wdeg"))
-        wedges = e1.join(e2, "u").where(
+        # Two measured plan choices on the wedge stream (the Σ outdeg²
+        # row blowup that dominates this kernel — BENCH/BASELINE.md r5
+        # triangles entry):
+        #  * SHUFFLE_HASH on the oriented side of both joins (the same
+        #    choice pagerank.py makes): the default sort-merge plan
+        #    SORTS the wedge stream before the closing probe — 17 GB
+        #    spill per rep at rMAT-18 bench scale;
+        #  * map-side combine BEFORE the closing exchange: wedges are
+        #    reduced to (v, w, count) by a partial aggregate inside the
+        #    generation stage, so the exchange carries distinct
+        #    closing-pair counts, not raw wedges, and the triangle
+        #    count is Σ wc over pairs that close. rMAT-18 @ 8 cores:
+        #    120.9 s (SMJ) -> 108.5 s (SHJ) -> ~76 s (SHJ + combine)
+        #    per rep, identical counts.
+        wedges = e1.join(e2.hint("shuffle_hash"), "u").where(
             (F.col("vdeg") < F.col("wdeg"))
             | ((F.col("vdeg") == F.col("wdeg")) & (F.col("v") < F.col("w")))
         )
-        closed = wedges.join(
-            o.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
+        wcnt = wedges.groupBy("v", "w").agg(F.count(F.lit(1)).alias("wc"))
+        closed = wcnt.join(
+            o.select(F.col("src").alias("v"), F.col("dst").alias("w")).hint(
+                "shuffle_hash"
+            ),
+            ["v", "w"],
         )
-        count = closed.count()
+        count = int(closed.agg(F.sum("wc")).collect()[0][0] or 0)
     finally:
         o.unpersist()
     return TriangleResult(count=count, wall_seconds=time.time() - t0)
