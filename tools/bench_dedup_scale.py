@@ -53,8 +53,8 @@ docs = spark.range(n_docs).select(
     F.col("id").alias("doc_id"),
     F.when(F.col("id") % 1000 == 0, F.lit("template flood common boilerplate text shared by every thousandth document"))
      .otherwise(F.concat_ws(" ",
-        F.md5(g.cast("string")),
-        F.md5((g + 1).cast("string")),
+        F.md5(F.concat(F.lit("ga"), g.cast("string"))),
+        F.md5(F.concat(F.lit("gb"), g.cast("string"))),
         F.substring(F.md5(F.col("id").cast("string")), 1, 6),
      )).alias("text"),
 )
