@@ -47,7 +47,12 @@ spark = get_spark(app_name=f"dedup-scale-{cpus}", master=f"local[{cpus}]",
 from linkgraph.pipeline.dedup import (band_frame, lsh_candidate_pairs,
                                       minhash_signatures)
 
-# template corpus: groups of 4 near-dups + 0.1% exact-dup flood
+# template corpus: groups of 4 near-dups + 0.1% exact-dup flood.
+# k=6 shingles: the text alphabet is hex (md5 words), so k=3 would
+# give a ~17^3 = 4.9k shingle universe where unrelated docs collide
+# into mega-buckets by pigeonhole (measured: 156k-member buckets,
+# transitive chaining). 17^6 = 24M >> 66 shingles/doc keeps bucket
+# membership a true near-dup signal, as k=3 is for natural text.
 g = (F.col("id") / 4).cast("long")
 docs = spark.range(n_docs).select(
     F.col("id").alias("doc_id"),
@@ -60,7 +65,7 @@ docs = spark.range(n_docs).select(
 )
 
 t0 = time.time()
-sig = minhash_signatures(docs).persist()
+sig = minhash_signatures(docs, k=6).persist()
 n_sig = sig.count()
 t_sig = time.time() - t0
 
