@@ -93,7 +93,11 @@ def summarize(plan_text: str) -> dict:
         if re.match(r"^[\s:*+-]*\(\d+\)\s", line)
     ]
     tree = "\n".join(tree_lines)
-    return {k: len(re.findall(rx, tree)) for k, rx in FEATURES.items()}
+    out = {k: len(re.findall(rx, tree)) for k, rx in FEATURES.items()}
+    # formatted mode renders codegen spans as `[codegen id : N]` tags in
+    # the detail section, not as tree nodes — count distinct span ids
+    out["wholestage"] = len(set(re.findall(r"\[codegen id : (\d+)\]", plan_text)))
+    return out
 
 
 def main() -> None:
