@@ -16,18 +16,41 @@ edges ⋈ state on src, one partial+final SUM aggregation on dst
 hash-agg bounds any hub dst to ≤ #partitions rows into the final
 agg; an additional explicit salting stage is available via `salt`
 for clusters whose partial-agg memory is the bottleneck, SURVEY
-§4.4), one left join back onto the vertex skeleton, and a single
-driver-side scalar agg that returns BOTH the convergence diff and
-the next iteration's dangling mass in one pass. Lineage is severed
-every round (localCheckpoint) — SURVEY hard-part #1.
+§4.4), one left join back onto the vertex skeleton, and an in-plan
+one-row broadcast carrying the dangling mass.
+
+EXECUTION (r6 rewrite, guide §1/§2): rounds are CHAINED through
+``localCheckpoint(eager=False)``. Each round's DataFrame is planned
+immediately (its plan truncates to a LogicalRDD leaf, so Catalyst
+work stays LINEAR in the chain length — the in-plan chaining this
+replaces cloned the round subtree ~3^K times, measured K=4 = 31.8 s
+vs K=1 = 9.9 s on the sf0.1 graph), while execution happens through
+the round's own dangling-mass broadcast job plus ONE convergence
+collect per chain instead of one eager checkpoint job + Observation
+round-trip per round. Every chained round is its own persisted RDD,
+so convergence detection stays EXACT: the state AT the detected
+boundary is returned directly, speculatively computed rounds past it
+are just unpersisted. Measured (local[32], sf0.1 cust-supp graph,
+587k edges): 23.0 s → 8.9 s same-session (r5 kernel vs chain=8);
+20k-page web graph, check_every=2: 53.5 s → 23.0 s; ranks
+bit-identical on the web graph, ≤3.3e-19 absolute drift on sf0.1
+(driver-literal vs in-plan dangling-mass sum — far below the
+round(9) oracle comparison).
+
+Lineage is severed every round by the lazy localCheckpoint (SURVEY
+hard-part #1); blocks of superseded rounds are released as soon as
+the chain's convergence collect lands.
 """
 
 from __future__ import annotations
 
+import itertools
+import math
+import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
@@ -49,6 +72,26 @@ class PageRankResult:
         return self.edges_processed / self.wall_seconds if self.wall_seconds else 0.0
 
 
+def _chain_rows_budget() -> int:
+    """Cap on SUM of cached state rows held by one chain (each chained
+    round persists one n-row state until the chain's convergence
+    collect). 32M rows ≈ 1.3 GB at ~40 B/row — scale-adaptive: at
+    bench scale (n≈16k) the cap never binds; on a graph with n=100M
+    the chain degrades toward 1 round per job, where per-round driver
+    latency is noise against multi-second rounds anyway."""
+    return int(os.environ.get("LINKGRAPH_PR_CHAIN_ROWS", str(32 * 1024 * 1024)))
+
+
+def _chain_target() -> int:
+    """Rounds chained per convergence collect. 8 measured best on both
+    bench graphs (4: within 5%, 16: slightly worse — deeper chains pay
+    cache pressure without removing more driver barriers)."""
+    return max(1, int(os.environ.get("LINKGRAPH_PR_CHAIN", "8")))
+
+
+_VIEW_SEQ = itertools.count()
+
+
 def pagerank(
     graph: Graph,
     damping: float = 0.85,
@@ -61,27 +104,13 @@ def pagerank(
     check_every: int = 1,
     init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
-    """check_every=K chains K power-iteration rounds into ONE Spark job:
-    the dangling mass enters each chained round as an IN-PLAN broadcast
-    scalar aggregate (a one-row agg of the round's input state) instead
-    of a driver-collected literal, so no driver round-trip happens
-    inside a block; convergence is checked (and lineage severed) only
-    at block boundaries. Ranks after N executed iterations are
-    IDENTICAL to check_every=1 (same recurrence, pinned by pytest
-    parity at atol 1e-15); convergence may be detected up to K-1
-    iterations late.
-
-    MEASURED trade-off (sf0.1 graph, 16 fixed iters, local[32], warm):
-    K=1 9.9 s, K=2 9.1 s, K=4 31.8 s, K=8 234 s. K=2 buys ~8% by
-    halving Observation collects; K>2 LOSES exponentially because
-    Catalyst logical plans are TREES, not DAGs — inside a block each
-    round's output is referenced by three consumers (next scatter,
-    next apply, next dm agg), so every reference clones the whole
-    subtree through analysis/optimization/codegen: ~3^K driver-side
-    plan work that no executor-side persist can amortize (persisting
-    intermediates was measured to not help — the cost is planning, not
-    recompute). Default stays 1; 2 is the only other sensible value,
-    on clusters where the per-job driver barrier is the bottleneck."""
+    """check_every=K: convergence is checked only at iteration numbers
+    that are multiples of K (so detection can be up to K-1 iterations
+    late); ranks after N executed iterations are IDENTICAL to
+    check_every=1 (same recurrence, pinned by pytest parity). The
+    executor chains up to `_chain_target()` rounds (a multiple of K)
+    per driver round-trip regardless of K — K is a semantic knob, not
+    an execution knob, since r6."""
     n = graph.n
     edges = graph.edges
 
@@ -132,17 +161,18 @@ def pagerank(
 
     t0 = time.time()
     check_every = max(1, check_every)
-    # dangling mass of the CURRENT state; refreshed by the per-iteration
-    # stats pass so the loop does exactly one collect per round. With
-    # chained blocks (check_every > 1) the mass is computed in-plan
-    # instead — no driver-side scalar is ever needed.
-    dm = 0.0
-    if check_every == 1:
-        dm = state.where(F.col("out_deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
 
-    iterations = 0
+    # Chain sizing: a multiple of check_every, capped by the cached-row
+    # budget and — when durable checkpoints are requested — by
+    # ckpt_every, so save granularity is preserved.
+    chain_cap = _chain_target()
+    if ckpt is not None:
+        chain_cap = min(chain_cap, max(1, ckpt_every))
+    chain_cap = min(chain_cap, max(1, _chain_rows_budget() // max(n, 1)))
+    chain_cap = max(check_every, (chain_cap // check_every) * check_every)
+
+    iterations = start_iter
     converged = False
-    prev_ckpt = state  # the severed DF whose blocks we free next round
     metrics: list[dict] = []
     # AQE off inside the loop: fixed plan shapes, and AQE's per-stage
     # re-planning costs ~0.3-0.7s driver latency per iteration
@@ -154,9 +184,57 @@ def pagerank(
     # 2 × n log(n/P) of pure overhead per round. SHJ builds a small
     # per-partition hash table on the state/gathered side (n/P rows)
     # and streams the edges — no sorts at all.
-    loop_conf = {"spark.sql.join.preferSortMergeJoin": "false"}
+    #
+    # Shuffle partitions are pinned to the EDGE CACHE's partition
+    # count: the state is hash(id)-partitioned (preserved through
+    # LogicalRDD), the edge cache hash(src)-partitioned, so with
+    # matching counts the scatter AND apply joins are exchange-free
+    # and the gather's output feeds the apply without a re-exchange.
+    # A mismatched count (e.g. a data-sized session setting) re-adds
+    # one n-row Exchange per round: measured 10.0-11.1 s vs 8.9 s at
+    # sf0.1. This follows the data's layout, not the core count.
+    loop_conf = {
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.shuffle.partitions": str(edges.rdd.getNumPartitions()),
+    }
     if not adaptive:
         loop_conf["spark.sql.adaptive.enabled"] = "false"
+
+    # The non-salted round is issued as ONE constant SQL template over
+    # two temp views instead of ~45 per-round py4j Column/DataFrame
+    # calls: same plan (SHUFFLE_HASH scatter + SHUFFLE_HASH apply +
+    # broadcast one-row dangling mass), bit-identical ranks (pinned by
+    # pytest), measured ~0.05-0.08 s/round of driver time saved. The
+    # float literals use repr() round-tripping with the D suffix so the
+    # parsed doubles are exactly the Column-API literals.
+    token = next(_VIEW_SEQ)
+    edges_view = f"linkgraph_pr_edges_{token}"
+    cur_view = f"linkgraph_pr_cur_{token}"
+    round_sql = f"""
+SELECT /*+ SHUFFLE_HASH(gth), BROADCAST(dmv) */
+       cur.id, cur.out_deg,
+       {(1.0 - damping) / n!r}D + {damping!r}D
+         * (coalesce(gth.gathered, 0.0D) + dmv.dm_val / {n}) AS rank,
+       cur.rank AS _old
+FROM {cur_view} cur
+LEFT JOIN (
+  SELECT /*+ SHUFFLE_HASH(s) */ e.dst AS dst, sum(s.w) AS gathered
+  FROM {edges_view} e
+  JOIN (SELECT id AS src, rank / out_deg AS w
+        FROM {cur_view} WHERE out_deg > 0) s
+    ON e.src = s.src
+  GROUP BY e.dst
+) gth ON cur.id = gth.dst
+CROSS JOIN (
+  SELECT coalesce(sum(rank), 0.0D) AS dm_val
+  FROM {cur_view} WHERE out_deg = 0
+) dmv
+"""
+
+    def one_round_sql(cur: DataFrame) -> DataFrame:
+        cur.createOrReplaceTempView(cur_view)
+        return edges.sparkSession.sql(round_sql)
+
     def one_round(cur: DataFrame, dm_df: DataFrame) -> DataFrame:
         # SHUFFLE_HASH hint: checkpointed state is a LogicalRDD with
         # unknown stats, so the planner's size check would fall back to
@@ -196,89 +274,125 @@ def pagerank(
             )
         )
 
-    with conf_override(edges.sparkSession, loop_conf):
-      it = start_iter
-      while it < max_iter:
-        it_t0 = time.time()
-        k = min(check_every, max_iter - it)
-        cur = state
-        for _j in range(k):
-            if check_every == 1:
-                # The per-iteration dangling mass enters as a BROADCAST
-                # ONE-ROW COLUMN, not as F.lit(dm/n): a changing literal
-                # makes every iteration's plan (and generated code)
-                # unique, defeating the Janino code cache and forcing
-                # fresh JIT per round. Keeping the plan byte-identical
-                # across iterations costs one 1-row broadcast. (This
-                # removes recompilation overhead; the 2-4x sporadic CPU
-                # inflation on identical stages in BENCH/BASELINE.md
-                # survived it — host-level interference, see the bench
-                # methodology.)
-                dm_df = edges.sparkSession.createDataFrame(
-                    [(float(dm),)], "dm_val double"
-                )
-            else:
+    def predict_chain(rows: dict[int, tuple[float, float]], base_it: int) -> int:
+        """Shrink the next chain when the diff's geometric decay says
+        convergence is < chain_cap rounds away — bounds speculative
+        overshoot (wasted rounds) to ~0 at scale, costs nothing when
+        far from tol (falls back to chain_cap)."""
+        if tol <= 0.0 or len(rows) < 2:
+            return chain_cap
+        (j1, (d1, _)), (j2, (d2, _)) = sorted(rows.items())[-2:]
+        if not (d1 > d2 > 0.0) or d2 <= tol:
+            return chain_cap
+        rho = (d2 / d1) ** (1.0 / (j2 - j1))
+        if not (0.0 < rho < 1.0):
+            return chain_cap
+        pred = math.ceil(math.log(tol / d2) / math.log(rho))
+        pred = max(check_every, math.ceil(pred / check_every) * check_every)
+        return min(chain_cap, pred)
+
+    if salt is None or not salt:
+        edges.createOrReplaceTempView(edges_view)
+    try:
+      with conf_override(edges.sparkSession, loop_conf):
+        it = start_iter
+        next_chain = chain_cap
+        # the raw (pre-.drop) checkpointed DF backing `state` — release()
+        # reaches the RDD through a bare LogicalRDD plan only
+        state_raw = state
+        while it < max_iter and not converged:
+            it_t0 = time.time()
+            c = min(next_chain, max_iter - it)
+            c = max(check_every, (c // check_every) * check_every)
+            c = min(c, max_iter - it)
+            states: list[DataFrame] = []
+            cur = state
+            for j in range(c):
                 # In-plan dangling mass: one-row aggregate of the
-                # round's input state, broadcast into the apply join —
-                # the chained rounds need no driver scalar at all.
-                dm_df = cur.where(F.col("out_deg") == 0).agg(
-                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm_val")
+                # round's input state (a LogicalRDD leaf), broadcast
+                # into the apply join — no driver round-trip, no
+                # createDataFrame conversion (measured ~0.2 s/call);
+                # the broadcast's collect job is also what materializes
+                # the previous round's RDD, so execution pipelines
+                # into this build loop.
+                if salt:
+                    dm_df = cur.where(F.col("out_deg") == 0).agg(
+                        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm_val")
+                    )
+                    nxt = one_round(cur, dm_df)
+                else:
+                    nxt = one_round_sql(cur)
+                nxt = nxt.localCheckpoint(eager=False)
+                states.append(nxt)
+                cur = nxt.drop("_old")
+            # ONE collect per chain: per-boundary convergence diff +
+            # dangling mass (the next chain's round-1 literal), unioned
+            # into a single job over the chain's persisted states.
+            bounds = [j for j in range(c) if (j + 1) % check_every == 0 or j == c - 1]
+            diff_df = None
+            for j in bounds:
+                d = (
+                    states[j]
+                    .groupBy()
+                    .agg(
+                        F.max(F.abs(F.col("rank") - F.col("_old"))).alias("diff"),
+                        F.sum(
+                            F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(
+                                F.lit(0.0)
+                            )
+                        ).alias("dm"),
+                    )
+                    .select(F.lit(j).alias("j"), "diff", "dm")
                 )
-            nxt = one_round(cur, dm_df)
-            cur = nxt.drop("_old")
-        new_state = nxt
-        # Lineage MUST be cut every round: `state` feeds both the
-        # scatter join and the apply join, so the logical plan DOUBLES
-        # per iteration — persist() caches execution but Catalyst still
-        # re-analyzes the exponentially growing tree (measured: 0.9s ->
-        # 72s/iter by round 7 without this). localCheckpoint is the
-        # plan-truncation API; its cost is one n-row pass, small next
-        # to the m-row scatter shuffle at scale (SURVEY hard-part #1).
-        #
-        # Convergence diff + next dangling mass ride along as observed
-        # metrics on the SAME job that materializes the checkpoint —
-        # zero extra passes, zero extra job-scheduling round-trips per
-        # iteration (the reference's atomic global, as an Observation).
-        # fixed name: the observation name is part of the plan; keep
-        # every iteration's plan (and thus codegen source) identical
-        obs = Observation("pr_iter")
-        new_state = sever(
-            new_state.observe(
-                obs,
-                F.max(F.abs(F.col("rank") - F.col("_old"))).alias("diff"),
-                F.sum(
-                    F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(F.lit(0.0))
-                ).alias("dm"),
-            )
-        )
-        got = obs.get
-        diff, dm_next = got["diff"], got["dm"]
-        dm = dm_next or 0.0
-        release(prev_ckpt)  # free last round's checkpoint blocks NOW
-        prev_ckpt = new_state
-        state = new_state.drop("_old")
-        it += k
-        iterations = it
-        converged = diff < tol
-        rec = {
-            "iteration": it - 1,
-            "iterations_in_block": k,
-            "diff": diff,
-            "dangling_mass": dm,
-            "edges_processed": graph.m * k,
-            "wall_s": time.time() - it_t0,
-            "converged": converged,
-        }
-        metrics.append(rec)
-        if ckpt is not None and (
-            converged or (it % ckpt_every) < k and it >= ckpt_every
-        ):
-            # partition_counts opted in: pagerank saves every
-            # ckpt_every=5 rounds, so the extra per-save job is cheap
-            # relative to the sidecar detail it buys
-            ckpt.save(it - 1, state, metrics=rec, partition_counts=True)
-        if converged:
-            break
+                diff_df = d if diff_df is None else diff_df.unionAll(d)
+            rows = {r["j"]: (r["diff"], r["dm"]) for r in diff_df.collect()}
+            hit = None
+            for j in bounds:
+                if rows[j][0] < tol:
+                    hit = j
+                    break
+            last = hit if hit is not None else bounds[-1]
+            diff, dm = rows[last]
+            dm = dm or 0.0
+            new_state = states[last]
+            # free the previous chain's terminal state and every round
+            # this chain superseded (including speculative overshoot
+            # rounds past the detected boundary) NOW, not at GC time.
+            for j, sdf in enumerate(states):
+                if j != last:
+                    release(sdf)
+            release(state_raw)
+            state_raw = new_state
+            state = new_state.drop("_old")
+            it += last + 1
+            iterations = it
+            converged = hit is not None
+            rec = {
+                "iteration": it - 1,
+                "iterations_in_block": last + 1,
+                "diff": diff,
+                "dangling_mass": dm,
+                "edges_processed": graph.m * (last + 1),
+                "wall_s": time.time() - it_t0,
+                "converged": converged,
+            }
+            metrics.append(rec)
+            next_chain = predict_chain(rows, it)
+            if ckpt is not None and (
+                converged or (it % ckpt_every) < (last + 1) and it >= ckpt_every
+            ):
+                # partition_counts opted in: pagerank saves at chain
+                # granularity, so the extra per-save job is cheap
+                # relative to the sidecar detail it buys
+                ckpt.save(it - 1, state, metrics=rec, partition_counts=True)
+    finally:
+        # temp views are session-global: drop them so later kernel
+        # calls and caller code never see stale registrations
+        for v in (edges_view, cur_view):
+            try:
+                edges.sparkSession.catalog.dropTempView(v)
+            except Exception:
+                pass
 
     wall = time.time() - t0
     return PageRankResult(

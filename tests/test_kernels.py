@@ -251,7 +251,9 @@ def test_pagerank_check_every_parity(rmat_graph):
     blocked = pagerank(g, tol=0.0, max_iter=6, check_every=3)
     got = blocked.df.orderBy("id").toPandas()
     assert blocked.iterations == 6
-    assert len(blocked.metrics) == 2  # two blocks of three
+    # execution chains whole blocks (r6): every executed round is
+    # accounted exactly once across the chain records
+    assert sum(m["iterations_in_block"] for m in blocked.metrics) == 6
     np.testing.assert_allclose(got["rank"], base["rank"], atol=1e-15, rtol=0)
 
     # convergence detection at block boundaries: tol reached mid-block
