@@ -15,17 +15,25 @@ no per-partition window sort. (SURVEY §2.6 row 1 prescribed a
 row_number window; min_by gives the identical winner with one less
 sort per round — the plan has no Window node.)
 
-Driver round-trips: ONE Spark job per round — the changed-count rides
-the localCheckpoint materialization as an Observation (the pagerank
-pattern, pagerank.py:212-229) instead of a separate count job.
+EXECUTION (r6, guide §1/§2 — the pagerank.py chaining): rounds chain
+through ``localCheckpoint(eager=False)`` (plan = LogicalRDD leaf per
+round), the whole chain runs as one stage cascade, and per-round
+changed-counts come back from ONE union-aggregate collect per chain —
+no per-round eager checkpoint job, no Observation round-trip.
+Termination stays exact: the collect carries every round's count, the
+state at the first zero-change round is returned, speculative rounds
+past it are unpersisted. The scatter and apply joins are co-partitioned
+SHUFFLE_HASH (state hash(id,P) against the src-bucketed edge cache) —
+the exchanges per round are the two aggregation shuffles only.
 """
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.build import Graph
@@ -39,6 +47,10 @@ class LabelPropResult:
     iterations: int
     wall_seconds: float
     metrics: list[dict] = field(default_factory=list)
+
+
+def _chain_target() -> int:
+    return max(1, int(os.environ.get("LINKGRAPH_LP_CHAIN", "4")))
 
 
 def label_propagation(
@@ -59,57 +71,95 @@ def label_propagation(
                 return LabelPropResult(labels, last + 1, 0.0, [rec])
     if labels is None:
         labels = sever(graph.vertices.select("id", F.col("id").alias("label")))
-    prev_ckpt = labels
     iterations = start_iter
     metrics: list[dict] = []
-    # AQE off in the loop (same rationale as pagerank.py)
-    with conf_override(graph.edges.sparkSession, {"spark.sql.adaptive.enabled": "false"}):
-      for it in range(start_iter, max_iter):
-        it_t0 = time.time()
-        counts = (
-            graph.edges.join(
-                labels.select(F.col("id").alias("src"), "label"), "src"
+    # durable checkpoints save once per executed round — chain only
+    # when no CheckpointManager is attached.
+    chain_cap = 1 if ckpt is not None else _chain_target()
+    # AQE off in the loop (same rationale as pagerank.py); shuffle
+    # partitions pinned to the edge cache for co-partitioned joins.
+    loop_conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.shuffle.partitions": str(graph.edges.rdd.getNumPartitions()),
+    }
+    with conf_override(graph.edges.sparkSession, loop_conf):
+      it = start_iter
+      labels_raw = labels
+      stop_seen = False
+      while it < max_iter and not stop_seen:
+        blk_t0 = time.time()
+        c = min(chain_cap, max_iter - it)
+        states: list[DataFrame] = []
+        cur = labels
+        for _j in range(c):
+            counts = (
+                graph.edges.join(
+                    cur.select(F.col("id").alias("src"), "label").hint(
+                        "shuffle_hash"
+                    ),
+                    "src",
+                )
+                .groupBy("dst", "label")
+                .agg(F.count("*").alias("cnt"))
             )
-            .groupBy("dst", "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        # winner per dst = label with (cnt desc, label asc): one
-        # min_by hash aggregation, no window sort
-        winners = counts.groupBy("dst").agg(
-            F.min_by(
-                "label", F.struct(F.negate(F.col("cnt")), F.col("label"))
-            ).alias("new_label")
-        ).select(F.col("dst").alias("id"), "new_label")
-        new_labels = (
-            labels.join(winners, "id", "left")
-            .select(
-                "id",
-                F.coalesce("new_label", "label").alias("label"),
-                F.col("label").alias("_old"),
+            # winner per dst = label with (cnt desc, label asc): one
+            # min_by hash aggregation, no window sort
+            winners = counts.groupBy("dst").agg(
+                F.min_by(
+                    "label", F.struct(F.negate(F.col("cnt")), F.col("label"))
+                ).alias("new_label")
+            ).select(F.col("dst").alias("id"), "new_label")
+            nxt = (
+                cur.join(winners.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("new_label", "label").alias("label"),
+                    F.col("label").alias("_old"),
+                )
+                .localCheckpoint(eager=False)
             )
-        )
-        # changed-count rides the checkpoint job as an Observation —
-        # one driver round-trip per round
-        obs = Observation("lp_iter")
-        new_labels = sever(
-            new_labels.observe(
-                obs,
-                F.sum(
-                    (F.col("label") != F.col("_old")).cast("long")
-                ).alias("changed"),
+            states.append(nxt)
+            cur = nxt.drop("_old")
+        # ONE collect per chain: per-round changed-counts
+        cnt_df = None
+        for j in range(c):
+            d = (
+                states[j]
+                .groupBy()
+                .agg(
+                    F.sum(
+                        (F.col("label") != F.col("_old")).cast("long")
+                    ).alias("chg")
+                )
+                .select(F.lit(j).alias("j"), "chg")
             )
-        )
-        changed = int(obs.get["changed"] or 0)
-        release(prev_ckpt)
-        prev_ckpt = new_labels
-        labels = new_labels.drop("_old")
-        iterations = it + 1
-        rec = {"iteration": it, "changed": changed, "wall_s": time.time() - it_t0}
-        metrics.append(rec)
+            cnt_df = d if cnt_df is None else cnt_df.unionAll(d)
+        chgs = {r["j"]: int(r["chg"] or 0) for r in cnt_df.collect()}
+        stop = next((j for j in range(c) if chgs[j] == 0), None)
+        last = stop if stop is not None else c - 1
+        stop_seen = stop is not None
+        blk_wall = time.time() - blk_t0
+        for j in range(last + 1):
+            metrics.append(
+                {
+                    "iteration": it + j,
+                    "changed": chgs[j],
+                    "wall_s": blk_wall / (last + 1),
+                    "block_wall_s": blk_wall,
+                    "rounds_in_block": last + 1,
+                }
+            )
+        for j, sdf in enumerate(states):
+            if j != last:
+                release(sdf)
+        release(labels_raw)
+        labels_raw = states[last]
+        labels = states[last].drop("_old")
+        it += last + 1
+        iterations = it
         if ckpt is not None:
-            ckpt.save(it, labels, metrics=rec)
-        if changed == 0:
-            break
+            ckpt.save(it - 1, labels, metrics=metrics[-1])
     return LabelPropResult(
         df=labels,
         iterations=iterations,

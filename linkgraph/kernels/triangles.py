@@ -19,6 +19,7 @@ the hot path. Oracle: DuckDB 3-way self-join SQL (exact).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -34,17 +35,29 @@ class TriangleResult:
     wall_seconds: float
 
 
-def oriented_edges(edges: DataFrame) -> DataFrame:
+def _bcast_rows_cap() -> int:
+    """Row cap under which the degree table / oriented edge set are
+    broadcast instead of shuffled (≈16 B/row → 64 MB at the default).
+    Scale-adaptive: bench graphs sit far below it, a 100 TB graph far
+    above — the shuffle plans below stay the fallback there."""
+    return int(os.environ.get("LINKGRAPH_TRI_BCAST_ROWS", str(4_000_000)))
+
+
+def oriented_edges(edges: DataFrame, n_hint: int | None = None) -> DataFrame:
     """Symmetrized, self-loop-free, degree-ordered oriented edge set
     (src, dst, ddeg): edge kept iff (deg(src), src) < (deg(dst), dst).
     The dst degree rides along so wedge generation can re-use the same
-    total order without another join."""
+    total order without another join. When the vertex count is known
+    to be broadcast-sized, both degree joins broadcast the n-row
+    degree table so the symmetrized stream is never re-exchanged
+    (guide §3.1); otherwise they shuffle as before."""
     sym = symmetrize(edges).where(F.col("src") != F.col("dst"))
     deg = sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
-    with_deg = (
-        sym.join(deg.select(F.col("v").alias("src"), F.col("deg").alias("sdeg")), "src")
-        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("ddeg")), "dst")
-    )
+    sdeg = deg.select(F.col("v").alias("src"), F.col("deg").alias("sdeg"))
+    ddeg = deg.select(F.col("v").alias("dst"), F.col("deg").alias("ddeg"))
+    if n_hint is not None and n_hint <= _bcast_rows_cap():
+        sdeg, ddeg = F.broadcast(sdeg), F.broadcast(ddeg)
+    with_deg = sym.join(sdeg, "src").join(ddeg, "dst")
     return with_deg.where(
         (F.col("sdeg") < F.col("ddeg"))
         | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
@@ -53,39 +66,48 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
 
 def triangle_count(graph: Graph) -> TriangleResult:
     t0 = time.time()
-    o = oriented_edges(graph.edges).persist()
+    spark = graph.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # cache the orientation hash-partitioned by src: the wedge
+    # self-join then reads both sides co-partitioned — zero exchange
+    # in front of the Σ outdeg² row blowup (guide §2.4).
+    o = oriented_edges(graph.edges, n_hint=graph.n).repartition(p, "src").persist()
     try:
         # wedge (u→v, u→w) kept only with rank(v) < rank(w) in the SAME
         # (deg, id) order used for orientation, so the closing edge —
         # if it exists — is exactly the oriented edge (v, w).
         e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddeg").alias("vdeg"))
         e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddeg").alias("wdeg"))
-        # Two measured plan choices on the wedge stream (the Σ outdeg²
+        # Measured plan choices on the wedge stream (the Σ outdeg²
         # row blowup that dominates this kernel — BENCH/BASELINE.md r5
-        # triangles entry):
+        # triangles entry; r6 adds the broadcast closing):
         #  * SHUFFLE_HASH on the oriented side of both joins (the same
         #    choice pagerank.py makes): the default sort-merge plan
         #    SORTS the wedge stream before the closing probe — 17 GB
         #    spill per rep at rMAT-18 bench scale;
-        #  * map-side combine BEFORE the closing exchange: wedges are
-        #    reduced to (v, w, count) by a partial aggregate inside the
+        #  * broadcast closing (r6, small graphs): when the oriented
+        #    edge set fits the broadcast cap, the wedge stream probes a
+        #    broadcast hash of it IN the generation stage — no (v,w)
+        #    combine hash-map, no exchange touches the wedge stream at
+        #    all. sf0.1 copart graph: 6.6-9.7 s → 5.2-6.4 s per rep,
+        #    identical counts;
+        #  * map-side combine BEFORE the closing exchange (fallback at
+        #    scale): wedges reduce to (v, w, count) inside the
         #    generation stage, so the exchange carries distinct
-        #    closing-pair counts, not raw wedges, and the triangle
-        #    count is Σ wc over pairs that close. rMAT-18 @ 8 cores:
+        #    closing-pair counts, not raw wedges. rMAT-18 @ 8 cores:
         #    120.9 s (SMJ) -> 108.5 s (SHJ) -> ~76 s (SHJ + combine)
         #    per rep, identical counts.
         wedges = e1.join(e2.hint("shuffle_hash"), "u").where(
             (F.col("vdeg") < F.col("wdeg"))
             | ((F.col("vdeg") == F.col("wdeg")) & (F.col("v") < F.col("w")))
         )
-        wcnt = wedges.groupBy("v", "w").agg(F.count(F.lit(1)).alias("wc"))
-        closed = wcnt.join(
-            o.select(F.col("src").alias("v"), F.col("dst").alias("w")).hint(
-                "shuffle_hash"
-            ),
-            ["v", "w"],
-        )
-        count = int(closed.agg(F.sum("wc")).collect()[0][0] or 0)
+        closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        if graph.m <= _bcast_rows_cap():
+            count = int(wedges.join(F.broadcast(closing), ["v", "w"]).count())
+        else:
+            wcnt = wedges.groupBy("v", "w").agg(F.count(F.lit(1)).alias("wc"))
+            closed = wcnt.join(closing.hint("shuffle_hash"), ["v", "w"])
+            count = int(closed.agg(F.sum("wc")).collect()[0][0] or 0)
     finally:
         o.unpersist()
     return TriangleResult(count=count, wall_seconds=time.time() - t0)
@@ -105,7 +127,7 @@ def kclique_count(graph: Graph, k: int = 4) -> TriangleResult:
     if not 3 <= k <= 6:
         raise ValueError("k must be in [3, 6]")
     t0 = time.time()
-    o = oriented_edges(graph.edges).select("src", "dst").persist()
+    o = oriented_edges(graph.edges, n_hint=graph.n).select("src", "dst").persist()
     try:
         cliq = o.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
         for level in range(3, k + 1):
