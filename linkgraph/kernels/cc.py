@@ -170,6 +170,13 @@ def _cc_loop(
     iterations = start_iter
     metrics: list[dict] = []
     avg_deg = graph.m / max(graph.n, 1)
+    # below this edge count a full dense scan of the cached edge table
+    # is cheaper than the sparse path's per-round frontier broadcast,
+    # and dense rounds have no blocking broadcast so whole chains
+    # pipeline into one job (scc.py _dense_chain_edges rationale)
+    force_dense = graph.m <= int(
+        os.environ.get("LINKGRAPH_DENSE_CHAIN_EDGES", str(2_000_000))
+    )
     # durable checkpoints save once per executed round — chain only
     # when no CheckpointManager is attached.
     chain_cap = 1 if ckpt is not None else _chain_target()
@@ -193,7 +200,7 @@ def _cc_loop(
         # dense; a mis-moded tail round costs one edge-cache scan, and
         # the chain resets to the exact rule at every collect.
         est_volume = int(fcount * avg_deg)
-        dense = est_volume > graph.threshold
+        dense = force_dense or est_volume > graph.threshold
         c = min(chain_cap, max_iter - it) if dense else 1
         states: list[DataFrame] = []
         modes: list[dict] = []

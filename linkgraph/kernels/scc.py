@@ -50,6 +50,7 @@ with a clear error rather than an unbounded loop.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -68,6 +69,40 @@ class SCCResult:
     outer_rounds: int
     wall_seconds: float
     metrics: list[dict] = field(default_factory=list)
+
+
+# max rounds chained per driver collect in the color/sweep loops (r6;
+# the pagerank.py/cc.py lazy-localCheckpoint pattern). Chains GROW
+# 2 -> 4 -> 8 while fully productive: fixpoint loops here are often
+# 1-4 rounds (post-trim residuals), and a fixed deep chain pays ~0.2 s
+# of planning per speculative no-op round (measured: outer rounds 2-4
+# inflated 2.7 s -> 4.5 s with fixed 8-chains).
+_CHAIN = 8
+
+
+def _dense_chain_edges() -> int:
+    """Below this edge count the |E|/20 dispatch is overridden to
+    DENSE for chained rounds: a full scan of a small cached edge table
+    costs less than the sparse path's per-round broadcast, and dense
+    rounds carry no blocking broadcast, so a whole chain pipelines
+    into one job. Scale-adaptive — a 100 TB graph is far above the
+    cap and keeps the exact reference dispatch."""
+    return int(os.environ.get("LINKGRAPH_DENSE_CHAIN_EDGES", str(2_000_000)))
+
+
+def _collect_per_round(states: list[DataFrame], agg_of) -> dict[int, int]:
+    """ONE job over a chain's lazily-checkpointed states: per-round
+    scalar aggregates (changed/accepted counts), unioned and collected
+    together — the chain's only driver round-trip."""
+    cnt_df = None
+    for j, s in enumerate(states):
+        d = (
+            s.groupBy()
+            .agg(agg_of(s).alias("n"))
+            .select(F.lit(j).alias("j"), "n")
+        )
+        cnt_df = d if cnt_df is None else cnt_df.unionAll(d)
+    return {r["j"]: int(r["n"] or 0) for r in cnt_df.collect()}
 
 
 def _empty_assigned(spark) -> DataFrame:
@@ -200,95 +235,170 @@ def _outer_round(
         (F.col("out_deg") > 0) & (F.col("in_deg") > 0)
     ).select("id")
 
-    # -- 2. COLOR: forward max propagation to fixpoint (cc.py's loop
-    # shape: bitmap changed state, Observation frontier count).
+    # -- 2. COLOR: forward max propagation to fixpoint — the cc.py r6
+    # loop shape: rounds CHAINED through localCheckpoint(eager=False),
+    # one union-aggregate collect per chain returning every round's
+    # changed-count (exact termination; overshoot rounds are no-ops
+    # whose states are just unpersisted). The sf0.01 part-succession
+    # graph runs 30+30 color rounds across the outer loop — per-round
+    # driver barriers, not compute, were the wall.
     state = sever(
         core.select("id", F.col("id").alias("color"), F.lit(True).alias("changed"))
     )
     fcount = g.n - n_trim
     avg_deg = g.m / max(g.n, 1)
     color_rounds = 0
-    prev = state
+    state_raw = state
+    force_dense = g.m <= _dense_chain_edges()
+    chain = 2
     while fcount > 0:
         if color_rounds >= 10_000:
             raise RuntimeError("scc: color propagation did not converge")
-        frontier = state.where(F.col("changed")).select("id", "color")
-        msgs = edge_map(
-            g,
-            frontier,
-            aggs=[F.max("color").alias("new_color")],
-            volume=int(fcount * avg_deg),
+        c = chain
+        states: list[DataFrame] = []
+        cur = state
+        est_volume = int(fcount * avg_deg)
+        dense = force_dense or est_volume > g.threshold
+        for _j in range(c):
+            frontier = cur.where(F.col("changed")).select("id", "color")
+            if dense:
+                frontier = frontier.hint("shuffle_hash")
+            msgs = edge_map(
+                g,
+                frontier,
+                aggs=[F.max("color").alias("new_color")],
+                volume=est_volume,
+                dense=dense,
+            )
+            nxt = (
+                cur.join(
+                    msgs.hint("shuffle_hash"), cur["id"] == msgs["dst"], "left"
+                )
+                .select(
+                    cur["id"],
+                    F.greatest(
+                        cur["color"], F.coalesce(F.col("new_color"), cur["color"])
+                    ).alias("color"),
+                    (
+                        F.coalesce(F.col("new_color"), cur["color"]) > cur["color"]
+                    ).alias("changed"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            states.append(nxt)
+            cur = nxt
+        counts = _collect_per_round(
+            states, lambda s: F.sum(F.col("changed").cast("long"))
         )
-        nxt = state.join(msgs, state["id"] == msgs["dst"], "left").select(
-            state["id"],
-            F.greatest(
-                state["color"], F.coalesce(F.col("new_color"), state["color"])
-            ).alias("color"),
-            (
-                F.coalesce(F.col("new_color"), state["color"]) > state["color"]
-            ).alias("changed"),
-        )
-        obs = Observation(f"scc_color_{color_rounds}")
-        state = sever(
-            nxt.observe(obs, F.sum(F.col("changed").cast("long")).alias("n"))
-        )
-        fcount = int(obs.get["n"] or 0)
-        release(prev)
-        prev = state
-        color_rounds += 1
+        stop = next((j for j in range(c) if counts[j] == 0), None)
+        last = stop if stop is not None else c - 1
+        for j, sdf in enumerate(states):
+            if j != last:
+                release(sdf)
+        release(state_raw)
+        state_raw = states[last]
+        state = states[last]
+        fcount = counts[last]
+        color_rounds += last + 1
+        chain = min(_CHAIN, chain * 2) if stop is None else 2
 
     colors = state.select("id", "color")
 
     # -- 3. SWEEP: color-constrained backward BFS from all roots at
     # once. Messages carry the root id in `scc`; a target accepts iff
     # its own color equals the message's root (Orzan's theorem).
+    # Sweep state is a BITMAP on the color table (r6 — the cc.py loop
+    # shape instead of r5's growing marked-union + anti-join): marked
+    # rides as a column, the per-(target, root) cond() collapses into
+    # the apply join condition (id = dst AND color = root) — a vertex
+    # only ever accepts its own color's root, so no multi-lane
+    # bookkeeping, no exclude anti-join, no union per level. Levels
+    # chain exactly like the color rounds.
     roots_obs = Observation("scc_roots")
-    marked = sever(
-        colors.where(F.col("color") == F.col("id"))
-        .select("id", F.col("id").alias("scc"))
-        .observe(roots_obs, F.count("*").alias("n"))
+    sweep_state = sever(
+        colors.select(
+            "id",
+            "color",
+            (F.col("color") == F.col("id")).alias("marked"),
+            (F.col("color") == F.col("id")).alias("changed"),
+        ).observe(
+            roots_obs,
+            F.sum(F.col("marked").cast("long")).alias("n"),
+        )
     )
     swept = int(roots_obs.get["n"] or 0)
-    frontier = marked  # level-0 frontier = the roots themselves
-    prev_frontier: DataFrame | None = None  # previous level, release-deferred
     sweep_levels = 0
     sweep_vol = int(swept * avg_deg)
-    while True:
-        cand = edge_map(
-            g,
-            frontier,
-            aggs=[F.count("*").alias("_msgs")],
-            reverse=True,
-            volume=sweep_vol,
-            exclude_dst=marked,
-            group_extra=["scc"],
-        ).select("dst", "scc")
-        obs = Observation(f"scc_sweep_{sweep_levels}")
-        # string-key join after a rename: cand's lineage already
-        # contains colors' attributes (through the severed `marked`),
-        # so attribute-based references would be ambiguous self-joins
-        accept = sever(
-            cand.join(colors.withColumnRenamed("id", "dst"), "dst")
-            .where(F.col("color") == F.col("scc"))
-            .select(F.col("dst").alias("id"), "scc")
-            .observe(obs, F.count("*").alias("n"))
+    done = False
+    chain = 2
+    sweep_raw = sweep_state
+    while not done:
+        c = chain
+        states = []
+        cur = sweep_state
+        dense = force_dense or sweep_vol > g.threshold
+        for _j in range(c):
+            frontier = cur.where(F.col("changed")).select(
+                F.col("id").alias("dst_key"), F.col("color").alias("root")
+            )
+            if dense:
+                frontier = frontier.hint("shuffle_hash")
+            else:
+                frontier = F.broadcast(frontier)
+            # backward walk: for edge (u -> v) with v in the frontier,
+            # u is a candidate of v's root (the reverse-edge_map form,
+            # written directly so the root can ride the join)
+            msgs = (
+                g.edges.join(
+                    frontier, g.edges["dst"] == frontier["dst_key"]
+                )
+                .groupBy(F.col("src").alias("tgt"), "root")
+                .agg(F.count("*").alias("_m"))
+                .select("tgt", "root")
+            )
+            nxt = (
+                cur.join(
+                    msgs.hint("shuffle_hash"),
+                    (cur["id"] == msgs["tgt"]) & (cur["color"] == msgs["root"]),
+                    "left",
+                )
+                .select(
+                    cur["id"],
+                    cur["color"],
+                    (cur["marked"] | msgs["tgt"].isNotNull()).alias("marked"),
+                    (~cur["marked"] & msgs["tgt"].isNotNull()).alias("changed"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            states.append(nxt)
+            cur = nxt
+        counts = _collect_per_round(
+            states, lambda s: F.sum(F.col("changed").cast("long"))
         )
-        n_new = int(obs.get["n"] or 0)
-        if prev_frontier is not None:
-            release(prev_frontier)  # no longer an input to anything severed
-        if n_new == 0:
-            release(accept)
-            prev_frontier = None
-            break
-        new_marked = sever(marked.unionByName(accept))
-        release(marked)
-        marked = new_marked
-        frontier = accept  # just-accepted rows drive the next level
-        prev_frontier = accept
-        swept += n_new
-        sweep_vol = int(n_new * avg_deg)
-        sweep_levels += 1
+        stop = next((j for j in range(c) if counts[j] == 0), None)
+        last = stop if stop is not None else c - 1
+        for j, sdf in enumerate(states):
+            if j != last:
+                release(sdf)
+        release(sweep_raw)
+        sweep_raw = states[last]
+        sweep_state = states[last]
+        for j in range(last + 1):
+            if counts[j] > 0:
+                swept += counts[j]
+                sweep_levels += 1
+        if stop is not None:
+            done = True
+        else:
+            sweep_vol = int(counts[last] * avg_deg)
+            chain = min(_CHAIN, chain * 2)
 
+    marked = sever(
+        sweep_state.where(F.col("marked")).select(
+            "id", F.col("color").alias("scc")
+        )
+    )
+    release(sweep_raw)
     release(state)
 
     new_assigned = sever(assigned.unionByName(marked))

@@ -213,12 +213,16 @@ def test_web_sample_end_to_end(spark):
     g.unpersist()
 
 
-def test_cc_takes_both_directions_in_one_run(spark):
+def test_cc_takes_both_directions_in_one_run(spark, monkeypatch):
     """Direction dispatch is live (ligra.rs:58-88): a clique's full
     round-0 frontier exceeds |E|/20 -> dense-pull; once the clique
     settles, only a hanging path's tail keeps changing -> frontier
     volume drops under the threshold -> sparse-push. One run, both
-    paths, result still exact."""
+    paths, result still exact. (The r6 small-graph dense override is
+    disabled here so the reference rule itself stays pinned; by
+    default graphs under LINKGRAPH_DENSE_CHAIN_EDGES run all-dense
+    chains — same results, no per-round broadcast.)"""
+    monkeypatch.setenv("LINKGRAPH_DENSE_CHAIN_EDGES", "0")
     clique = [(i, j) for i in range(20) for j in range(20) if i != j]
     tail = [(i, i + 1) for i in range(19, 30)]
     pdf = pd.DataFrame(clique + tail, columns=["src", "dst"])
