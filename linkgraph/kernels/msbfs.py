@@ -264,13 +264,31 @@ def landmark_distances(
     rounds, and the output is n·|L| int64 rows: the index a 100 TB
     deployment writes once, partitioned by landmark, and reuses for
     every point-to-point query (estimate_distances below).
+
+    The two sweeps are INDEPENDENT job chains, so they run on two
+    driver threads (guide §2.6 overlapping-jobs pattern): both loops
+    are driver-latency-bound at small scale (one job per BFS level,
+    executors ~90% idle), so overlapping them halves the precompute
+    wall; at cluster scale the scheduler interleaves their stages
+    FIFO with no extra cost. Results are unchanged — each sweep is
+    its own deterministic fixpoint.
     """
-    fwd = msbfs(graph, landmarks, max_iter=max_iter).df.select(
-        "id", F.col("source").alias("landmark"), F.col("dist").alias("d_from")
-    )
-    rev = msbfs(graph, landmarks, max_iter=max_iter, reverse=True).df.select(
-        "id", F.col("source").alias("landmark"), F.col("dist").alias("d_to")
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def run(reverse: bool) -> DataFrame:
+        return msbfs(graph, landmarks, max_iter=max_iter, reverse=reverse).df
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fwd = pool.submit(inheritable_thread_target(lambda: run(False)))
+        f_rev = pool.submit(inheritable_thread_target(lambda: run(True)))
+        fwd = f_fwd.result().select(
+            "id", F.col("source").alias("landmark"), F.col("dist").alias("d_from")
+        )
+        rev = f_rev.result().select(
+            "id", F.col("source").alias("landmark"), F.col("dist").alias("d_to")
+        )
     return fwd.join(rev, ["id", "landmark"], "full").select(
         "id", "landmark", "d_from", "d_to"
     )

@@ -40,6 +40,7 @@ def pseudo_diameter(
     sweeps: int = 2,
     symmetric: bool = True,
     max_iter: int = 10_000,
+    validate_start: bool = True,
 ) -> PseudoDiameterResult:
     """Double-sweep pseudo-diameter.
 
@@ -79,9 +80,14 @@ def pseudo_diameter(
                     "pseudo_diameter: graph has no vertices"
                 )
             start = int(min_id)
-        elif work.vertices.where(F.col("id") == F.lit(int(start))).limit(
-            1
-        ).count() == 0:
+        elif validate_start and work.vertices.where(
+            F.col("id") == F.lit(int(start))
+        ).limit(1).count() == 0:
+            # r6 (ADVICE): one extra Spark job per call, only when an
+            # explicit start is given; hot callers that already know
+            # the start is a vertex pass validate_start=False (a BFS
+            # from a non-vertex would silently report ecc 0, so the
+            # guard stays ON by default).
             raise ValueError(
                 f"pseudo_diameter: start id {start} is not a vertex"
             )
