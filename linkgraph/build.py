@@ -154,7 +154,11 @@ def build_graph_from_pages(
         )
         .select("src", "dst")
     )
-    g = build_graph_from_edges(edges, vertices=vertices)
+    # edges_from_pages is deduped by construction (per-page dedup in
+    # the UDF, src_url is the page key) and the url->id mapping is
+    # 1:1, so the build's dedup pass — a full (src,dst) exchange +
+    # aggregate — is redundant here (r6, guide §2.4).
+    g = build_graph_from_edges(edges, vertices=vertices, assume_deduped=True)
     if phase_walls is not None:
         phase_walls["build_s"] = round(_time.time() - t0, 3)
     url_edges.unpersist()

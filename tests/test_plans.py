@@ -630,19 +630,27 @@ def test_sever_loop_stays_flat(spark):
 
 def test_committed_plan_audit_is_clean():
     """The committed plan-audit artifact (tools/plan_audit.py ->
-    PLANS_r5.json) must show zero CartesianProduct and zero
-    row-at-a-time Python UDF eval (BatchEvalPython) in every audited
-    plan, and every subject must have produced a plan (no errors).
-    Regenerate with `python tools/plan_audit.py` after plan-affecting
-    changes — this test is the round-over-round regression tripwire."""
+    PLANS_r6.json, r5 fallback) must show zero CartesianProduct and
+    zero row-at-a-time Python UDF eval (BatchEvalPython) in every
+    audited plan — including the r6 `round:` rows that audit one
+    MID-LOOP round plan per chained iterative kernel — and every
+    subject must have produced a plan (no errors). Regenerate with
+    `python tools/plan_audit.py` after plan-affecting changes — this
+    test is the round-over-round regression tripwire."""
     import json
     import os
 
-    path = os.path.join(os.path.dirname(__file__), "..", "PLANS_r5.json")
-    if not os.path.exists(path):
+    here = os.path.dirname(__file__)
+    path = None
+    for cand in ("PLANS_r6.json", "PLANS_r5.json"):
+        p = os.path.join(here, "..", cand)
+        if os.path.exists(p):
+            path = p
+            break
+    if path is None:
         import pytest as _pytest
 
-        _pytest.skip("PLANS_r5.json not generated yet this round")
+        _pytest.skip("no PLANS_r*.json audit generated yet this round")
     with open(path) as f:
         audit = json.load(f)["plans"]
     assert audit, "empty audit"

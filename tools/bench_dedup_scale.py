@@ -141,7 +141,14 @@ print(json.dumps({
     "cpus": cpus, "n_embs": n_embs, "dim": dim,
     "wall_ann_s": round(t_ann, 1),
     "result_rows": len(rows),
-    "checksum": round(sum(r["sim"] for r in rows), 6),
+    # ADVICE r5: an order-dependent float SUM can spuriously differ
+    # across parallelism levels; digest the sorted (query, neighbor,
+    # rounded sim) rows instead — order-insensitive, value-exact to
+    # 6dp, and deterministic ACROSS processes (builtin hash() is
+    # per-process salted; the two legs are separate workers)
+    "checksum": __import__("hashlib").md5(repr(sorted(
+        (r["query_id"], r["neighbor_id"], round(r["sim"], 6)) for r in rows
+    )).encode()).hexdigest(),
 }))
 """
 

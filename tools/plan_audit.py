@@ -102,7 +102,7 @@ def summarize(plan_text: str) -> dict:
 
 def main() -> None:
     out_txt = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "PLANS.txt")
-    out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "PLANS_r5.json")
+    out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "PLANS_r6.json")
     import __spark_entry__ as entry
     from linkgraph.session import get_spark
 
@@ -124,6 +124,21 @@ def main() -> None:
                 f.write(f"(failed to build: {exc})\n")
                 summary[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             f.write("\n\n")
+    # r6 (VERDICT r5 item 4): fold the committed MID-LOOP round plans
+    # of the iterative kernels (plans/r06/*_after.txt, captured by the
+    # round's optimization work) into the audit as `round:<name>`
+    # rows, so a Sort or extra Exchange sneaking into a per-iteration
+    # plan is diffable from the committed artifact — the final
+    # (post-sever) plans of iterative kernels are LogicalRDD leaves
+    # and blind to the loop's shuffle work.
+    plans_dir = os.path.join(REPO, "plans", "r06")
+    if os.path.isdir(plans_dir):
+        for fn in sorted(os.listdir(plans_dir)):
+            if fn.endswith("_after.txt"):
+                with open(os.path.join(plans_dir, fn)) as fh:
+                    summary[f"round:{fn[: -len('_after.txt')]}"] = summarize(
+                        fh.read()
+                    )
     with open(out_json, "w") as f:
         json.dump({"sf_dir": SF_DIR, "plans": summary}, f, indent=1, sort_keys=True)
     print(f"wrote {out_txt} and {out_json}")
