@@ -94,7 +94,19 @@ def connected_components(
     sym_edges = None
     t0 = time.time()
     if symmetrize_edges:
-        p = graph.edges.rdd.getNumPartitions()
+        # partition the symmetrized cache to the DATA (~64k rows per
+        # partition, the pagerank.py r6 rule — per-task dispatch
+        # dominates a defaultParallelism-wide tiny-task stage), never
+        # wider than the source cache
+        import math
+
+        rows_per_part = int(
+            os.environ.get("LINKGRAPH_PR_EDGE_ROWS_PER_PART", str(64 * 1024))
+        )
+        p = min(
+            graph.edges.rdd.getNumPartitions(),
+            max(4, math.ceil(2 * graph.m / max(rows_per_part, 1))),
+        )
         rev = graph.edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )

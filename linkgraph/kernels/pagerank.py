@@ -162,6 +162,31 @@ def pagerank(
     t0 = time.time()
     check_every = max(1, check_every)
 
+    # Partition the loop to the DATA, not the core count (guide §2.2:
+    # fewer, larger partitions). A defaultParallelism-partitioned edge
+    # cache leaves a few-ms task per stage at bench scale, and per-task
+    # dispatch dominates the round: re-caching the edges ONCE at
+    # ~64k rows/partition (LINKGRAPH_PR_EDGE_ROWS_PER_PART) measured
+    # 20.3 s -> 4.5 s for the whole 31-iteration sf0.1 leg INCLUDING
+    # the extra re-cache pass (P=32 -> 10; P=16: 5.4 s, P=6: 4.3 s).
+    # Scale-adaptive: when the data-sized target is not BELOW the
+    # cache's current partition count (any large graph), this is a
+    # no-op and the existing cache is used as-is.
+    edges_recached = False
+    p_edges = edges.rdd.getNumPartitions()
+    rows_per_part = int(
+        os.environ.get("LINKGRAPH_PR_EDGE_ROWS_PER_PART", str(64 * 1024))
+    )
+    p_target = max(4, math.ceil(graph.m / max(rows_per_part, 1)))
+    if p_target < p_edges:
+        from pyspark import StorageLevel
+
+        edges = edges.repartition(p_target, "src").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        edges_recached = True
+        p_edges = p_target
+
     # Chain sizing: a multiple of check_every, capped by the cached-row
     # budget and — when durable checkpoints are requested — by
     # ckpt_every, so save granularity is preserved.
@@ -195,7 +220,7 @@ def pagerank(
     # sf0.1. This follows the data's layout, not the core count.
     loop_conf = {
         "spark.sql.join.preferSortMergeJoin": "false",
-        "spark.sql.shuffle.partitions": str(edges.rdd.getNumPartitions()),
+        "spark.sql.shuffle.partitions": str(p_edges),
     }
     if not adaptive:
         loop_conf["spark.sql.adaptive.enabled"] = "false"
@@ -393,6 +418,10 @@ CROSS JOIN (
                 edges.sparkSession.catalog.dropTempView(v)
             except Exception:
                 pass
+        if edges_recached:
+            # the loop-local data-sized edge cache; the returned state
+            # is a checkpointed RDD independent of it
+            edges.unpersist()
 
     wall = time.time() - t0
     return PageRankResult(
