@@ -76,12 +76,36 @@ def label_propagation(
     # durable checkpoints save once per executed round — chain only
     # when no CheckpointManager is attached.
     chain_cap = 1 if ckpt is not None else _chain_target()
+    # partition the loop to the DATA (pagerank.py r6 rule): re-cache
+    # the edges once at ~64k rows/partition when the cache is wider —
+    # measured 1.13 -> 0.94 s on the 3-round bench leg including the
+    # re-cache pass; no-op on large graphs.
+    import math
+
+    edges = graph.edges
+    edges_recached = False
+    p_edges = edges.rdd.getNumPartitions()
+    p_target = max(
+        4,
+        math.ceil(
+            graph.m
+            / int(os.environ.get("LINKGRAPH_PR_EDGE_ROWS_PER_PART", str(64 * 1024)))
+        ),
+    )
+    if p_target < p_edges:
+        from pyspark import StorageLevel
+
+        edges = edges.repartition(p_target, "src").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        edges_recached = True
+        p_edges = p_target
     # AQE off in the loop (same rationale as pagerank.py); shuffle
     # partitions pinned to the edge cache for co-partitioned joins.
     loop_conf = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.join.preferSortMergeJoin": "false",
-        "spark.sql.shuffle.partitions": str(graph.edges.rdd.getNumPartitions()),
+        "spark.sql.shuffle.partitions": str(p_edges),
     }
     with conf_override(graph.edges.sparkSession, loop_conf):
       it = start_iter
@@ -94,7 +118,7 @@ def label_propagation(
         cur = labels
         for _j in range(c):
             counts = (
-                graph.edges.join(
+                edges.join(
                     cur.select(F.col("id").alias("src"), "label").hint(
                         "shuffle_hash"
                     ),
@@ -160,6 +184,10 @@ def label_propagation(
         iterations = it
         if ckpt is not None:
             ckpt.save(it - 1, labels, metrics=metrics[-1])
+    if edges_recached:
+        # loop-local data-sized cache; the returned labels are a
+        # checkpointed RDD independent of it
+        edges.unpersist()
     return LabelPropResult(
         df=labels,
         iterations=iterations,

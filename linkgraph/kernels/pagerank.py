@@ -83,10 +83,12 @@ def _chain_rows_budget() -> int:
 
 
 def _chain_target() -> int:
-    """Rounds chained per convergence collect. 8 measured best on both
-    bench graphs (4: within 5%, 16: slightly worse — deeper chains pay
-    cache pressure without removing more driver barriers)."""
-    return max(1, int(os.environ.get("LINKGRAPH_PR_CHAIN", "8")))
+    """Rounds chained per convergence collect. 16 measured best once
+    the data-sized partitioning landed (web leg: chain 8 = 12.5 s,
+    16 = 11.75 s, 24 = 11.65 s — the cheaper the round, the more the
+    per-chain collect barrier matters); the cached-row budget still
+    caps depth on big states and the decay predictor trims the tail."""
+    return max(1, int(os.environ.get("LINKGRAPH_PR_CHAIN", "16")))
 
 
 _VIEW_SEQ = itertools.count()

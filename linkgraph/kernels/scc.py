@@ -158,8 +158,30 @@ def scc(
                     res_verts.withColumnRenamed("id", "dst"), "dst", "left_semi"
                 )
             ).select("src", "dst")
+            # residual cache partitioned to the data (pagerank.py r6
+            # rule; the full graph's m bounds the residual)
+            import math
+
+            p_res = min(
+                graph.edges.rdd.getNumPartitions(),
+                max(
+                    4,
+                    math.ceil(
+                        graph.m
+                        / int(
+                            os.environ.get(
+                                "LINKGRAPH_PR_EDGE_ROWS_PER_PART",
+                                str(64 * 1024),
+                            )
+                        )
+                    ),
+                ),
+            )
             g_res = build_graph_from_edges(
-                res_edges, vertices=res_verts, assume_deduped=True
+                res_edges,
+                vertices=res_verts,
+                assume_deduped=True,
+                num_partitions=p_res,
             )
             try:
                 new_assigned, new_res_verts, rec = _outer_round(
