@@ -178,6 +178,13 @@ def _cc_loop(
             )
         )
         fcount = graph.n
+    # align the state with the loop width in round 1's plan — a wider
+    # init partitioning would win the round-1 join alignment and
+    # re-exchange the message gather back up to it every round
+    # (pagerank.py r6 rationale); skipped when already aligned
+    p_loop = graph.edges.rdd.getNumPartitions()
+    if state.rdd.getNumPartitions() != p_loop:
+        state = state.repartition(p_loop, "id")
 
     iterations = start_iter
     metrics: list[dict] = []

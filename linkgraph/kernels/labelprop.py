@@ -100,6 +100,10 @@ def label_propagation(
         )
         edges_recached = True
         p_edges = p_target
+        # align the init state with the loop width in round 1's plan
+        # (pagerank.py rationale: a wider init partitioning would win
+        # the join alignment and re-exchange winners every round)
+        labels = labels.repartition(p_target, "id")
     # AQE off in the loop (same rationale as pagerank.py); shuffle
     # partitions pinned to the edge cache for co-partitioned joins.
     loop_conf = {

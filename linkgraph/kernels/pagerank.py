@@ -188,6 +188,12 @@ def pagerank(
         )
         edges_recached = True
         p_edges = p_target
+        # align the initial state with the loop width IN round 1's
+        # plan (one n-row exchange, computed once via exchange reuse):
+        # otherwise the wider init partitioning wins the round-1 join
+        # alignment and every subsequent round re-exchanges the
+        # gathered side back up to it
+        state = state.repartition(p_target, "id")
 
     # Chain sizing: a multiple of check_every, capped by the cached-row
     # budget and — when durable checkpoints are requested — by
