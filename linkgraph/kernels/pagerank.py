@@ -35,7 +35,11 @@ are just unpersisted. Measured (local[32], sf0.1 cust-supp graph,
 20k-page web graph, check_every=2: 53.5 s → 23.0 s; ranks
 bit-identical on the web graph, ≤3.3e-19 absolute drift on sf0.1
 (driver-literal vs in-plan dangling-mass sum — far below the
-round(9) oracle comparison).
+round(9) oracle comparison). With the loop additionally partitioned
+to the DATA (~64k edge rows/partition, re-cached once per call when
+the existing cache is wider — guide §2.2, per-task dispatch dominates
+few-ms tasks) the same leg measured 20.3 s → 4.5 s in a slow host
+phase, whole-bench pagerank 4.3-4.9 s vs the r5 record 16.2 s.
 
 Lineage is severed every round by the lazy localCheckpoint (SURVEY
 hard-part #1); blocks of superseded rounds are released as soon as
